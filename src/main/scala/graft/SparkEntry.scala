@@ -1,13 +1,450 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.model._
+import graft.ops._
+import graft.similarity.Ann
+import graft.streaming.StreamingLoad
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 (or a
+  * beyond-reference LLM-pipeline component) end-to-end through the public
+  * graft API, reading the driver's parquet fixtures from `dir`. Every
+  * SQL-expressible entry has a DuckDB oracle in [[oracleSql]]; approximate /
+  * side-effect-only ops (LSH near-dup, ANN) are rows-only checked.
+  *
+  * Determinism rules (the driver hash-compares values after sorting columns
+  * by name): every floating aggregate is `round(x, 2)` on BOTH sides; counts
+  * are BIGINT on both sides; LIMIT/top-k queries carry a unique-key
+  * tie-break; raw double column passthroughs (no re-aggregation) are safe
+  * bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Scratch space for round-trip fixtures (inside the repo per the brief). */
+  private val scratch = "/root/repo/target/graft-scratch"
+
+  /** All fixture reads flow through the real loadFile operator. */
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    LoadFile.toDataFrame(s, File(s"$dir/$name.parquet"))
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects by default; read it as long (the queries below don't consume ts).
+    */
+  private def allowNanos(s: SparkSession): Unit =
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+
+  /** Flagship: multi-table join + aggregation (orders ⋈ customer ⋈ nation →
+    * revenue per nation) on sf=0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenueByNation(spark, "/root/testdata/sf0.001")
+
+  private def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val c = tbl(s, dir, "customer")
+    val n = tbl(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("num_orders"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core relational path (load_file + Catalyst) ----
+    "q01_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("cnt"),
+        )),
+
+    // transform: templated SQL, table + scalar params, filter/sort/limit
+    // (the reference's calculate_popular_movies shape)
+    "q02_filter_sort_limit" -> ((s, dir) =>
+      Transform.run(
+        s,
+        "SELECT p_name, p_brand, p_retailprice FROM {{part}} " +
+          "WHERE p_brand = :brand ORDER BY p_retailprice DESC, p_name LIMIT 5",
+        Map("part" -> tbl(s, dir, "part"), "brand" -> "Brand#1"),
+      )),
+
+    "q03_join_agg" -> ((s, dir) => revenueByNation(s, dir)),
+
+    // transform CTAS: materialize to a catalog table, read it back
+    "q04_transform_ctas" -> ((s, dir) => {
+      val out = Table("graft_q04_ctas")
+      Transform.toTable(
+        s,
+        "SELECT c_mktsegment, count(*) AS num_customers, round(sum(c_acctbal), 2) AS total_bal " +
+          "FROM {{c}} GROUP BY c_mktsegment",
+        out,
+        Map("c" -> tbl(s, dir, "customer")),
+      )
+      s.table(out.qualifiedName)
+    }),
+
+    // merge strategy=update: upsert source into target on c_custkey
+    "q05_merge_update" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val tgt  = Table("graft_q05_target")
+      cust.filter(col("c_custkey") % 3 === 0)
+        .write.mode("overwrite").saveAsTable(tgt.qualifiedName)
+      val src = cust.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey"),
+        concat(lit("upd_"), col("c_name")).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + 100).as("c_acctbal"),
+        col("c_mktsegment"),
+      )
+      Merge.mergeDf(s, src, tgt, Map.empty, Seq("c_custkey"), MergeConflict.Update)
+      s.table(tgt.qualifiedName)
+    }),
+
+    // merge strategy=ignore: insert-only-new
+    "q06_merge_ignore" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val tgt  = Table("graft_q06_target")
+      cust.filter(col("c_custkey") % 3 === 0)
+        .write.mode("overwrite").saveAsTable(tgt.qualifiedName)
+      val src = cust.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey"),
+        concat(lit("new_"), col("c_name")).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + 100).as("c_acctbal"),
+        col("c_mktsegment"),
+      )
+      Merge.mergeDf(s, src, tgt, Map.empty, Seq("c_custkey"), MergeConflict.Ignore)
+      s.table(tgt.qualifiedName)
+    }),
+
+    // append with column mapping (region rows into a nation-shaped table)
+    "q07_append" -> ((s, dir) => {
+      val tgt = Table("graft_q07_nation")
+      tbl(s, dir, "nation").write.mode("overwrite").saveAsTable(tgt.qualifiedName)
+      Append.appendDf(s, tbl(s, dir, "region"), tgt,
+        Map("r_name" -> "n_name", "r_regionkey" -> "n_regionkey"))
+      s.table(tgt.qualifiedName)
+    }),
+
+    // check_column: all checks in ONE aggregate pass
+    "q08_check_column" -> ((s, dir) => {
+      import s.implicits._
+      val stats = Checks.checkColumn(
+        tbl(s, dir, "customer"),
+        Map(
+          "c_acctbal" -> Map("min" -> Checks.Bound(), "max" -> Checks.Bound()),
+          "c_custkey" -> Map("distinct_check" -> Checks.Bound(), "unique_check" -> Checks.Bound()),
+          "c_name"    -> Map("null_check" -> Checks.Bound()),
+        ),
+      )
+      stats.map(r => (r.column, r.check, r.value)).toDF("col_name", "check_name", "value")
+    }),
+
+    // check_table: named boolean checks, one aggregate pass
+    "q09_check_table" -> ((s, dir) => {
+      import s.implicits._
+      val res = Checks.checkTable(
+        tbl(s, dir, "orders"),
+        Map(
+          "has_rows"           -> "count(*) > 0",
+          "non_negative_price" -> "o_totalprice >= 0",
+          "custkey_present"    -> "o_custkey IS NOT NULL",
+        ),
+      )
+      res.toSeq.sortBy(_._1).toDF("check_name", "passed")
+    }),
+
+    // ---- dedup family ----
+    "q10_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id")),
+
+    "q11_dedup_exact_keys" -> ((s, dir) => {
+      allowNanos(s)
+      Dedup.exactByKeys(tbl(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // near-dup MinHash-LSH over planted duplicates (rows-only: approximate op)
+    "q12_neardup_minhash" -> ((s, dir) => {
+      val d   = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing token")).as("text"))
+      Dedup.nearDupPairsMinHash(d.unionByName(dup), "doc_id", "text", threshold = 0.6)
+    }),
+
+    "q13_neardup_simhash" -> ((s, dir) => {
+      val d   = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      Dedup.nearDupPairsSimHash(d.unionByName(dup), "doc_id", "text", maxHamming = 3)
+    }),
+
+    "q14_neardup_embedding" -> ((s, dir) => {
+      val e   = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dup = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Dedup.nearDupPairsEmbedding(e.unionByName(dup), "vec_id", "embedding", threshold = 0.99)
+    }),
+
+    // ---- text analysis ----
+    "q15_text_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("char_len"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+      )),
+
+    "q16_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"),
+      )),
+
+    "q17_quality_counts" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("subword_cnt"),
+        TextFunctions.punctCount(col("text")).cast("long").as("punct_cnt"),
+        TextFunctions.stopwordCount(col("text")).cast("long").as("stopword_cnt"),
+      )
+    }),
+
+    // ---- similarity search ----
+    "q18_topk_cosine" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "q19_topk_lsh" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.lshTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ---- export / load round-trips ----
+    "q20_export_csv_roundtrip" -> ((s, dir) => {
+      val f = File(s"$scratch/region_export.csv", Some(FileType.Csv))
+      ExportToFile.df(s, tbl(s, dir, "region"), f, IfExists.Replace, singleFile = true)
+      LoadFile.toDataFrame(s, f)
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+    }),
+
+    "q21_export_ndjson_roundtrip" -> ((s, dir) => {
+      val f = File(s"$scratch/nation_export.ndjson", Some(FileType.Ndjson))
+      ExportToFile.df(s, tbl(s, dir, "nation"), f, IfExists.Replace, singleFile = true)
+      LoadFile.toDataFrame(s, f).select(
+        col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"),
+      )
+    }),
+
+    // ndjson nested flatten (normalizeSep parity with pandas.json_normalize)
+    "q22_ndjson_flatten" -> ((s, dir) => {
+      val nested = tbl(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("info"),
+      )
+      val f = File(s"$scratch/nested_customer.ndjson", Some(FileType.Ndjson))
+      ExportToFile.df(s, nested, f, IfExists.Replace, singleFile = true)
+      LoadFile.toDataFrame(s, f, LoadOptions(normalize = true))
+        .select(col("id"), col("info_name"), col("info_bal"))
+    }),
+
+    // ---- raw SQL / value list / window ----
+    "q23_raw_sql" -> ((s, dir) =>
+      RawSql.run(
+        s,
+        "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total " +
+          "FROM {{o}} WHERE o_totalprice > :minp GROUP BY o_orderpriority",
+        Map("o" -> tbl(s, dir, "orders"), "minp" -> 1000.0),
+      ).toOption.get),
+
+    "q24_get_value_list" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_q24_orders")
+      RawSql.getValueList(s, "SELECT DISTINCT o_orderstatus FROM graft_q24_orders", 100)
+        .map(_.getString(0)).toDF("o_orderstatus")
+    }),
+
+    "q25_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("o_totalprice"))
+    }),
+
+    // streaming Autoloader analog: AvailableNow file stream into a table
+    "q26_streaming_load" -> ((s, dir) => {
+      allowNanos(s)
+      val out = Table("graft_q26_events")
+      s.sql(s"DROP TABLE IF EXISTS ${out.qualifiedName}")
+      // A crashed prior run can leave the managed-table dir without a catalog
+      // entry; Spark then refuses CREATE with LOCATION_ALREADY_EXISTS.
+      val wh  = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir") + "/" + out.name)
+      val fs  = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+      val ckpt   = s"$scratch/ckpt_q26_${java.util.UUID.randomUUID().toString.take(8)}"
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      StreamingLoad.run(s, File(s"$dir/events.parquet", Some(FileType.Parquet)),
+        schema, out, ckpt)
+      s.table(out.qualifiedName)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+    }),
+  )
+
+  /** DuckDB oracles. Notes on cross-engine parity:
+    *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+    *    replace-all semantics.
+    *  - list math is spelled out with DOUBLE casts so both engines accumulate
+    *    in float64 (DuckDB's list_cosine_similarity is float32).
+    *  - counts are CAST to BIGINT to match Spark's long.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_sort_limit" ->
+      """SELECT p_name, p_brand, p_retailprice FROM part WHERE p_brand = 'Brand#1'
+        |ORDER BY p_retailprice DESC, p_name LIMIT 5""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS num_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+
+    "q04_transform_ctas" ->
+      """SELECT c_mktsegment, count(*) AS num_customers, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q05_merge_update" ->
+      """WITH src AS (SELECT c_custkey, 'upd_' || c_name AS c_name, c_nationkey,
+        |c_acctbal + 100 AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+        |tgt AS (SELECT * FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT * FROM src
+        |UNION ALL SELECT * FROM tgt WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
+
+    "q06_merge_ignore" ->
+      """WITH src AS (SELECT c_custkey, 'new_' || c_name AS c_name, c_nationkey,
+        |c_acctbal + 100 AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+        |tgt AS (SELECT * FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT * FROM tgt
+        |UNION ALL SELECT * FROM src WHERE c_custkey NOT IN (SELECT c_custkey FROM tgt)""".stripMargin,
+
+    "q07_append" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL SELECT CAST(NULL AS INTEGER) AS n_nationkey, r_name AS n_name,
+        |r_regionkey AS n_regionkey FROM region""".stripMargin,
+
+    "q08_check_column" ->
+      """SELECT 'c_acctbal' AS col_name, 'max' AS check_name, CAST(max(c_acctbal) AS DOUBLE) AS value FROM customer
+        |UNION ALL SELECT 'c_acctbal', 'min', CAST(min(c_acctbal) AS DOUBLE) FROM customer
+        |UNION ALL SELECT 'c_custkey', 'distinct_check', CAST(count(DISTINCT c_custkey) AS DOUBLE) FROM customer
+        |UNION ALL SELECT 'c_custkey', 'unique_check', CAST(count(c_custkey) - count(DISTINCT c_custkey) AS DOUBLE) FROM customer
+        |UNION ALL SELECT 'c_name', 'null_check', CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM customer""".stripMargin,
+
+    "q09_check_table" ->
+      """SELECT 'custkey_present' AS check_name, bool_and(o_custkey IS NOT NULL) AS passed FROM orders
+        |UNION ALL SELECT 'has_rows', count(*) > 0 FROM orders
+        |UNION ALL SELECT 'non_negative_price', bool_and(o_totalprice >= 0) FROM orders""".stripMargin,
+
+    "q10_dedup_exact" ->
+      """SELECT * FROM documents WHERE doc_id IN (
+        |SELECT min(doc_id) FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+
+    "q11_dedup_exact_keys" ->
+      """SELECT event_id, user_id, event_type, value FROM events WHERE event_id IN (
+        |SELECT min(event_id) FROM events GROUP BY user_id, event_type)""".stripMargin,
+
+    "q15_text_stats" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS char_len,
+        |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q16_lang_id" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |len(list_filter(toks, x -> list_contains(['the','and','of','to','is','with'], x))) AS s_en,
+        |len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une'], x))) AS s_fr,
+        |len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ein'], x))) AS s_de,
+        |len(list_filter(toks, x -> list_contains(['el','los','las','una','por','que'], x))) AS s_es
+        |FROM t)
+        |SELECT doc_id, CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+        |WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |ELSE 'es' END AS lang_id FROM s""".stripMargin,
+
+    "q17_quality_counts" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS subword_cnt,
+        |CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}]')) AS BIGINT) AS punct_cnt,
+        |CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |  x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x))) AS BIGINT) AS stopword_cnt
+        |FROM documents""".stripMargin,
+
+    "q18_topk_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10""".stripMargin,
+
+    "q20_export_csv_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
+
+    "q21_export_ndjson_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q22_ndjson_flatten" ->
+      "SELECT c_custkey AS id, c_name AS info_name, c_acctbal AS info_bal FROM customer",
+
+    "q23_raw_sql" ->
+      """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_totalprice > 1000.0 GROUP BY o_orderpriority""".stripMargin,
+
+    "q24_get_value_list" -> "SELECT DISTINCT o_orderstatus FROM orders",
+
+    "q25_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rnk, o_totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q26_streaming_load" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+  )
 }

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (beyond-reference scope — SURVEY.md §7 step 10). All are compositions of
+  * built-in (codegen'd / JVM-native) functions over Columns: no Scala UDFs in
+  * the hot path, so whole-stage codegen and Catalyst pushdown stay intact.
+  */
+object TextFunctions {
+
+  /** Collapse whitespace + lowercase — the canonical form used by
+    * fingerprinting and dedup.
+    */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokenization. Empty/blank input → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word-piece regex (runs of letters, digits, or a
+    * single non-space symbol) — a cheap, deterministic proxy for tokenizer
+    * budget accounting at corpus scale.
+    */
+  def subwordCount(c: Column): Column =
+    coalesce(regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")), lit(0))
+
+  /** Rolling-hash document fingerprint over the normalized text. Exact-dup
+    * grouping key: grouping/shuffling by a 32-char hex key instead of the
+    * full document text keeps shuffle rows small at 100 TB.
+    */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** 64-bit content hash (xxhash64 — codegen'd, 10x cheaper than md5) for
+    * bucketing/salting.
+    */
+  def fingerprint64(c: Column): Column = xxhash64(normalizeText(c))
+
+  private val punctRe    = "[.,;:!?'\"()\\[\\]{}]"
+  private val defaultStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Punctuation-character count. */
+  def punctCount(c: Column): Column =
+    coalesce(regexp_count(c, lit(punctRe)), lit(0))
+
+  /** Punctuation-character ratio ∈ [0,1]. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(punctCount(c).cast("double") / length(c))
+
+  /** Count of stopword tokens (exact integer — not ratio-derived). */
+  def stopwordCount(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(lower(c)), t => array_contains(sw, t)))
+  }
+
+  /** Fraction of tokens that are stopwords — high values indicate natural
+    * prose, near-zero indicates tag soup / boilerplate.
+    */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(lower(c))
+    when(size(toks) === 0, 0.0)
+      .otherwise(stopwordCount(c, stopwords).cast("double") / size(toks))
+  }
+
+  /** Mean token length — degenerate (very low/high) values flag non-text. */
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score ∈ [0,1] (length / punctuation / stopword
+    * heuristics à la C4/Gopher filtering rules). Deterministic and cheap —
+    * one projection, no shuffle.
+    */
+  def qualityScore(c: Column, minChars: Int = 50, maxChars: Int = 100000): Column = {
+    val lenOk   = (length(c) >= minChars && length(c) <= maxChars).cast("double")
+    val stopOk  = (stopwordRatio(c) > 0.05).cast("double")
+    val punctOk = (punctRatio(c) < 0.2).cast("double")
+    val meanOk  = (meanTokenLength(c).between(2.0, 12.0)).cast("double")
+    (lenOk * 0.4 + stopOk * 0.3 + punctOk * 0.15 + meanOk * 0.15)
+  }
+
+  /** Language-ID by marker-token voting: score each language by how many of
+    * its distinctive function words appear (per token), pick the argmax,
+    * `und` when nothing matches. N-gram/stopword heuristic as specified in
+    * the brief — deterministic and SQL-mirrorable (no model, no UDF).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ein"),
+    "es" -> Seq("el", "los", "las", "una", "por", "que"),
+  )
+
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val scores = langMarkers.map { case (lang, words) =>
+      val w = array(words.map(lit): _*)
+      (lang, size(filter(toks, t => array_contains(w, t))))
+    }
+    // argmax with deterministic first-wins tie-break (declaration order):
+    // foldRight makes the first language the outermost `when`.
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** k-word shingles over the normalized text (the MinHash input). */
+  def wordShingles(c: Column, k: Int = 3): Column = {
+    val toks = tokens(normalizeText(c))
+    val n    = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Distinct 64-bit shingle hashes — the set representation used by MinHash
+    * and Jaccard verification. Hashing shingles to longs up front keeps every
+    * downstream comparison integer-only.
+    */
+  def shingleHashes(c: Column, k: Int = 3): Column =
+    array_distinct(transform(wordShingles(c, k), s => xxhash64(s)))
+
+  /** Character n-gram hash set (for n-gram Jaccard near-dup). */
+  def charNgramHashes(c: Column, n: Int = 5): Column = {
+    val norm = normalizeText(c)
+    val len  = length(norm)
+    val grams = when(len <= n, array(norm))
+      .otherwise(transform(sequence(lit(1), len - n + 1), i => norm.substr(i, lit(n))))
+    array_distinct(transform(grams, g => xxhash64(g)))
+  }
+
+  /** Exact Jaccard similarity of two pre-hashed sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(array_union(a, b)).cast("double")
+    when(uni === 0, 1.0).otherwise(inter / uni)
+  }
+}

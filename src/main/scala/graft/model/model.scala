@@ -29,17 +29,43 @@ object Table {
     Table(name, metadata, temp = true)
   }
 
-  def apply(name: String): Table = Table(name, Metadata(), temp = false)
+  /** Like the reference's `__attrs_post_init__` (table.py:89-94), a name that
+    * already carries the temp prefix is treated as a temp table.
+    */
+  def apply(name: String): Table =
+    Table(name, Metadata(), temp = name.startsWith(TempPrefix))
+
+  /** Minimal JSON round-trip for pipeline hand-off persistence
+    * (reference XCom serializer: python-sdk/src/astro/custom_backend/serializer.py:29-127).
+    */
+  def fromJson(json: String): Table = {
+    val m = Json.parseFlat(json)
+    Table(
+      m.getOrElse("name", ""),
+      Metadata(m.get("schema").filter(_.nonEmpty), m.get("database").filter(_.nonEmpty)),
+      temp = m.get("temp").contains("true"),
+    )
+  }
 }
 
 final case class Table(name: String, metadata: Metadata, temp: Boolean) {
-  /** Fully-qualified name inside the Spark catalog (database.table). */
-  def qualifiedName: String =
+  /** Fully-qualified name inside the Spark catalog (database.table).
+    * Embedded backticks are escaped by doubling (Spark identifier quoting).
+    */
+  def qualifiedName: String = {
+    def bq(s: String) = "`" + s.replace("`", "``") + "`"
     metadata.database.orElse(metadata.schema) match {
-      case Some(db) => s"`$db`.`$name`"
-      case None     => s"`$name`"
+      case Some(db) => s"${bq(db)}.${bq(name)}"
+      case None     => bq(name)
     }
+  }
   def uri: String = s"graft://tables/${metadata.database.getOrElse("default")}/$name"
+  def toJson: String = Json.obj(
+    "name"     -> name,
+    "schema"   -> metadata.schema.getOrElse(""),
+    "database" -> metadata.database.getOrElse(""),
+    "temp"     -> temp.toString,
+  )
 }
 
 /** File formats the engine loads/exports (reference: constants.py:36-47).
@@ -64,10 +90,18 @@ object FileType {
     val ext  = base.split('.').drop(1).lastOption.map(_.toLowerCase)
     ext.flatMap(e => all.find(_.extensions.contains(e)))
   }
+
+  def fromString(s: String): FileType =
+    all.find(_.name == s.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(s"unknown filetype: $s"))
 }
 
 object File {
   def apply(path: String): File = File(path, None)
+  def fromJson(json: String): File = {
+    val m = Json.parseFlat(json)
+    File(m.getOrElse("path", ""), m.get("filetype").filter(_.nonEmpty).map(FileType.fromString))
+  }
 }
 
 /** A file (or glob/prefix pattern) at some location. Location dispatch is
@@ -83,20 +117,36 @@ final case class File(path: String, filetype: Option[FileType]) {
   def isPattern: Boolean =
     filetype.isEmpty && FileType.fromPath(path).isEmpty
   def resolvedType: Option[FileType] = filetype.orElse(FileType.fromPath(path))
-  def uri: String = if (path.contains("://")) path else s"file://$path"
+  /** Scheme-less paths are left untouched — Hadoop FS resolves them against
+    * the default filesystem (a naive "file://" + relative path would parse
+    * the first segment as the URI authority).
+    */
+  def uri: String = path
+  def toJson: String =
+    Json.obj("path" -> path, "filetype" -> filetype.map(_.name).getOrElse(""))
 }
 
-/** Strategy literals (reference: python-sdk/src/astro/constants.py:86-95). */
+/** Load-time exists strategy (reference LoadExistStrategy, constants.py:86:
+  * replace|append).
+  */
 sealed trait IfExists
 object IfExists {
   case object Replace   extends IfExists
   case object Append    extends IfExists
   case object Exception extends IfExists
-  def fromString(s: String): IfExists = s.toLowerCase match {
+
+  /** reference LoadExistStrategy = replace|append (constants.py:86) */
+  def forLoad(s: String): IfExists = s.toLowerCase match {
+    case "replace" => Replace
+    case "append"  => Append
+    case other     => throw new IllegalArgumentException(s"load if_exists must be replace|append, got: $other")
+  }
+
+  /** reference ExportExistsStrategy = replace|exception (constants.py:88) */
+  def forExport(s: String): IfExists = s.toLowerCase match {
     case "replace"   => Replace
-    case "append"    => Append
     case "exception" => Exception
-    case other       => throw new IllegalArgumentException(s"unknown if_exists: $other")
+    case other       => throw new IllegalArgumentException(s"export if_exists must be replace|exception, got: $other")
   }
 }
 
@@ -124,4 +174,52 @@ object Capitalization {
   case object Upper    extends Capitalization
   case object Lower    extends Capitalization
   case object Original extends Capitalization
+  def fromString(s: String): Capitalization = s.toLowerCase match {
+    case "upper"    => Upper
+    case "lower"    => Lower
+    case "original" => Original
+    case other      => throw new IllegalArgumentException(s"unknown capitalization: $other")
+  }
+}
+
+/** Tiny flat-JSON helper (string values only) so Table/File round-trip
+  * without a JSON dependency.
+  */
+private[model] object Json {
+  def esc(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+  def obj(kvs: (String, String)*): String =
+    kvs.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+
+  /** Parses a flat string-valued JSON object produced by [[obj]]. */
+  def parseFlat(json: String): Map[String, String] = {
+    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    pair.findAllMatchIn(json).map { m =>
+      unesc(m.group(1)) -> unesc(m.group(2))
+    }.toMap
+  }
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i  = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o   => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.model._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** `export_to_file`: table/DataFrame → file at any Hadoop-FS location
+  * (reference: python-sdk/src/astro/sql/operators/export_to_file.py:18-183;
+  * writers files/types/{csv,json,ndjson,parquet}.py).
+  *
+  * Two modes:
+  *  - `singleFile = false` (the scale path): a plain distributed
+  *    `df.write` to a directory — this is what 100 TB exports must use.
+  *  - `singleFile = true` (reference parity: the SDK always writes ONE file
+  *    at the exact path): coalesce(1) into a temp dir, then rename the part
+  *    file. Documented cap: the whole output flows through one task — fine
+  *    for result extracts, wrong for bulk data (use the directory mode).
+  */
+object ExportToFile {
+
+  def table(
+      spark: SparkSession,
+      input: Table,
+      output: File,
+      ifExists: IfExists = IfExists.Exception,
+      singleFile: Boolean = true,
+  ): File = df(spark, spark.table(input.qualifiedName), output, ifExists, singleFile)
+
+  def df(
+      spark: SparkSession,
+      input: DataFrame,
+      output: File,
+      ifExists: IfExists = IfExists.Exception,
+      singleFile: Boolean = true,
+  ): File = {
+    val ft = output.resolvedType.getOrElse(
+      throw new IllegalArgumentException(s"cannot determine filetype for ${output.path}"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outPath = new Path(output.path)
+    val fs = outPath.getFileSystem(conf)
+
+    ifExists match {
+      case IfExists.Exception if fs.exists(outPath) =>
+        throw new IllegalStateException(s"${output.path} already exists and if_exists=exception")
+      case IfExists.Append =>
+        throw new IllegalArgumentException("export if_exists must be replace|exception")
+      case _ => ()
+    }
+
+    if (!singleFile) {
+      val mode = if (ifExists == IfExists.Replace) SaveMode.Overwrite else SaveMode.ErrorIfExists
+      write(input, output.path, ft, mode)
+      return output
+    }
+
+    // Single-file parity: write via a temp dir then move the one part file.
+    val tmpDir = new Path(outPath.getParent, s".graft_export_${java.util.UUID.randomUUID().toString.take(12)}")
+    write(input.coalesce(1), tmpDir.toString, ft, SaveMode.Overwrite)
+    try {
+      val part = fs.listStatus(tmpDir).map(_.getPath)
+        .find(p => p.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file produced under $tmpDir"))
+      if (fs.exists(outPath)) fs.delete(outPath, false)
+      if (ft == FileType.Json) jsonArrayRewrite(fs, part, outPath)
+      else if (!fs.rename(part, outPath))
+        throw new IllegalStateException(s"rename $part -> $outPath failed")
+    } finally fs.delete(tmpDir, true)
+    output
+  }
+
+  private def write(df: DataFrame, path: String, ft: FileType, mode: SaveMode): Unit = ft match {
+    case FileType.Csv     => df.write.mode(mode).option("header", "true").csv(path)
+    case FileType.Ndjson  => df.write.mode(mode).json(path) // Spark's json writer IS ndjson
+    case FileType.Json    => df.write.mode(mode).json(path) // wrapped into an array post-hoc (single-file mode)
+    case FileType.Parquet => df.write.mode(mode).parquet(path)
+    case FileType.Xlsx =>
+      throw new UnsupportedOperationException("xlsx export is not supported in this environment")
+  }
+
+  /** JSON-array parity (reference files/types/json.py:45-51 writes
+    * `orient="records"` — one array): stream the ndjson part file into
+    * `[...]` form. Driver-side streaming copy, bounded by the single-file
+    * mode's contract.
+    */
+  private def jsonArrayRewrite(fs: FileSystem, src: Path, dst: Path): Unit = {
+    val in  = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(src), "UTF-8"))
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(fs.create(dst, true), "UTF-8"))
+    try {
+      out.write("[")
+      var first = true
+      var line  = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          if (!first) out.write(",")
+          out.write(line)
+          first = false
+        }
+        line = in.readLine()
+      }
+      out.write("]")
+    } finally { in.close(); out.close() }
+  }
+}
+
+/** `dataframe` op: bridge catalog tables ↔ a user transform function
+  * (reference: python-sdk/src/astro/sql/operators/dataframe.py:99-343).
+  * The reference round-trips the whole table through worker pandas memory —
+  * its scalability cliff (SURVEY.md §3.3). Here the user function is
+  * `DataFrame => DataFrame`, composed lazily into the distributed plan: no
+  * memory cliff, Catalyst optimizes across the boundary.
+  */
+object DataframeOp {
+
+  def run(
+      spark: SparkSession,
+      inputs: Seq[Table],
+      fn: Seq[DataFrame] => DataFrame,
+      capitalization: Capitalization = Capitalization.Original,
+  ): DataFrame = {
+    val dfs = inputs.map(t => spark.table(t.qualifiedName))
+    LoadFile.capitalize(fn(dfs), capitalization)
+  }
+
+  def toTable(
+      spark: SparkSession,
+      inputs: Seq[Table],
+      fn: Seq[DataFrame] => DataFrame,
+      output: Table,
+      ifExists: IfExists = IfExists.Replace,
+      capitalization: Capitalization = Capitalization.Original,
+  ): Table = {
+    val mode = if (ifExists == IfExists.Append) SaveMode.Append else SaveMode.Overwrite
+    run(spark, inputs, fn, capitalization).write.mode(mode).saveAsTable(output.qualifiedName)
+    output
+  }
+}

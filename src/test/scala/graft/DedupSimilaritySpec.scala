@@ -1,0 +1,164 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the  QUICK brown fox jumps over the lazy dog near the river bank today"), // exact dup modulo case/ws
+    (3L, "The quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup (1 word)
+    (4L, "Completely different content about training data pipelines at scale with spark"),
+    (5L, "Another unrelated document mentioning embeddings and similarity search methods"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id representative per normalized text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("exactByKeys keeps deterministic survivor") {
+    val df  = Seq((1L, "k1", "x"), (5L, "k1", "y"), (3L, "k2", "z")).toDF("id", "k", "v")
+    val out = Dedup.exactByKeys(df, Seq("k"), "id")
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated pairs") {
+    val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // normalized-identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).contains(5L) })
+  }
+
+  test("dedupNear removes near-duplicates keeping smallest id") {
+    val out = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(1L) && out.contains(4L) && out.contains(5L))
+    assert(!out.contains(2L))
+  }
+
+  test("simhash blocking finds low-hamming pairs") {
+    val pairs = Dedup.nearDupPairsSimHash(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard LSH catches word-boundary noise") {
+    val noisy = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "thequick brown fox jumps overthe lazy dog"), // mangled whitespace
+      (3L, "totally different text with other words entirely"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsNgram(noisy, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("embedding near-dup finds identical vectors via SRP buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)),   // identical
+      (3L, Array(-1.0f, 0.3f, -0.5f, 0.9f)), // far away
+    ).toDF("id", "vec")
+    val pairs = Dedup.nearDupPairsEmbedding(vecs, "id", "vec", threshold = 0.99, bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine/dot/norm correctness on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"b").as("d"),
+      VectorFunctions.l2Norm($"a").as("n"),
+      VectorFunctions.cosine($"a", $"b").as("c"),
+      VectorFunctions.sqDist($"a", $"b").as("s"),
+    ).as[(Double, Double, Double, Double)].collect()(0)
+    assert(math.abs(r._1 - 8.0) < 1e-12)
+    assert(math.abs(r._2 - math.sqrt(5)) < 1e-12)
+    assert(math.abs(r._3 - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+    assert(math.abs(r._4 - 2.0) < 1e-12)
+    // zero vector -> cosine 0 by contract
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b")).as[Double].collect()(0)
+    assert(z == 0.0)
+  }
+
+  test("brute-force topK returns exact neighbors ranked by cosine") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f)),
+      (13L, Array(-1.0f, 0.0f)),
+    ).toDF("id", "vec")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val out = Ann.bruteForceTopK(corpus, queries, "id", "vec", "qid", "qvec", k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 10L), (2, 11L)))
+  }
+
+  test("LSH topK recalls the exact top-1 for clustered vectors") {
+    val corpus = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.map(v => v + (i % 7) * 0.01f))
+    }.toDF("id", "vec")
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val exact = Ann.bruteForceTopK(corpus, queries, "id", "vec", "qid", "qvec", k = 1)
+      .select("neighbor_id").as[Long].collect().head
+    val approx = Ann.lshTopK(corpus, queries, "id", "vec", "qid", "qvec", k = 5, bits = 4, tables = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(approx.contains(exact))
+  }
+
+  test("text functions: tokens, counts, fingerprint, langId") {
+    val df = Seq(
+      ("  The quick   brown fox  ", "en-ish"),
+      ("le chat et la porte des maisons", "fr-ish"),
+      ("", "empty"),
+    ).toDF("text", "tag")
+    val r = df.select(
+      TextFunctions.tokenCount($"text").as("tc"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.langId($"text").as("lang"),
+      TextFunctions.stopwordCount($"text").as("sw"),
+    ).collect()
+    assert(r(0).getAs[Int]("tc") == 4)
+    assert(r(0).getAs[String]("lang") == "en")
+    assert(r(1).getAs[String]("lang") == "fr")
+    assert(r(2).getAs[Int]("tc") == 0)
+    assert(r(2).getAs[String]("lang") == "und")
+    assert(r(0).getAs[String]("fp") != r(1).getAs[String]("fp"))
+    // fingerprint is whitespace/case-insensitive
+    val fps = Seq("a  B c", "A B C").toDF("t")
+      .select(TextFunctions.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("shingles and jaccard") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "e f g h")).toDF("x", "y")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.shingleHashes($"x", 2), TextFunctions.shingleHashes($"y", 2))).as[Double].collect()
+    assert(j(0) == 1.0)
+    assert(j(1) == 0.0)
+    // short text falls back to whole-string shingle
+    val s = Seq("one two").toDF("t")
+      .select(size(TextFunctions.wordShingles($"t", 3))).as[Int].collect()(0)
+    assert(s == 1)
+  }
+
+  test("quality score is high for prose, low for garbage") {
+    val good = "The project is designed to help researchers and engineers work with large datasets in a reliable way, and it is tested on many real workloads."
+    val bad  = "x$#@!  ~~~ ###"
+    val r = Seq((good, bad)).toDF("g", "b").select(
+      TextFunctions.qualityScore($"g").as("g"),
+      TextFunctions.qualityScore($"b").as("b"),
+    ).as[(Double, Double)].collect()(0)
+    assert(r._1 > 0.8, s"good=$r")
+    assert(r._2 < 0.5, s"bad=$r")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.model._
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class LoadExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv round-trip: export single file then loadFile with inference") {
+    val dir = tmpDir()
+    val df  = Seq((1, "alpha"), (2, "béta"), (3, "c,with,commas")).toDF("id", "name")
+    val f   = File(s"$dir/sample.csv", Some(FileType.Csv))
+    ExportToFile.df(spark, df, f, IfExists.Replace)
+    val back = LoadFile.toDataFrame(spark, f)
+    assert(back.schema.fields.map(_.name).toSeq == Seq("id", "name"))
+    assert(back.as[(Int, String)].collect().toSet == Set((1, "alpha"), (2, "béta"), (3, "c,with,commas")))
+  }
+
+  test("ndjson round-trip preserves rows") {
+    val dir = tmpDir()
+    val df  = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val f   = File(s"$dir/sample.ndjson", Some(FileType.Ndjson))
+    ExportToFile.df(spark, df, f, IfExists.Replace)
+    val back = LoadFile.toDataFrame(spark, f)
+    assert(back.select("id", "name").as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("json array export is a single [...] document; load reads it back") {
+    val dir = tmpDir()
+    val df  = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val f   = File(s"$dir/sample.json", Some(FileType.Json))
+    ExportToFile.df(spark, df, f, IfExists.Replace)
+    val txt = scala.io.Source.fromFile(s"$dir/sample.json").mkString
+    assert(txt.startsWith("[") && txt.endsWith("]"))
+    val back = LoadFile.toDataFrame(spark, f)
+    assert(back.select("id", "name").as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("export if_exists=exception fails when target exists; replace overwrites") {
+    val dir = tmpDir()
+    val df  = Seq((1, "x")).toDF("id", "v")
+    val f   = File(s"$dir/out.csv", Some(FileType.Csv))
+    ExportToFile.df(spark, df, f, IfExists.Replace)
+    intercept[IllegalStateException](ExportToFile.df(spark, df, f, IfExists.Exception))
+    ExportToFile.df(spark, df, f, IfExists.Replace) // no throw
+  }
+
+  test("pattern load: glob over a directory of csv parts") {
+    val dir = tmpDir()
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/parts")
+    Seq((2, "b")).toDF("id", "v").write.mode("append")
+      .option("header", "true").csv(s"$dir/parts")
+    val back = LoadFile.toDataFrame(spark,
+      File(s"$dir/parts/*.csv", Some(FileType.Csv)))
+    assert(back.count() == 2)
+  }
+
+  test("nested flatten: a.b -> a_b (json_normalize parity)") {
+    val df = Seq((1L, ("n1", 2.5), (("deep", 7L)))).toDF("id", "info", "outer")
+      .select(col("id"),
+        struct(col("info._1").as("name"), col("info._2").as("bal")).as("info"),
+        struct(struct(col("outer._1._1").as("s"), col("outer._1._2").as("x")).as("inner")).as("outer"))
+    val flat = LoadFile.flatten(df, "_")
+    assert(flat.columns.toSeq == Seq("id", "info_name", "info_bal", "outer_inner_s", "outer_inner_x"))
+    val r = flat.collect()(0)
+    assert(r.getAs[String]("info_name") == "n1")
+    assert(r.getAs[Long]("outer_inner_x") == 7L)
+  }
+
+  test("capitalization upper/lower") {
+    val df = Seq((1, "a")).toDF("Id", "NaMe")
+    assert(LoadFile.capitalize(df, Capitalization.Upper).columns.toSeq == Seq("ID", "NAME"))
+    assert(LoadFile.capitalize(df, Capitalization.Lower).columns.toSeq == Seq("id", "name"))
+    assert(LoadFile.capitalize(df, Capitalization.Original).columns.toSeq == Seq("Id", "NaMe"))
+  }
+
+  test("loadFile toTable honors replace/append SaveMode") {
+    val dir = tmpDir()
+    val f   = File(s"$dir/t.csv", Some(FileType.Csv))
+    ExportToFile.df(spark, Seq((1, "a")).toDF("id", "v"), f, IfExists.Replace)
+    val t = Table("load_target_spec")
+    LoadFile.toTable(spark, f, t, LoadOptions(ifExists = IfExists.Replace))
+    LoadFile.toTable(spark, f, t, LoadOptions(ifExists = IfExists.Append))
+    assert(spark.table(t.qualifiedName).count() == 2)
+    LoadFile.toTable(spark, f, t, LoadOptions(ifExists = IfExists.Replace))
+    assert(spark.table(t.qualifiedName).count() == 1)
+    DropTable(spark, t)
+  }
+
+  test("getFileList lists matching files") {
+    val dir = tmpDir()
+    new java.io.File(s"$dir/a.csv").createNewFile()
+    new java.io.File(s"$dir/b.csv").createNewFile()
+    new java.io.File(s"$dir/c.txt").createNewFile()
+    assert(GetFileList(spark, s"$dir/*.csv").map(_.split('/').last).sorted == Seq("a.csv", "b.csv"))
+    assert(GetFileList(spark, dir).size == 3)
+  }
+}
