@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * - One warmup pass at sf0.001 first (session/codegen warmup — round-2
+  *   showed 15–26 s of pure first-query JVM cost otherwise).
+  * - Failure honesty: a crashed query is reported in an `errors` map with
+  *   elapsed -1, never as a plausible wall-time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +20,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
+      sorted.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

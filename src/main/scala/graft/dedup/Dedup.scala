@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions
+import graft.functions.NativeFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,11 +10,19 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §7 step 10): exact, MinHash-LSH, SimHash, n-gram Jaccard,
   * embedding-cosine near-dup.
   *
-  * Design rule for 100 TB: **candidate generation is always blocked/bucketed
-  * — never all-pairs.** Every near-dup variant here shuffles by a bucket key
-  * (LSH band, SimHash chunk, SRP bucket), compares only within buckets, and
-  * caps pathological bucket sizes so one boilerplate cluster cannot go
-  * quadratic.
+  * Design rules for 100 TB:
+  *  - **candidate generation is always blocked/bucketed — never all-pairs.**
+  *    Every near-dup variant shuffles by a bucket key (LSH band, SimHash
+  *    chunk, SRP bucket), compares only within buckets, and caps pathological
+  *    bucket sizes so one boilerplate cluster cannot go quadratic.
+  *  - **signatures are native single-node expressions**
+  *    ([[graft.functions.HashImpl]]) — one pass per row, O(1) expression
+  *    tree. Round 2 composed them from 128 higher-order functions, which
+  *    cost 200–440 s of plan compilation per query and evaluated interpreted.
+  *  - **the band explode carries only (id, band, bucket)** — ids, never
+  *    payload arrays. Shingle sets re-join by id for the Jaccard verify, so
+  *    the 32-band explode amplifies the shuffle by 32 × a 16-byte row, not
+  *    32 × the document's shingle set.
   */
 object Dedup {
 
@@ -38,20 +46,17 @@ object Dedup {
   }
 
   /** MinHash signature (array<bigint> of length `numHashes`) over k-word
-    * shingles. Each permutation is xxhash64(i, shingleHash) — integer-only,
-    * codegen-friendly, no RNG state to broadcast.
+    * shingles — one-permutation MinHash with densification
+    * ([[graft.functions.HashImpl.minHashSignature]]): O(|shingles|), not
+    * O(numHashes × |shingles|).
     */
-  def minHashSignature(text: Column, numHashes: Int = 128, shingleK: Int = 3): Column = {
-    val sh = shingleHashes(text, shingleK)
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, h => xxhash64(i, h))),
-    )
-  }
+  def minHashSignature(text: Column, numHashes: Int = 128, shingleK: Int = 3): Column =
+    NativeFunctions.minHashSignature(NativeFunctions.shingleHashes(text, shingleK), numHashes)
 
   /** Near-duplicate PAIRS via banded MinHash-LSH:
     * shingle → minhash → `bands` band-buckets → shuffle on (band, bucket) →
-    * candidate pairs within buckets only → exact-Jaccard verify.
+    * candidate pairs within buckets only → exact-Jaccard verify on the
+    * re-joined shingle sets.
     *
     * With numHashes=128, bands=32 (r=4), the S-curve midpoint is
     * (1/32)^(1/4) ≈ 0.42; pairs at `threshold` ≥ 0.7 are caught with
@@ -71,20 +76,11 @@ object Dedup {
       maxBucketSize: Int = 1000,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    val withSig = df.select(
+    val sets = df.select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleK).as("sh"),
-    ).withColumn(
-      "sig",
-      transform(sequence(lit(0), lit(numHashes - 1)), i => array_min(transform(col("sh"), h => xxhash64(i, h)))),
+      NativeFunctions.shingleHashes(col(textCol), shingleK).as("sh"),
     )
-    // (id, band, bucket) — bucket = hash of the band's signature slice
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => xxhash64(lit(42), b, slice(col("sig"), b * r + 1, lit(r))))),
-    ).toDF("id", "sh", "band", "bucket")
-    verifyPairs(banded, threshold, maxBucketSize)
+    verifyPairs(banded(sets, numHashes, bands), sets, threshold, maxBucketSize)
   }
 
   /** n-gram Jaccard near-dup: identical LSH pipeline but over character
@@ -101,35 +97,45 @@ object Dedup {
       maxBucketSize: Int = 1000,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    val withSig = df.select(
+    val sets = df.select(
       col(idCol).as("id"),
-      charNgramHashes(col(textCol), ngram).as("sh"),
-    ).withColumn(
-      "sig",
-      transform(sequence(lit(0), lit(numHashes - 1)), i => array_min(transform(col("sh"), h => xxhash64(i, h)))),
+      NativeFunctions.charNgramHashes(col(textCol), ngram).as("sh"),
     )
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => xxhash64(lit(42), b, slice(col("sig"), b * r + 1, lit(r))))),
-    ).toDF("id", "sh", "band", "bucket")
-    verifyPairs(banded, threshold, maxBucketSize)
+    verifyPairs(banded(sets, numHashes, bands), sets, threshold, maxBucketSize)
   }
 
-  /** Shared LSH tail: cap bucket sizes, self-join within (band, bucket),
-    * dedup candidate pairs, verify exact Jaccard on the hashed sets.
+  /** (id, band, bucket) rows — NO payload columns ride the 32× explode. */
+  private def banded(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sets.select(
+      col("id"),
+      posexplode(NativeFunctions.bandBuckets(
+        NativeFunctions.minHashSignature(col("sh"), numHashes), bands)),
+    ).toDF("id", "band", "bucket")
+
+  /** Shared LSH tail: cap bucket sizes, self-join ids within (band, bucket),
+    * dedup candidate pairs, then join the shingle sets back BY ID for the
+    * exact-Jaccard verify. Two corpus passes (banding + set re-join) instead
+    * of shipping every set through the 32-band shuffle.
     */
-  private def verifyPairs(banded: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+  private def verifyPairs(
+      banded: DataFrame,
+      sets: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int,
+  ): DataFrame = {
     val capped = banded.withColumn(
       "__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))),
     ).where(col("__bsz") <= maxBucketSize).drop("__bsz")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", NativeFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -151,25 +157,17 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
-  /** 64-bit SimHash over tokens: bit i is the sign of the token-hash-bit
-    * vote. One projection — 64 integer aggregates per row, no shuffle.
+  /** 64-bit SimHash over tokens — native one-pass expression
+    * ([[graft.functions.HashImpl.simHash64]]); bit i is the sign of the
+    * token-hash-bit vote.
     */
-  def simHash(text: Column): Column = {
-    val th = transform(tokens(normalizeText(text)), t => xxhash64(t))
-    val bitCols: Seq[Column] = (0 until 64).map { i =>
-      val vote = aggregate(
-        th, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L),
-      )
-      when(vote >= 0L, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce((x, y) => x.bitwiseOR(y))
-  }
+  def simHash(text: Column): Column = NativeFunctions.simHash64(text)
 
   /** SimHash near-dup pairs: pigeonhole blocking — split the 64-bit hash into
     * `maxHamming + 1` chunks; any pair within `maxHamming` bits shares at
     * least one exact chunk, so candidates come from chunk-equality joins
-    * (never all-pairs), then verify popcount(xor) ≤ maxHamming.
+    * (never all-pairs), then verify popcount(xor) ≤ maxHamming. The 64-bit
+    * `sim` value rides the explode (it IS the payload — 8 bytes).
     */
   def nearDupPairsSimHash(
       df: DataFrame,
@@ -201,7 +199,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup: SRP-LSH bucket join (multi-table for recall)
-    * + exact cosine verify. Candidates only within equal buckets.
+    * + exact cosine verify. Candidates only within equal buckets; vectors
+    * re-join by id after the candidate pairs are known, so the `tables`×
+    * explode carries (id, bucket) only.
     */
   def nearDupPairsEmbedding(
       df: DataFrame,
@@ -214,18 +214,23 @@ object Dedup {
   ): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketed = base.select(
-      col("id"), col("vec"),
-      posexplode(array((0 until tables).map(t => VectorFunctions.srpBucket(col("vec"), bits, seed = 42L + t)): _*)),
-    ).toDF("id", "vec", "tbl", "bucket")
+      col("id"),
+      posexplode(array((0 until tables).map(t =>
+        NativeFunctions.srpBucket(col("vec"), bits, seed = 42L + t)): _*)),
+    ).toDF("id", "tbl", "bucket")
     val capped = bucketed.withColumn(
       "__bsz", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))),
     ).where(col("__bsz") <= maxBucketSize).drop("__bsz")
-    val a = capped.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = capped.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("tbl", "bucket"))
+    val a = capped.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+    candidates
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cosine", NativeFunctions.cosine(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

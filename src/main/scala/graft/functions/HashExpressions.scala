@@ -1,0 +1,484 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (codegen'd) Catalyst expressions for the dedup / similarity hot
+  * paths.
+  *
+  * Round-2 lesson: composing these out of higher-order functions
+  * (`transform`/`aggregate`) made the expression TREE O(numHashes) — 128
+  * nested HOFs for MinHash, 64 for SimHash — which cost 200–440 s of
+  * Catalyst/janino compilation per query and then evaluated interpreted per
+  * row. Each expression here is a single tree node whose eval is one tight
+  * JVM loop; `doGenCode` emits a plain static call so the surrounding
+  * projection stays inside whole-stage codegen.
+  *
+  * Hash compatibility: shingle/token hashing uses the same XXH64-with-seed-42
+  * as Spark's builtin `xxhash64`, so these sets interoperate with the Column
+  * compositions in [[TextFunctions]] (`shingleHashes`, `jaccard`).
+  */
+object HashImpl {
+  final val Seed = 42L
+
+  /** `lower(trim(s))` + whitespace-split — matches
+    * `TextFunctions.tokens(normalizeText(c))` for ASCII input. Blank → empty.
+    */
+  def tokenize(s: UTF8String): Array[String] = {
+    val t = s.toString.trim
+    if (t.isEmpty) Array.empty[String]
+    else t.toLowerCase(Locale.ROOT).split("\\s+")
+  }
+
+  private def hashString(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), Seed)
+
+  private def distinctSorted(hs: Array[Long], n: Int): ArrayData = {
+    val a = java.util.Arrays.copyOf(hs, n)
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 0
+    while (i < a.length) {
+      if (w == 0 || a(w - 1) != a(i)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(a, w))
+  }
+
+  /** Distinct xxhash64 values of the k-word shingles of `text` (sorted —
+    * set semantics; order is irrelevant to Jaccard/MinHash downstream).
+    * Fewer than k tokens → one whole-text shingle, like
+    * `TextFunctions.wordShingles`.
+    */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < k) {
+      new GenericArrayData(Array(hashString(toks.mkString(" "))))
+    } else {
+      val n  = toks.length - k + 1
+      val hs = new Array[Long](n)
+      val sb = new java.lang.StringBuilder(64)
+      var i  = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        hs(i) = hashString(sb.toString)
+        i += 1
+      }
+      distinctSorted(hs, n)
+    }
+  }
+
+  /** Distinct xxhash64 values of character n-grams of the normalized text. */
+  def charNgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    val norm = toks.mkString(" ")
+    if (norm.length <= n) {
+      new GenericArrayData(Array(hashString(norm)))
+    } else {
+      val cnt = norm.length - n + 1
+      val hs  = new Array[Long](cnt)
+      var i   = 0
+      while (i < cnt) {
+        hs(i) = hashString(norm.substring(i, i + n))
+        i += 1
+      }
+      distinctSorted(hs, cnt)
+    }
+  }
+
+  /** One-permutation MinHash with rotation densification (Li, Owen & Zhang
+    * NIPS'12; Shrivastava & Li ICML'14): ONE pass over the set fills `m`
+    * buckets (element → bucket h mod m, value = rehash(h)); an empty bucket
+    * borrows from its nearest non-empty right neighbour, offset-penalized so
+    * borrowed values stay distinct across distances. O(|set| + m) vs the
+    * classic m×|set| — the 128× factor round 2 paid is gone.
+    */
+  def minHashSignature(sh: ArrayData, m: Int): ArrayData = {
+    val sig   = new Array[Long](m)
+    val empty = new Array[Boolean](m)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    java.util.Arrays.fill(empty, true)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      val b = ((h % m).toInt + m) % m
+      val v = XXH64.hashLong(h, Seed)
+      if (v < sig(b)) sig(b) = v
+      empty(b) = false
+      i += 1
+    }
+    if (n > 0) {
+      var j = 0
+      while (j < m) {
+        if (empty(j)) {
+          var d = 1
+          while (empty((j + d) % m)) d += 1
+          sig(j) = sig((j + d) % m) + d * 0x9E3779B97F4A7C15L
+        }
+        j += 1
+      }
+    } else {
+      var j = 0
+      while (j < m) { sig(j) = XXH64.hashLong(j.toLong, Seed); j += 1 }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Per-band bucket ids: band b = xxhash64 fold of signature rows
+    * [b*r, (b+1)*r) plus the band index — one array out, one pass in.
+    */
+  def bandBuckets(sig: ArrayData, bands: Int): ArrayData = {
+    val m   = sig.numElements()
+    val r   = m / bands
+    val out = new Array[Long](bands)
+    var b   = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(b.toLong, Seed)
+      var j = b * r
+      val e = j + r
+      while (j < e) { h = XXH64.hashLong(sig.getLong(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over whitespace tokens — one pass, 64 counters.
+    * Bit i set ⇔ the token-hash-bit-i vote is non-negative (matches the
+    * round-2 Column semantics, including all-bits-set for empty text).
+    */
+  def simHash64(text: UTF8String): Long = {
+    val toks  = tokenize(text)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = hashString(toks(t))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var i   = 0
+    while (i < 64) {
+      if (votes(i) >= 0) sim |= (1L << i)
+      i += 1
+    }
+    sim
+  }
+
+  private def mix64(z0: Long): Long = {
+    // splitmix64 finalizer — deterministic ±1 hyperplane weights, no RNG
+    // state and no broadcast weight matrix.
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Sign-random-projection LSH bucket (Charikar 2002): `bits` sign bits of
+    * projections onto seeded ±1 hyperplanes, packed into a long. One pass
+    * over the vector per plane — bits×dim multiply-adds, no HOFs.
+    */
+  def srpBucket(vec: ArrayData, bits: Int, seed: Long): Long = {
+    val dim    = vec.numElements()
+    var bucket = 0L
+    var i      = 0
+    while (i < bits) {
+      var acc  = 0.0
+      val base = mix64(seed ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+      var j    = 0
+      while (j < dim) {
+        val w = if ((mix64(base ^ j.toLong) & 1L) == 1L) 1.0 else -1.0
+        acc += w * vec.getFloat(j)
+        j += 1
+      }
+      if (acc >= 0.0) bucket |= (1L << i)
+      i += 1
+    }
+    bucket
+  }
+
+  /** Dot product of two float vectors, accumulated left-to-right in double —
+    * the same FP op sequence as the `zip_with`/`aggregate` Column version
+    * (and the DuckDB oracle), so results are bit-identical.
+    */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n   = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i   = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val na = math.sqrt(dotF(a, a))
+    val nb = math.sqrt(dotF(b, b))
+    if (na == 0.0 || nb == 0.0) 0.0 else dotF(a, b) / (na * nb)
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays (the representation
+    * [[shingleHashes]]/[[charNgramHashes]] emit): one merge pass, no per-row
+    * hash-set allocation — `array_intersect`+`array_union` cost 64 s on 377 k
+    * candidate pairs at sf0.1; this is O(n+m) per pair.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** Unbiased Jaccard estimate from two equal-length MinHash signatures:
+    * fraction of agreeing positions (valid for densified one-permutation
+    * signatures too — Shrivastava & Li ICML'14).
+    */
+  def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i  = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  /** Indices of the `nprobe` nearest centroids by cosine — the IVF coarse
+    * quantizer. `cents` is plan-embedded (C vectors, bounded); selection is
+    * an O(C·dim + C·nprobe) loop per row.
+    */
+  def nearestCentroids(vec: ArrayData, cents: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val c     = cents.length
+    val dim   = vec.numElements()
+    val sims  = new Array[Double](c)
+    var ci    = 0
+    while (ci < c) {
+      val cent = cents(ci)
+      val n    = math.min(dim, cent.length)
+      var dotv = 0.0
+      var nc   = 0.0
+      var nv   = 0.0
+      var j    = 0
+      while (j < n) {
+        val x = vec.getFloat(j).toDouble
+        val y = cent(j).toDouble
+        dotv += x * y; nc += y * y; nv += x * x
+        j += 1
+      }
+      sims(ci) = if (nc == 0.0 || nv == 0.0) -2.0 else dotv / math.sqrt(nc * nv)
+      ci += 1
+    }
+    val p   = math.min(nprobe, c)
+    val out = new Array[Int](p)
+    val used = new Array[Boolean](c)
+    var r = 0
+    while (r < p) {
+      var best = -1
+      var i    = 0
+      while (i < c) {
+        if (!used(i) && (best < 0 || sims(i) > sims(best))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Squared Euclidean distance, double accumulation. */
+  def sqDistF(a: ArrayData, b: ArrayData): Double = {
+    val n   = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i   = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+private[graft] trait GraftUnaryCodegen extends UnaryExpression {
+  /** Static call template, e.g. `c => s"graft.functions.HashImpl.simHash64($c)"`. */
+  protected def staticCall(c: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
+}
+
+case class ShingleHashesExpr(child: Expression, k: Int) extends GraftUnaryCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.shingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.HashImpl.shingleHashes($c, $k)"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class CharNgramHashesExpr(child: Expression, n: Int) extends GraftUnaryCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.charNgramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.HashImpl.charNgramHashes($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, m: Int) extends GraftUnaryCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.minHashSignature(input.asInstanceOf[ArrayData], m)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.HashImpl.minHashSignature($c, $m)"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class BandBucketsExpr(child: Expression, bands: Int) extends GraftUnaryCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.bandBuckets(input.asInstanceOf[ArrayData], bands)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.HashImpl.bandBuckets($c, $bands)"
+  override protected def withNewChildInternal(newChild: Expression): BandBucketsExpr =
+    copy(child = newChild)
+}
+
+case class SimHash64Expr(child: Expression) extends GraftUnaryCodegen {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.simHash64(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.HashImpl.simHash64($c)"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class SrpBucketExpr(child: Expression, bits: Int, seed: Long) extends GraftUnaryCodegen {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.srpBucket(input.asInstanceOf[ArrayData], bits, seed)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.HashImpl.srpBucket($c, $bits, ${seed}L)"
+  override protected def withNewChildInternal(newChild: Expression): SrpBucketExpr =
+    copy(child = newChild)
+}
+
+/** IVF coarse quantizer: `nprobe` nearest centroid indices by cosine. The
+  * centroid matrix is embedded in the plan (NOT a per-row child) and handed
+  * to generated code once via `addReferenceObj`.
+  */
+case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.nearestCentroids(input.asInstanceOf[ArrayData], centroids, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.nearestCentroids($c, $ref, $nprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
+private[graft] abstract class GraftBinaryDouble extends BinaryExpression {
+  protected def staticName: String
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    evalImpl(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected def evalImpl(a: ArrayData, b: ArrayData): Double
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.$staticName($a, $b)")
+}
+
+case class JaccardSortedExpr(left: Expression, right: Expression) extends GraftBinaryDouble {
+  override protected def staticName: String = "jaccardSorted"
+  override protected def evalImpl(a: ArrayData, b: ArrayData): Double = HashImpl.jaccardSorted(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+    copy(left = l, right = r)
+}
+
+case class SigAgreementExpr(left: Expression, right: Expression) extends GraftBinaryDouble {
+  override protected def staticName: String = "sigAgreement"
+  override protected def evalImpl(a: ArrayData, b: ArrayData): Double = HashImpl.sigAgreement(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreementExpr =
+    copy(left = l, right = r)
+}
+
+case class DotExpr(left: Expression, right: Expression) extends GraftBinaryDouble {
+  override protected def staticName: String = "dotF"
+  override protected def evalImpl(a: ArrayData, b: ArrayData): Double = HashImpl.dotF(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+    copy(left = l, right = r)
+}
+
+case class CosineExpr(left: Expression, right: Expression) extends GraftBinaryDouble {
+  override protected def staticName: String = "cosineF"
+  override protected def evalImpl(a: ArrayData, b: ArrayData): Double = HashImpl.cosineF(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
+    copy(left = l, right = r)
+}
+
+case class SqDistExpr(left: Expression, right: Expression) extends GraftBinaryDouble {
+  override protected def staticName: String = "sqDistF"
+  override protected def evalImpl(a: ArrayData, b: ArrayData): Double = HashImpl.sqDistF(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistExpr =
+    copy(left = l, right = r)
+}
+
+/** Column-API face of the native expressions. */
+object NativeFunctions {
+  private def c(e: Expression): Column            = ColumnBridge.column(e)
+  private def x(col: Column): Expression          = ColumnBridge.expression(col)
+
+  def shingleHashes(text: Column, k: Int = 3): Column  = c(ShingleHashesExpr(x(text), k))
+  def charNgramHashes(text: Column, n: Int = 5): Column = c(CharNgramHashesExpr(x(text), n))
+  def minHashSignature(sh: Column, numHashes: Int = 128): Column =
+    c(MinHashSigExpr(x(sh), numHashes))
+  def bandBuckets(sig: Column, bands: Int = 32): Column = c(BandBucketsExpr(x(sig), bands))
+  def simHash64(text: Column): Column                   = c(SimHash64Expr(x(text)))
+  def srpBucket(vec: Column, bits: Int, seed: Long): Column =
+    c(SrpBucketExpr(x(vec), bits, seed))
+  def dot(a: Column, b: Column): Column    = c(DotExpr(x(a), x(b)))
+  def cosine(a: Column, b: Column): Column = c(CosineExpr(x(a), x(b)))
+  def sqDist(a: Column, b: Column): Column = c(SqDistExpr(x(a), x(b)))
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    c(NearestCentroidsExpr(x(vec), centroids, nprobe))
+  def jaccardSorted(a: Column, b: Column): Column = c(JaccardSortedExpr(x(a), x(b)))
+  def sigAgreement(a: Column, b: Column): Column  = c(SigAgreementExpr(x(a), x(b)))
+}

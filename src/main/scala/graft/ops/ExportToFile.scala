@@ -129,8 +129,10 @@ object DataframeOp {
       ifExists: IfExists = IfExists.Replace,
       capitalization: Capitalization = Capitalization.Original,
   ): Table = {
-    val mode = if (ifExists == IfExists.Append) SaveMode.Append else SaveMode.Overwrite
-    run(spark, inputs, fn, capitalization).write.mode(mode).saveAsTable(output.qualifiedName)
+    val result = run(spark, inputs, fn, capitalization)
+    if (ifExists == IfExists.Append)
+      result.write.mode(SaveMode.Append).saveAsTable(output.qualifiedName)
+    else TableIO.overwrite(spark, result, output)
     output
   }
 }

@@ -68,12 +68,15 @@ object LoadFile {
       opts: LoadOptions = LoadOptions(),
   ): Table = {
     val df = toDataFrame(spark, file, opts)
-    val mode = opts.ifExists match {
-      case IfExists.Replace   => SaveMode.Overwrite
-      case IfExists.Append    => SaveMode.Append
-      case IfExists.Exception => SaveMode.ErrorIfExists
+    opts.ifExists match {
+      case IfExists.Replace =>
+        // Idempotent across sessions (stale warehouse dirs are cleared).
+        TableIO.overwrite(spark, df, table)
+      case IfExists.Append =>
+        df.write.mode(SaveMode.Append).saveAsTable(table.qualifiedName)
+      case IfExists.Exception =>
+        df.write.mode(SaveMode.ErrorIfExists).saveAsTable(table.qualifiedName)
     }
-    df.write.mode(mode).saveAsTable(table.qualifiedName)
     table
   }
 

@@ -130,7 +130,7 @@ object Merge {
     */
   private def appendViaStaging(spark: SparkSession, rows: DataFrame, target: Table): Unit = {
     val staging = Table.temp()
-    rows.write.mode(SaveMode.Overwrite).saveAsTable(staging.qualifiedName)
+    TableIO.overwrite(spark, rows, staging)
     try
       spark.table(staging.qualifiedName).write.mode(SaveMode.Append).insertInto(target.qualifiedName)
     finally
@@ -138,14 +138,21 @@ object Merge {
   }
 
   /** Full rewrite of `target` with `result` (which reads `target`): stage to a
-    * temp table to break the self-read, then overwrite.
+    * temp table to break the self-read, then swap the staging table into the
+    * target name via a catalog rename — ONE data write; the swap is a
+    * metadata/filesystem move, not a second full rewrite. Falls back to
+    * write-twice if the catalog refuses the rename.
     */
   private def rewrite(spark: SparkSession, result: DataFrame, target: Table): Unit = {
     val staging = Table.temp()
-    result.write.mode(SaveMode.Overwrite).saveAsTable(staging.qualifiedName)
-    try
-      spark.table(staging.qualifiedName).write.mode(SaveMode.Overwrite).saveAsTable(target.qualifiedName)
-    finally
-      spark.sql(s"DROP TABLE IF EXISTS ${staging.qualifiedName}")
+    TableIO.overwrite(spark, result, staging)
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS ${target.qualifiedName}")
+      spark.sql(s"ALTER TABLE ${staging.qualifiedName} RENAME TO ${target.qualifiedName}")
+    } catch {
+      case _: Throwable =>
+        TableIO.overwrite(spark, spark.table(staging.qualifiedName), target)
+        spark.sql(s"DROP TABLE IF EXISTS ${staging.qualifiedName}")
+    }
   }
 }

@@ -1,7 +1,63 @@
 package graft.ops
 
 import graft.model.Table
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Idempotent managed-table creation.
+  *
+  * The engine's "database" is the Spark catalog (SURVEY.md §7). With a
+  * non-persistent (in-memory) catalog, a managed table's warehouse directory
+  * survives the session while its catalog entry does not — so the next
+  * session's CREATE fails with LOCATION_ALREADY_EXISTS. The reference's CTAS
+  * is rerunnable because its tables live in real databases
+  * (python-sdk/src/astro/databases/base.py:363-381 drops then recreates);
+  * [[prepareCreate]] restores that semantics here: drop the catalog entry
+  * (which removes the location when the entry exists) AND delete any stale
+  * orphaned location before creating.
+  */
+object TableIO {
+
+  /** Default managed location for `table` (database location + table name). */
+  private[graft] def managedLocation(spark: SparkSession, table: Table): Path = {
+    val db = table.metadata.database.orElse(table.metadata.schema)
+      .getOrElse(spark.catalog.currentDatabase)
+    val dbLoc = spark.sql(s"DESCRIBE DATABASE `${db.replace("`", "``")}`")
+      .collect()
+      .find(_.getString(0).equalsIgnoreCase("Location"))
+      .map(_.getString(1))
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
+    new Path(dbLoc, table.name.toLowerCase)
+  }
+
+  /** Make a subsequent CREATE/saveAsTable of `table` safe regardless of what
+    * a previous (possibly crashed) session left behind.
+    */
+  def prepareCreate(spark: SparkSession, table: Table): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${table.qualifiedName}")
+    val loc = managedLocation(spark, table)
+    val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Rerunnable overwrite-create of a managed table. */
+  def overwrite(spark: SparkSession, df: DataFrame, table: Table): Table = {
+    prepareCreate(spark, table)
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table.qualifiedName)
+    table
+  }
+
+  /** Delete the managed location ONLY when it is an orphan (no catalog
+    * entry) — for appending/resuming writers that must keep existing data
+    * when the table legitimately exists.
+    */
+  def clearOrphanLocation(spark: SparkSession, table: Table): Unit =
+    if (!spark.catalog.tableExists(table.qualifiedName)) {
+      val loc = managedLocation(spark, table)
+      val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+}
 
 /** `drop_table` (reference: python-sdk/src/astro/sql/operators/drop.py:14-51;
   * SQL `DROP TABLE IF EXISTS` databases/base.py:383-390).

@@ -67,17 +67,16 @@ object Transform {
   }
 
   /** CTAS: render + execute + materialize as a catalog table (reference
-    * drop-then-`CREATE TABLE AS` at databases/base.py:363-381).
+    * drop-then-`CREATE TABLE AS` at databases/base.py:363-381 — rerunnable,
+    * hence the idempotency-safe write).
     */
   def toTable(
       spark: SparkSession,
       sql: String,
       output: Table,
       params: Map[String, Any] = Map.empty,
-  ): Table = {
-    run(spark, sql, params).write.mode(SaveMode.Overwrite).saveAsTable(output.qualifiedName)
-    output
-  }
+  ): Table =
+    TableIO.overwrite(spark, run(spark, sql, params), output)
 
   /** `transform_file`: SQL text read from a .sql file
     * (reference: transform.py:145-191).

@@ -1,22 +1,76 @@
 package graft.similarity
 
-import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import graft.functions.{NativeFunctions, VectorFunctions}
+import graft.functions.VectorFunctions.cosine
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/** Bounded top-k buffer: parallel (sims, ids) arrays, never more than k
+  * entries. Encodes with the plain product encoder, so it shuffles as two
+  * primitive arrays.
+  */
+case class TopKBuf(sims: Array[Double], ids: Array[Long])
+
+/** Map-side-partial top-k: each partition's partial buffer keeps at most k
+  * (sim, id) entries per group, so the shuffle moves |groups|·k·|partitions|
+  * rows — never the corpus. Ordering is (sim, id) descending-lexicographic
+  * (id DESC tie-break), matching the DuckDB oracle's
+  * `ORDER BY cos DESC, neighbor_id DESC`.
+  */
+class TopKAggregator(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+  private def gt(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 > i2)
+
+  override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+
+  override def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf = {
+    val (s, id) = in
+    if (b.sims.length < k) TopKBuf(b.sims :+ s, b.ids :+ id)
+    else {
+      var mi = 0
+      var i  = 1
+      while (i < b.sims.length) {
+        if (gt(b.sims(mi), b.ids(mi), b.sims(i), b.ids(i))) mi = i
+        i += 1
+      }
+      if (gt(s, id, b.sims(mi), b.ids(mi))) { b.sims(mi) = s; b.ids(mi) = id }
+      b
+    }
+  }
+
+  private def sortedDesc(b: TopKBuf): Array[(Double, Long)] =
+    b.sims.zip(b.ids).sortWith { case ((s1, i1), (s2, i2)) => gt(s1, i1, s2, i2) }
+
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    val all = (sortedDesc(a) ++ sortedDesc(b)).sortWith { case ((s1, i1), (s2, i2)) => gt(s1, i1, s2, i2) }
+    val top = all.take(k)
+    TopKBuf(top.map(_._1), top.map(_._2))
+  }
+
+  override def finish(b: TopKBuf): TopKBuf = {
+    val top = sortedDesc(b)
+    TopKBuf(top.map(_._1), top.map(_._2))
+  }
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}
 
 /** Similarity search over an embedding column (`array<float>`) — the
   * beyond-reference similarity component (SURVEY.md §7 step 10).
   *
-  * Two paths:
-  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
-  *    (BroadcastNestedLoopJoin) so the corpus streams once with NO shuffle of
-  *    the corpus side; per-query top-k is a partial (map-side) aggregate.
-  *    Right when |queries| is small — the common "find neighbors of these N
-  *    probes" shape, even at 100 TB corpus.
-  *  - [[lshTopK]]: SRP-LSH bucketed candidates (multi-table for recall), then
-  *    exact cosine only within matching buckets — the large-query-set /
-  *    corpus-vs-corpus scale path; never all-pairs.
+  * Three paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. Queries broadcast; the corpus
+  *    streams once with no corpus shuffle; top-k is a genuine bounded-heap
+  *    partial aggregate ([[TopKAggregator]]).
+  *  - [[lshTopK]]: SRP-LSH bucketed candidates (multi-table + query-side
+  *    multiprobe for recall) — sub-linear when the corpus is clustered
+  *    (real embedding corpora). Near-orthogonal (random) data defeats every
+  *    sign-hash family; use IVF there.
+  *  - [[ivfTopK]]: IVF-flat — corpus rows partition by nearest centroid,
+  *    queries probe their `nprobe` nearest cells. Recall/cost is directly
+  *    tunable by nprobe/numCentroids regardless of data distribution.
   */
 object Ann {
 
@@ -24,11 +78,6 @@ object Ann {
     *
     * @param corpus  (idCol, vecCol) rows — arbitrarily large
     * @param queries (queryIdCol, vecCol) rows — SMALL (broadcast)
-    *
-    * Top-k uses min_by-style partial aggregation (`groupBy(queryId)` over
-    * (sim, id) structs): each corpus partition emits at most k candidates per
-    * query before the shuffle, so the wide stage moves |queries|·k rows, not
-    * the corpus.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -47,23 +96,31 @@ object Ann {
         col("__nid"),
         cosine(col("__qvec"), col("__nvec")).as("__sim"),
       )
-    // struct ordering = (sim, id) lexicographic; slice(sort_desc)[1..k] after a
-    // partial-aggregating groupBy — deterministic id tie-break.
+    topKOf(scored, k)
+  }
+
+  /** groupBy(query_id) bounded-heap top-k over (`__sim`, `__nid`) rows →
+    * (query_id, rank, neighbor_id, cosine).
+    */
+  private def topKOf(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
     scored
       .groupBy(col("query_id"))
-      .agg(slice(sort_array(collect_list(struct(col("__sim"), col("__nid"))), asc = false), 1, k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
+      .agg(topk(col("__sim"), col("__nid")).as("top"))
+      .select(col("query_id"),
+        posexplode(arrays_zip(col("top.sims").as("cosine"), col("top.ids").as("neighbor_id"))))
       .select(
         col("query_id"),
         (col("pos") + 1).as("rank"),
-        col("col.__nid").as("neighbor_id"),
-        col("col.__sim").as("cosine"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.cosine").as("cosine"),
       )
   }
 
   /** Approximate top-k: candidates from `tables` independent SRP-LSH bucket
-    * joins (recall grows with tables; `bits` trades bucket selectivity), then
-    * exact cosine + top-k within candidates only.
+    * joins; the query side additionally probes every 1-bit-flip neighbour
+    * bucket when `multiprobe` (recall ↑ at no corpus-side cost), then exact
+    * cosine + top-k within candidates only.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -73,23 +130,74 @@ object Ann {
       queryId: String,
       queryVec: String,
       k: Int = 10,
-      bits: Int = 10,
-      tables: Int = 4,
+      bits: Int = 8,
+      tables: Int = 8,
+      multiprobe: Boolean = true,
   ): DataFrame = {
-    def bucketize(df: DataFrame, id: String, vec: String, idOut: String): DataFrame =
-      df.select(col(id).as(idOut), col(vec).as(s"${idOut}_vec"),
-        posexplode(array((0 until tables).map(t => srpBucket(col(vec), bits, seed = 7L + t)): _*)))
-        .toDF(idOut, s"${idOut}_vec", "tbl", "bucket")
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__nvec"),
+      posexplode(array((0 until tables).map(t =>
+        VectorFunctions.srpBucket(col(corpusVec), bits, seed = 7L + t)): _*)))
+      .toDF("neighbor_id", "__nvec", "tbl", "bucket")
+    // query side: base bucket + (optionally) all 1-bit flips, per table
+    val probesOf = (vec: org.apache.spark.sql.Column, t: Int) => {
+      val base = VectorFunctions.srpBucket(vec, bits, seed = 7L + t)
+      if (multiprobe) array(base +: (0 until bits).map(i => base.bitwiseXOR(lit(1L << i))): _*)
+      else array(base)
+    }
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qvec"),
+      posexplode(array((0 until tables).map(t => probesOf(col(queryVec), t)): _*)))
+      .toDF("query_id", "__qvec", "tbl", "probes")
+      .select(col("query_id"), col("__qvec"), col("tbl"), explode(col("probes")).as("bucket"))
+    val candidates = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id").as("__nid"), col("__qvec"), col("__nvec"))
+      .dropDuplicates("query_id", "__nid")
+      .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
+    topKOf(candidates, k)
+  }
 
-    val c = bucketize(corpus, corpusId, corpusVec, "neighbor_id")
-    val q = bucketize(queries, queryId, queryVec, "query_id")
-    val candidates = c.join(q, Seq("tbl", "bucket"))
-      .select(col("query_id"), col("neighbor_id"), col("query_id_vec"), col("neighbor_id_vec"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("query_id_vec"), col("neighbor_id_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  /** IVF-flat approximate top-k. Centroids are a deterministic hash-ordered
+    * sample of `numCentroids` corpus vectors (collected to the driver —
+    * bounded and small, the one legitimate driver-side step); corpus rows
+    * assign to their nearest centroid ONCE, queries probe `nprobe` cells.
+    * The cell join broadcasts the (queries × nprobe) side, so the corpus
+    * never shuffles: scan → hash-filter to probed cells → cosine → partial
+    * top-k.
+    *
+    * Fraction of corpus scanned ≈ nprobe / numCentroids on unstructured
+    * data; far less on clustered corpora where probed cells are the dense
+    * ones near the query.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      numCentroids: Int = 256,
+      nprobe: Int = 16,
+  ): DataFrame = {
+    val cents: Array[Array[Float]] = corpus
+      .select(xxhash64(col(corpusId)).as("__h"), col(corpusVec).as("__v"))
+      .orderBy(col("__h"))
+      .limit(numCentroids)
+      .select(col("__v"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "ivfTopK: empty corpus")
+    val corpusCells = corpus.select(
+      col(corpusId).as("__nid"),
+      col(corpusVec).as("__nvec"),
+      element_at(NativeFunctions.nearestCentroids(col(corpusVec), cents, 1), 1).as("cell"),
+    )
+    val queryCells = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("__qvec"),
+      explode(NativeFunctions.nearestCentroids(col(queryVec), cents, nprobe)).as("cell"),
+    )
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
+    topKOf(scored, k)
   }
 }

@@ -31,14 +31,27 @@ object StreamingLoad {
       await: Boolean = true,
   ): Table = {
     val ft = input.resolvedType.getOrElse(FileType.Parquet)
+    // Spark's streaming file source only accepts directories. A single-file
+    // input streams from its parent directory with a pathGlobFilter pinned
+    // to the file name (same trick the Autoloader docs recommend).
+    val p  = new org.apache.hadoop.fs.Path(input.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (sourceDir, globFilter) =
+      if (fs.exists(p) && fs.getFileStatus(p).isFile) (p.getParent.toString, Some(p.getName))
+      else (input.path, None)
     var reader = spark.readStream.schema(schema)
+    globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     val df: DataFrame = ft match {
-      case FileType.Csv     => reader.option("header", "true").csv(input.path)
-      case FileType.Ndjson  => reader.json(input.path)
-      case FileType.Parquet => reader.parquet(input.path)
+      case FileType.Csv     => reader.option("header", "true").csv(sourceDir)
+      case FileType.Ndjson  => reader.json(sourceDir)
+      case FileType.Parquet => reader.parquet(sourceDir)
       case other            => throw new UnsupportedOperationException(s"streaming load for $other")
     }
+    // A previous session's warehouse directory without a catalog entry would
+    // fail table creation; clear it ONLY when orphaned (an existing table
+    // keeps its data — checkpoint resume appends).
+    graft.ops.TableIO.clearOrphanLocation(spark, output)
     val query = df.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

@@ -102,6 +102,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((1, 10L), (2, 11L)))
   }
 
+  test("IVF topK: recall@10 >= 0.9 vs exact on unstructured vectors") {
+    // 200 pseudo-random 16-dim vectors — the adversarial (no-cluster) case.
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val queries = Seq((900L, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("qid", "qvec")
+    val exact = Ann.bruteForceTopK(corpus, queries, "id", "vec", "qid", "qvec", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    val approx = Ann.ivfTopK(corpus, queries, "id", "vec", "qid", "qvec", k = 10,
+      numCentroids = 8, nprobe = 6)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    val recall = (approx & exact).size / 10.0
+    assert(recall >= 0.9, s"recall=$recall approx=$approx exact=$exact")
+  }
+
   test("LSH topK recalls the exact top-1 for clustered vectors") {
     val corpus = (0 until 50).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f, 0.0f)

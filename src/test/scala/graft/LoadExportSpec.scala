@@ -58,7 +58,7 @@ class LoadExportSpec extends SparkSpec {
   }
 
   test("nested flatten: a.b -> a_b (json_normalize parity)") {
-    val df = Seq((1L, ("n1", 2.5), (("deep", 7L)))).toDF("id", "info", "outer")
+    val df = Seq((1L, ("n1", 2.5), Tuple1(("deep", 7L)))).toDF("id", "info", "outer")
       .select(col("id"),
         struct(col("info._1").as("name"), col("info._2").as("bal")).as("info"),
         struct(struct(col("outer._1._1").as("s"), col("outer._1._2").as("x")).as("inner")).as("outer"))
