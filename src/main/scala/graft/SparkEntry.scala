@@ -315,6 +315,32 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
     }),
+
+    // ---- multimodal binary columns (decode stub; real batched plumbing) ----
+    // documents.text encoded to binary stands in for image payloads — the
+    // bytes→meta decode is the deterministic STUB in Multimodal.stubDecode,
+    // kept SQL-expressible so this entry has a full DuckDB oracle.
+    "q27_multimodal_meta" -> ((s, dir) => {
+      val imgs = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("img_bytes"))
+      graft.multimodal.Multimodal.decodeImageMeta(imgs, "img_bytes")
+        .select(col("doc_id"), col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"), col("meta.format"))
+    }),
+
+    // feature extraction (hash-derived stub embedding): rows-only; the
+    // L2-norm==1 invariant is asserted here so a broken batch shape fails
+    // loudly instead of producing plausible rows.
+    "q28_multimodal_features" -> ((s, dir) => {
+      val imgs = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("img_bytes"))
+      val feats = graft.multimodal.Multimodal.extractFeatures(imgs, "img_bytes", dim = 16)
+      feats.select(col("doc_id"),
+          round(graft.functions.VectorFunctions.l2Norm(col("features")), 4).as("l2"),
+          size(col("features")).cast("long").as("dim"))
+        .where(col("l2") === 1.0 && col("dim") === 16)
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -450,5 +476,13 @@ object SparkEntry {
     "q26_streaming_load" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // mirrors Multimodal.stubDecode: width=(len%1019)+1, height=((len*31)%761)+1
+    "q27_multimodal_meta" ->
+      """SELECT doc_id,
+        |CAST((octet_length(encode(text)) % 1019) + 1 AS BIGINT) AS width,
+        |CAST(((octet_length(encode(text)) * 31) % 761) + 1 AS BIGINT) AS height,
+        |CAST(3 AS BIGINT) AS channels, 'fake' AS format
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,181 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines
+  * (builder's brief, beyond-reference scope): media travels as opaque
+  * `binary` columns with typed metadata structs; per-row work runs batched
+  * inside `mapPartitions` — the Scala analog of Arrow-batched
+  * `mapInPandas`, with the same plumbing contract (explicit output schema,
+  * bounded batch shape, no driver collect).
+  *
+  * DECODE IS A STUB: the image/audio codec libraries are not present in
+  * this container, so the byte→pixels/samples step is a deterministic fake
+  * (pure function of the bytes) clearly marked `STUB` below. Everything
+  * around it — schema evolution, encoders, batching, partition sizing — is
+  * real, tested, and is exactly where a real codec drops in.
+  *
+  * Scale notes (100 TB of media):
+  *  - binary payloads dominate row size; [[repartitionForPayload]] sizes
+  *    partitions by payload bytes, not row count, so one partition's batch
+  *    fits executor memory.
+  *  - metadata-only queries should project the struct column and never
+  *    touch the bytes — Parquet column pruning keeps the scan cheap
+  *    (verified by ReadSchema in the plan).
+  */
+object Multimodal {
+
+  /** Typed metadata for an image payload. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+  ))
+
+  /** STUB decode — deterministic fake dimensions from the payload length
+    * (a real build links an image codec here; signature and batch shape
+    * are the real contract). Kept SQL-expressible so the q-entry has a
+    * DuckDB oracle.
+    */
+  private[multimodal] def stubDecode(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val len = bytes.length
+    ((len % 1019) + 1, ((len * 31) % 761) + 1, 3, "fake")
+  }
+
+  /** Append a typed `metaCol` struct decoded from `bytesCol`, batched
+    * `batchSize` rows at a time inside each partition (the mapInPandas
+    * batch-shape contract: bounded memory per batch, schema known up
+    * front).
+    */
+  def decodeImageMeta(
+      df: DataFrame,
+      bytesCol: String,
+      metaCol: String = "meta",
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(metaCol, imageMetaSchema, nullable = false)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch-at-a-time: a real codec would decode the whole batch in one
+        // native call; the STUB just maps rows.
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          val (w, h, c, f) = stubDecode(bytes)
+          Row.fromSeq(row.toSeq :+ Row(w, h, c, f))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Feature-extraction: binary payload → `dim`-long L2-normalized
+    * `array<float>` embedding. STUB — deterministic hash-derived values in
+    * place of a vision/audio model forward pass; the batched mapPartitions
+    * shape (model loaded once per partition, applied per batch) is the real
+    * contract.
+    */
+  def extractFeatures(
+      df: DataFrame,
+      bytesCol: String,
+      featCol: String = "features",
+      dim: Int = 64,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(featCol, ArrayType(FloatType, containsNull = false), nullable = false)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      // a real impl loads the model HERE — once per partition, not per row
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          // STUB forward pass: splitmix64 per dimension, then L2 normalize
+          val raw = new Array[Float](dim)
+          var seed = bytes.foldLeft(0x9E3779B97F4A7C15L)((a, b) => (a ^ b) * 0x100000001B3L)
+          var i = 0
+          while (i < dim) {
+            seed += 0x9E3779B97F4A7C15L
+            var z = seed
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            raw(i) = (((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+            i += 1
+          }
+          val norm = math.sqrt(raw.foldLeft(0.0)((a, v) => a + v.toDouble * v)).toFloat
+          val feats = if (norm == 0f) raw else raw.map(_ / norm)
+          Row.fromSeq(row.toSeq :+ feats.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Resize: payload → payload'. STUB — truncate/cycle bytes to the target
+    * "resolution" (deterministic); a real impl decodes, resamples,
+    * re-encodes per batch.
+    */
+  def resizeImage(
+      df: DataFrame,
+      bytesCol: String,
+      outCol: String,
+      targetBytes: Int,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val out   = new Array[Byte](targetBytes)
+        if (bytes.nonEmpty) { var i = 0; while (i < targetBytes) { out(i) = bytes(i % bytes.length); i += 1 } }
+        Row.fromSeq(row.toSeq :+ out)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-sampling: "video" payload → `frames` evenly-spaced frame
+    * payloads (`array<binary>`). STUB — slices the byte stream; a real impl
+    * seeks keyframes per batch.
+    */
+  def sampleFrames(
+      df: DataFrame,
+      bytesCol: String,
+      outCol: String = "frames",
+      frames: Int = 4,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(BinaryType, containsNull = false), nullable = false)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val n     = math.max(1, bytes.length / math.max(frames, 1))
+        val fs: Seq[Array[Byte]] = (0 until frames).map { f =>
+          val start = math.min(f * n, bytes.length)
+          java.util.Arrays.copyOfRange(bytes, start, math.min(start + n, bytes.length))
+        }
+        Row.fromSeq(row.toSeq :+ fs)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Repartition by cumulative PAYLOAD bytes, not row count — with media
+    * columns a "row" is KB–MB, so `spark.sql.files.maxPartitionBytes`-style
+    * sizing must look at the binary column. Computes total payload size in
+    * one cheap aggregate and repartitions to
+    * ceil(totalBytes / targetPartitionBytes) partitions.
+    */
+  def repartitionForPayload(
+      df: DataFrame,
+      bytesCol: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024,
+  ): DataFrame = {
+    val total = df.agg(sum(octet_length(col(bytesCol)))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val parts = math.max(1, math.ceil(total.toDouble / targetPartitionBytes).toInt)
+    df.repartition(parts)
+  }
+}

@@ -47,6 +47,13 @@ object ExportToFile {
       case _ => ()
     }
 
+    if (ft == FileType.Xlsx) {
+      // xlsx is a driver-side single-file format (graft.sources.Xlsx);
+      // there is no distributed variant to choose.
+      graft.sources.Xlsx.write(spark, input, output.path)
+      return output
+    }
+
     if (!singleFile) {
       val mode = if (ifExists == IfExists.Replace) SaveMode.Overwrite else SaveMode.ErrorIfExists
       write(input, output.path, ft, mode)
@@ -74,7 +81,7 @@ object ExportToFile {
     case FileType.Json    => df.write.mode(mode).json(path) // wrapped into an array post-hoc (single-file mode)
     case FileType.Parquet => df.write.mode(mode).parquet(path)
     case FileType.Xlsx =>
-      throw new UnsupportedOperationException("xlsx export is not supported in this environment")
+      throw new IllegalStateException("xlsx handled before the distributed writer") // see df()
   }
 
   /** JSON-array parity (reference files/types/json.py:45-51 writes

@@ -44,8 +44,14 @@ object LoadFile {
     * output_table is given).
     */
   def toDataFrame(spark: SparkSession, file: File, opts: LoadOptions = LoadOptions()): DataFrame = {
-    val path = resolvePath(spark, file)
-    val ft = file.resolvedType.getOrElse(
+    // HTTP(S) location (reference files/locations/http.py): driver-side
+    // staged fetch, then the normal distributed read over the local copy.
+    val resolved =
+      if (graft.sources.Remote.isRemoteUrl(file.path))
+        file.copy(path = graft.sources.Remote.fetchToScratch(spark, file.path))
+      else file
+    val path = resolvePath(spark, resolved)
+    val ft = resolved.resolvedType.getOrElse(
       // Pattern/prefix: sniff the type from the first resolved file
       // (reference uses the first file for schema autodetect too,
       // databases/base.py:430-444).
@@ -118,9 +124,11 @@ object LoadFile {
       case FileType.Parquet =>
         opts.schema.fold(base.parquet(path))(s => base.schema(s).parquet(path))
       case FileType.Xlsx =>
-        throw new UnsupportedOperationException(
-          "xlsx has no bundled Spark source in this environment; pre-convert to csv/parquet " +
-            "(reference reads it via pandas: python-sdk/src/astro/files/types/xlsx.py)")
+        // Driver-side SpreadsheetML parse (no Spark xlsx source exists);
+        // small-file format by nature — see graft.sources.Xlsx.
+        val df = graft.sources.Xlsx.read(spark, path)
+        opts.schema.fold(df)(s =>
+          df.select(s.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*))
     }
   }
 
