@@ -1,14 +1,13 @@
 package graft
 import graft.dedup.Dedup
 import graft.functions.NativeFunctions
-import graft.functions.TextFunctions._
 import graft.model.File
 import graft.ops.LoadFile
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Dev-only: isolate the slow ingredient of the near-dup pipeline. */
+/** Dev-only: isolate the slow ingredient of the near-dup pipelines. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -24,35 +23,31 @@ object Profile {
     }
     val d   = LoadFile.toDataFrame(spark, File(s"$dir/documents.parquet")).select(col("doc_id"), col("text"))
     val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
-      concat(col("text"), lit(" extra trailing token")).as("text"))
+      concat(col("text"), lit(" zz")).as("text"))
     val docs = d.unionByName(dup).cache()
     time("warmup count")(docs.count())
-    val sets = docs.select(col("doc_id").as("id"), NativeFunctions.shingleHashes(col("text"), 3).as("sh"))
-    time("shingle sets")(sets.count())
-    val sig = sets.select(col("id"), NativeFunctions.minHashSignature(col("sh"), 128).as("sig"))
-    time("minhash sig")(sig.count())
-    val banded = sets.select(col("id"),
-      posexplode(NativeFunctions.bandBuckets(NativeFunctions.minHashSignature(col("sh"), 128), 32)))
-      .toDF("id", "band", "bucket")
-    time("banded explode")(banded.count())
-    val capped = banded.withColumn("__bsz",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+    val withSim = docs.select(col("doc_id").as("id"), NativeFunctions.simHash64(col("text")).as("sim"))
+    time("simhash project")(withSim.count())
+    val chunks = 4; val width = 16
+    val blocked = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until chunks).map { j =>
+        shiftrightunsigned(col("sim"), j * width).bitwiseAND(lit((1L << width) - 1))
+      }: _*))).toDF("id", "sim", "chunk", "val")
+    time("blocked explode")(blocked.count())
+    val capped = blocked.withColumn("__bsz",
+      count(lit(1)).over(Window.partitionBy(col("chunk"), col("val"))))
       .where(col("__bsz") <= 1000).drop("__bsz")
     time("bucket cap window")(capped.count())
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    time("raw candidate join")(println("  raw pairs: " + cand.count()))
-    val dd = cand.dropDuplicates("id_a", "id_b")
-    time("dedup candidates")(println("  uniq pairs: " + dd.count()))
-    val verified = dd
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= 0.6)
-    time("jaccard verify")(println("  verified: " + verified.count()))
-    time("full q12 pipeline")(Dedup.nearDupPairsMinHash(docs, "doc_id", "text", threshold = 0.6).count())
+    val a = capped.select(col("chunk"), col("val"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = capped.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    val joined = a.join(b, Seq("chunk", "val")).where(col("id_a") < col("id_b"))
+    time("chunk join")(println("  raw: " + joined.count()))
+    val dd = joined.dropDuplicates("id_a", "id_b")
+    time("dedup pairs")(println("  uniq: " + dd.count()))
+    val ver = dd.withColumn("hamming", call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= 3)
+    time("hamming verify")(println("  verified: " + ver.count()))
+    time("full q13 pipeline")(Dedup.nearDupPairsSimHash(docs, "doc_id", "text", maxHamming = 3).count())
     spark.stop()
   }
 }

@@ -190,11 +190,14 @@ object Dedup {
     ).where(col("__bsz") <= maxBucketSize).drop("__bsz")
     val a = capped.select(col("chunk"), col("val"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = capped.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    // verify BEFORE dedup: popcount(xor) is one instruction, so filtering
+    // the raw chunk-join (50× the true pairs here) ahead of the
+    // dropDuplicates shuffle cuts that shuffle to the survivors only.
     a.join(b, Seq("chunk", "val"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
