@@ -316,6 +316,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
     }),
 
+    // transitive near-dup: planted chain a~b~c (a≁c) must collapse onto one
+    // survivor via connected components (rows-only: LSH-approximate op)
+    "q29_dedup_transitive" -> ((s, dir) => {
+      // 20% sample keeps the q29 bench entry about CC convergence, not
+      // about re-running q12's LSH at 3x corpus size.
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val b  = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" chain link one two three")).as("text"))
+      val c  = b.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" more drift four five six")).as("text"))
+      Dedup.dedupNearTransitive(d.unionByName(b).unionByName(c), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"))
+    }),
+
     // ---- multimodal binary columns (decode stub; real batched plumbing) ----
     // documents.text encoded to binary stands in for image payloads — the
     // bytes→meta decode is the deterministic STUB in Multimodal.stubDecode,

@@ -157,6 +157,54 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Connected components over candidate pairs by iterative min-label
+    * propagation: label(v) ← min(label(v), min label of neighbours) until
+    * fixpoint (or `maxIter`). Converges in O(component diameter) rounds —
+    * near-dup clusters are shallow (boilerplate stars, edit chains), so
+    * single digits in practice; `localCheckpoint` truncates the growing
+    * lineage each round. Input columns: (id_a, id_b); output: (id, label)
+    * with label = the component's min id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var i       = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min("label").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("newLabel"))
+        .localCheckpoint()
+      changed = updated.filter(col("newLabel") < col("label")).count()
+      labels = updated.select(col("id"), col("newLabel").as("label"))
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dedup with FULL transitive closure: all connected near-dup docs
+    * collapse onto the component's min id (vs [[dedupNear]]'s cheaper
+    * one-hop approximation that keeps chain endpoints).
+    */
+  def dedupNearTransitive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      maxIter: Int = 20,
+  ): DataFrame = {
+    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold)
+    val losers = connectedComponents(pairs, maxIter)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** 64-bit SimHash over tokens — native one-pass expression
     * ([[graft.functions.HashImpl.simHash64]]); bit i is the sign of the
     * token-hash-bit vote.

@@ -42,6 +42,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("connectedComponents: chains collapse to min id, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupNearTransitive collapses a near-dup chain onto one survivor") {
+    // b overlaps both a and c; a~c alone is below threshold — one-hop
+    // dedup keeps both chain ends, transitive closure keeps only min id.
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta iota kappa"),
+      (3L, "gamma delta epsilon zeta iota kappa lambda mu"),
+      (9L, "completely different words nothing shared here at all"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupNearTransitive(chain, "doc_id", "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 9L), out)
+  }
+
   test("simhash blocking finds low-hamming pairs") {
     val pairs = Dedup.nearDupPairsSimHash(docs, "doc_id", "text", maxHamming = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
