@@ -57,6 +57,31 @@ object TableIO {
       val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+
+  /** Rerunnable bucketed-table create: rows hash-partition into `numBuckets`
+    * files per partition on `bucketCols` (optionally sorted within buckets).
+    * Two tables bucketed on the same keys with the same bucket count join
+    * WITHOUT a shuffle — the co-located-join scale play for fact-fact joins
+    * repeated across a pipeline: pay the clustering write once, skip the
+    * exchange on every subsequent join/aggregation on those keys.
+    */
+  def overwriteBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      table: Table,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+  ): Table = {
+    require(bucketCols.nonEmpty, "bucketed write requires bucket columns")
+    require(numBuckets > 0, "numBuckets must be positive")
+    prepareCreate(spark, table)
+    val w0 = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w  = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w.saveAsTable(table.qualifiedName)
+    table
+  }
 }
 
 /** `drop_table` (reference: python-sdk/src/astro/sql/operators/drop.py:14-51;

@@ -1,0 +1,41 @@
+package graft
+
+import graft.model.Table
+import graft.ops.TableIO
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val left = (0 until 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
+    TableIO.overwriteBucketed(spark, left, Table("graft_bkt_left"), Seq("k"), 8, Seq("k"))
+    TableIO.overwriteBucketed(spark, right, Table("graft_bkt_right"), Seq("k"), 8, Seq("k"))
+    val joined = spark.table("graft_bkt_left")
+      .join(spark.table("graft_bkt_right"), Seq("k"))
+      .where(col("k") >= 0) // keep it a sort-merge join shape
+    val plan = joined.queryExecution.executedPlan.toString
+    // disable broadcast to force the join to show its shuffle behavior
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j2 = spark.table("graft_bkt_left").join(spark.table("graft_bkt_right"), Seq("k"))
+      val p2 = j2.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange hashpartitioning"), p2)
+      assert(j2.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // rerun is idempotent (prepareCreate path)
+    TableIO.overwriteBucketed(spark, left, Table("graft_bkt_left"), Seq("k"), 8)
+    assert(spark.table("graft_bkt_left").count() == 1000)
+  }
+
+  test("bucketed aggregation on the bucket key skips the exchange") {
+    val df = (0 until 500).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    TableIO.overwriteBucketed(spark, df, Table("graft_bkt_agg"), Seq("k"), 4)
+    val agg  = spark.table("graft_bkt_agg").groupBy("k").agg(sum("v"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(agg.count() == 50)
+  }
+}
