@@ -331,6 +331,29 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // co-bucketed join: both sides bucketed on custkey → the join runs
+    // without an exchange (result identical to a plain join — oracle-checked)
+    "q30_bucketed_join" -> ((s, dir) => {
+      TableIO.overwriteBucketed(s, tbl(s, dir, "orders"), Table("graft_q30_orders"),
+        Seq("o_custkey"), 8, Seq("o_custkey"))
+      TableIO.overwriteBucketed(s, tbl(s, dir, "customer"), Table("graft_q30_customer"),
+        Seq("c_custkey"), 8, Seq("c_custkey"))
+      s.table("graft_q30_orders")
+        .join(s.table("graft_q30_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // JDBC round-trip through embedded Derby: nation → remote DB → back →
+    // must equal the source (oracle = plain SELECT on the parquet)
+    "q31_jdbc_roundtrip" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftq31;create=true"
+      graft.sources.Jdbc.write(s, tbl(s, dir, "nation"), url, "q31_nation", IfExists.Replace)
+      graft.sources.Jdbc.read(s, url, "q31_nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
     // ---- multimodal binary columns (decode stub; real batched plumbing) ----
     // documents.text encoded to binary stands in for image payloads — the
     // bytes→meta decode is the deterministic STUB in Multimodal.stubDecode,
@@ -491,6 +514,15 @@ object SparkEntry {
     "q26_streaming_load" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q30_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q31_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     // mirrors Multimodal.stubDecode: width=(len%1019)+1, height=((len*31)%761)+1
     "q27_multimodal_meta" ->
