@@ -28,6 +28,7 @@ final case class LoadOptions(
     capitalization: Capitalization = Capitalization.Original,
     readerOptions: Map[String, String] = Map.empty,
     schema: Option[StructType] = None,
+    partitionBy: Seq[String] = Nil,
 )
 
 /** `load_file`: file(s)/pattern at any Hadoop-FS location → DataFrame or
@@ -77,11 +78,13 @@ object LoadFile {
     opts.ifExists match {
       case IfExists.Replace =>
         // Idempotent across sessions (stale warehouse dirs are cleared).
-        TableIO.overwrite(spark, df, table)
+        TableIO.overwrite(spark, df, table, opts.partitionBy)
       case IfExists.Append =>
         df.write.mode(SaveMode.Append).saveAsTable(table.qualifiedName)
       case IfExists.Exception =>
-        df.write.mode(SaveMode.ErrorIfExists).saveAsTable(table.qualifiedName)
+        val w = df.write.mode(SaveMode.ErrorIfExists)
+        (if (opts.partitionBy.nonEmpty) w.partitionBy(opts.partitionBy: _*) else w)
+          .saveAsTable(table.qualifiedName)
     }
     table
   }

@@ -40,10 +40,21 @@ object TableIO {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
-  /** Rerunnable overwrite-create of a managed table. */
-  def overwrite(spark: SparkSession, df: DataFrame, table: Table): Table = {
+  /** Rerunnable overwrite-create of a managed table; `partitionBy` lays the
+    * table out hive-style so filters on those columns prune whole
+    * directories at scan time (partition pruning — the first scale lever
+    * for selective queries over append-style fact tables).
+    */
+  def overwrite(
+      spark: SparkSession,
+      df: DataFrame,
+      table: Table,
+      partitionBy: Seq[String] = Nil,
+  ): Table = {
     prepareCreate(spark, table)
-    df.write.mode(SaveMode.Overwrite).saveAsTable(table.qualifiedName)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(table.qualifiedName)
     table
   }
 

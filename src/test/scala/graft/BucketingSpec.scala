@@ -30,6 +30,25 @@ class BucketingSpec extends SparkSpec {
     assert(spark.table("graft_bkt_left").count() == 1000)
   }
 
+  test("partitioned table: filters on the partition column prune the scan") {
+    import graft.model.{File => GFile, IfExists}
+    import graft.ops.{LoadFile, LoadOptions}
+    val dir = tmpDir()
+    (0 until 300).map(i => (i.toLong, s"type${i % 3}", i * 1.0)).toDF("id", "etype", "v")
+      .write.mode("overwrite").parquet(dir)
+    LoadFile.toTable(spark, GFile(dir), Table("graft_part_events"),
+      LoadOptions(ifExists = IfExists.Replace, partitionBy = Seq("etype")))
+    val q    = spark.table("graft_part_events").where(col("etype") === "type1")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("etype"), scan)
+    assert(q.count() == 100)
+    assert(q.select(countDistinct("id")).as[Long].collect().head == 100)
+    // partition layout on disk: one dir per etype value
+    val loc = TableIO.managedLocation(spark, Table("graft_part_events"))
+    val dirs = new java.io.File(loc.toUri.getPath).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("etype=type0", "etype=type1", "etype=type2"), dirs.toSeq)
+  }
+
   test("bucketed aggregation on the bucket key skips the exchange") {
     val df = (0 until 500).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
     TableIO.overwriteBucketed(spark, df, Table("graft_bkt_agg"), Seq("k"), 4)
