@@ -115,7 +115,11 @@ object HashImpl {
     var i = 0
     while (i < n) {
       val h = sh.getLong(i)
-      val b = ((h % m).toInt + m) % m
+      // bucket by a REHASH, not `h mod m`: structured inputs (e.g. values
+      // sharing low bits) would otherwise cluster into few buckets and
+      // bias the densified estimate. Different seed than the value hash
+      // keeps bucket and value independent.
+      val b = (((XXH64.hashLong(h, 0x27d4eb2f) % m).toInt + m) % m)
       val v = XXH64.hashLong(h, Seed)
       if (v < sig(b)) sig(b) = v
       empty(b) = false
