@@ -45,6 +45,16 @@ object LoadFile {
     * output_table is given).
     */
   def toDataFrame(spark: SparkSession, file: File, opts: LoadOptions = LoadOptions()): DataFrame = {
+    // Unsupported remote schemes fail fast with the reason (Hadoop's FTP/
+    // SFTP FileSystems exist but their runtime deps — commons-net/jsch —
+    // are not bundled here; GDrive needs Google API credentials).
+    val lower = file.path.toLowerCase
+    Seq("ftp://", "sftp://", "gdrive://").find(lower.startsWith).foreach { scheme =>
+      throw new UnsupportedOperationException(
+        s"$scheme locations are not supported in this build " +
+          "(reference parity gap: needs commons-net/jsch or Google API on the classpath); " +
+          "stage the file to local/s3a/gs/http(s) instead")
+    }
     // HTTP(S) location (reference files/locations/http.py): driver-side
     // staged fetch, then the normal distributed read over the local copy.
     val resolved =

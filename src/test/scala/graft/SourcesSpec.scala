@@ -77,6 +77,17 @@ class SourcesSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("unsupported remote schemes fail fast with the reason") {
+    val e = intercept[UnsupportedOperationException] {
+      LoadFile.toDataFrame(spark, File("ftp://host/data.csv"))
+    }
+    assert(e.getMessage.contains("ftp://") && e.getMessage.contains("commons-net"))
+    val e2 = intercept[UnsupportedOperationException] {
+      LoadFile.toDataFrame(spark, File("sftp://host/data.csv"))
+    }
+    assert(e2.getMessage.contains("sftp://"))
+  }
+
   test("DataframeOp bridges tables through a user function into a table") {
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
       .write.mode("overwrite").saveAsTable("graft_dfop_in")
