@@ -331,6 +331,42 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // stateful streaming sessionization WITH a full oracle: a far-future
+    // sentinel event in a second micro-batch pushes the watermark past every
+    // real session, so the append-mode output is exactly the batch-SQL
+    // sessionization (gap semantics mirrored in DuckDB lag/cumsum SQL).
+    "q32_streaming_sessionize" -> ((s, dir) => {
+      allowNanos(s)
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"))
+      val maxSec = ev.agg(max("sec")).collect()(0).getLong(0)
+      val streamDir = s"$scratch/q32_${java.util.UUID.randomUUID().toString.take(8)}"
+      new java.io.File(streamDir).mkdirs()
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = s"$streamDir-$name-tmp"
+        df.select(col("user_id").cast("long"), col("sec").cast("timestamp").as("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$streamDir/$name"))
+      }
+      stage(ev, "0001.parquet")
+      stage(Seq((-1L, maxSec + 10L * 86400)).toDF("user_id", "sec"), "0002.parquet")
+      val schema = s.read.parquet(streamDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val sessions = graft.streaming.Sessionize.sessionize(
+        stream, "user_id", "ts", gapSeconds = 3600, watermark = "0 seconds")
+      val sink = s"graft_q32_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = sessions.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).where(col("key") =!= "-1")
+        .select(col("key").cast("long").as("user_id"),
+          col("session_start").cast("long").as("session_start"),
+          col("session_end").cast("long").as("session_end"), col("events"))
+    }),
+
     // co-bucketed join: both sides bucketed on custkey → the join runs
     // without an exchange (result identical to a plain join — oracle-checked)
     "q30_bucketed_join" -> ((s, dir) => {
@@ -514,6 +550,20 @@ object SparkEntry {
     "q26_streaming_load" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // mirrors Sessionize gap semantics: same session iff gap < 3600s
+    "q32_streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec FROM events),
+        |m AS (SELECT user_id, tsec,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w >= 3600
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
+        |g AS (SELECT user_id, tsec,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
+        |  CAST(max(tsec) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "q30_bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS orders,
