@@ -87,7 +87,12 @@ object TableIO {
     require(bucketCols.nonEmpty, "bucketed write requires bucket columns")
     require(numBuckets > 0, "numBuckets must be positive")
     prepareCreate(spark, table)
-    val w0 = df.write.mode(SaveMode.Overwrite)
+    // Pre-partition to the bucket layout: without this every input partition
+    // holds an open writer PER bucket (numPartitions × numBuckets writers —
+    // memory pressure and a small-file explosion); with it each task writes
+    // exactly its one bucket file.
+    val clustered = df.repartition(numBuckets, bucketCols.map(df.col): _*)
+    val w0 = clustered.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val w  = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
     w.saveAsTable(table.qualifiedName)
