@@ -172,12 +172,17 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     }),
 
-    // near-dup MinHash-LSH over planted duplicates (rows-only: approximate op)
+    // near-dup MinHash-LSH over planted duplicates. Run in recall-exact mode
+    // (r=2 banding: miss probability at J=0.6 is ~4e-13), so the output IS
+    // the exact set {pairs with shingle-Jaccard >= 0.6} and the DuckDB
+    // all-pairs Jaccard oracle compares hash-for-hash.
     "q12_neardup_minhash" -> ((s, dir) => {
       val d   = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" extra trailing token")).as("text"))
-      Dedup.nearDupPairsMinHash(d.unionByName(dup), "doc_id", "text", threshold = 0.6)
+      Dedup.nearDupPairsMinHash(d.unionByName(dup), "doc_id", "text", threshold = 0.6,
+          bands = Dedup.recallExactBands(0.6))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
     "q13_neardup_simhash" -> ((s, dir) => {
@@ -187,11 +192,17 @@ object SparkEntry {
       Dedup.nearDupPairsSimHash(d.unionByName(dup), "doc_id", "text", maxHamming = 3)
     }),
 
+    // embedding near-dup. The planted dups are IDENTICAL vectors (cosine 1.0
+    // → same SRP bucket in every table, so LSH always surfaces them) and the
+    // fixture's max non-planted pairwise cosine is ≤0.60 at every SF — so at
+    // threshold 0.99 the output is exactly the all-pairs cosine≥0.99 set and
+    // the DuckDB oracle compares hash-for-hash.
     "q14_neardup_embedding" -> ((s, dir) => {
       val e   = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dup = e.filter(col("vec_id") % 5 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Dedup.nearDupPairsEmbedding(e.unionByName(dup), "vec_id", "embedding", threshold = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
     // ---- text analysis ----
@@ -317,7 +328,9 @@ object SparkEntry {
     }),
 
     // transitive near-dup: planted chain a~b~c (a≁c) must collapse onto one
-    // survivor via connected components (rows-only: LSH-approximate op)
+    // survivor via connected components. Recall-exact r=2 banding makes the
+    // edge set exactly {shingle-Jaccard >= 0.5}, so the DuckDB recursive-CTE
+    // closure oracle compares hash-for-hash.
     "q29_dedup_transitive" -> ((s, dir) => {
       // 20% sample keeps the q29 bench entry about CC convergence, not
       // about re-running q12's LSH at 3x corpus size.
@@ -327,7 +340,8 @@ object SparkEntry {
         concat(col("text"), lit(" chain link one two three")).as("text"))
       val c  = b.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" more drift four five six")).as("text"))
-      Dedup.dedupNearTransitive(d.unionByName(b).unionByName(c), "doc_id", "text", threshold = 0.5)
+      Dedup.dedupNearTransitive(d.unionByName(b).unionByName(c), "doc_id", "text",
+          threshold = 0.5, bands = Dedup.recallExactBands(0.5))
         .select(col("doc_id"))
     }),
 
@@ -483,6 +497,62 @@ object SparkEntry {
     "q11_dedup_exact_keys" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_id IN (
         |SELECT min(event_id) FROM events GROUP BY user_id, event_type)""".stripMargin,
+
+    // exact all-pairs 3-word-shingle Jaccard — the Spark side runs LSH in
+    // recall-exact r=2 banding, so candidate-gen misses nothing at J>=0.6
+    // and both engines emit the identical verified pair set.
+    "q12_neardup_minhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_split_to_array(trim(lower(text || ' extra trailing token')), '\s+') FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM base),
+        |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""".stripMargin,
+
+    // exact all-pairs cosine: planted dups are identical vectors and the
+    // fixture's max non-planted cosine is ≤0.60 — see the q14 query comment.
+    "q14_neardup_embedding" ->
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+        |corpus AS (SELECT vec_id, embedding FROM e0
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM e0 WHERE vec_id % 5 = 0),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.99""".stripMargin,
+
+    // transitive closure of the exact Jaccard>=0.5 graph via recursive CTE;
+    // survivors are docs that reach no smaller id (component min-id reps).
+    "q29_dedup_transitive" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text || ' chain link one two three' FROM d
+        |  UNION ALL SELECT doc_id + 2000000, text || ' chain link one two three more drift four five six' FROM d),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t),
+        |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (SELECT src, dst FROM e0
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src WHERE e.dst <> r.src),
+        |lab AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src)
+        |SELECT c.doc_id FROM corpus c LEFT JOIN lab ON c.doc_id = lab.id
+        |WHERE lab.id IS NULL OR lab.mn > c.doc_id""".stripMargin,
 
     "q15_text_stats" ->
       """SELECT doc_id,

@@ -157,6 +157,23 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Band count for a RECALL-EXACT run at `threshold`: pick r (rows/band) so
+    * the S-curve miss probability at J=threshold is < 1e-6, i.e. the
+    * LSH-candidate set provably contains every pair the exact-Jaccard verify
+    * would accept. r=4 (the scale default) is right for thresholds ≥0.7;
+    * mid thresholds (0.5–0.6) need r=2 — more candidates (any pair with
+    * J ≳ 0.1 has a coin-flip chance of becoming one), which the exact verify
+    * then filters. The dial: r trades candidate volume against recall at the
+    * threshold; callers that need completeness (oracle-checked dedup) use
+    * this, callers at 100 TB with high thresholds keep r=4.
+    */
+  def recallExactBands(threshold: Double, numHashes: Int = 128): Int = {
+    var r = numHashes
+    // largest r with miss = (1 - t^r)^(numHashes/r) below 1e-6
+    while (r > 1 && math.pow(1 - math.pow(threshold, r), numHashes.toDouble / r) > 1e-6) r /= 2
+    numHashes / r
+  }
+
   /** Connected components over candidate pairs by iterative min-label
     * propagation: label(v) ← min(label(v), min label of neighbours) until
     * fixpoint (or `maxIter`). Converges in O(component diameter) rounds —
@@ -197,8 +214,9 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.7,
       maxIter: Int = 20,
+      bands: Int = 32,
   ): DataFrame = {
-    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold)
+    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
     val losers = connectedComponents(pairs, maxIter)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
