@@ -40,6 +40,26 @@ object SparkEntry {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
 
+  /** Stage two single-file parquet micro-batches into a fresh scratch dir for
+    * a `maxFilesPerTrigger=1` file stream. Batch 2 is the far-future
+    * watermark sentinel (see q32): it pushes the watermark past every real
+    * event, so append-mode stateful output is complete and deterministic —
+    * mirrorable by batch SQL in the oracle.
+    */
+  private def stageTwoBatches(tag: String, batch1: DataFrame, batch2: DataFrame): String = {
+    val streamDir = s"$scratch/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+    new java.io.File(streamDir).mkdirs()
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = s"$streamDir-$name-tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$streamDir/$name"))
+    }
+    stage(batch1, "0001.parquet")
+    stage(batch2, "0002.parquet")
+    streamDir
+  }
+
   /** Flagship: multi-table join + aggregation (orders ⋈ customer ⋈ nation →
     * revenue per nation) on sf=0.001; driver smoke-checks rows>0.
     */
@@ -355,17 +375,10 @@ object SparkEntry {
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), expr("ts div 1000000000").as("sec"))
       val maxSec = ev.agg(max("sec")).collect()(0).getLong(0)
-      val streamDir = s"$scratch/q32_${java.util.UUID.randomUUID().toString.take(8)}"
-      new java.io.File(streamDir).mkdirs()
-      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-        val tmp = s"$streamDir-$name-tmp"
-        df.select(col("user_id").cast("long"), col("sec").cast("timestamp").as("ts"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$streamDir/$name"))
-      }
-      stage(ev, "0001.parquet")
-      stage(Seq((-1L, maxSec + 10L * 86400)).toDF("user_id", "sec"), "0002.parquet")
+      val streamDir = stageTwoBatches("q32",
+        ev.select(col("user_id").cast("long"), col("sec").cast("timestamp").as("ts")),
+        Seq((-1L, maxSec + 10L * 86400)).toDF("user_id", "sec")
+          .select(col("user_id").cast("long"), col("sec").cast("timestamp").as("ts")))
       val schema = s.read.parquet(streamDir).schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
       val sessions = graft.streaming.Sessionize.sessionize(
@@ -379,6 +392,61 @@ object SparkEntry {
         .select(col("key").cast("long").as("user_id"),
           col("session_start").cast("long").as("session_start"),
           col("session_end").cast("long").as("session_end"), col("events"))
+    }),
+
+    // dataframe op: catalog tables → user DataFrame=>DataFrame function →
+    // catalog table (reference dataframe.py:99-343 — minus the pandas
+    // memory cliff; the function composes into the distributed plan)
+    "q33_dataframe_op" -> ((s, dir) => {
+      val tN = Table("graft_q33_nation")
+      val tR = Table("graft_q33_region")
+      TableIO.overwrite(s, tbl(s, dir, "nation"), tN)
+      TableIO.overwrite(s, tbl(s, dir, "region"), tR)
+      val out = Table("graft_q33_out")
+      DataframeOp.toTable(s, Seq(tN, tR), { case Seq(n, r) =>
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("nations"))
+      }, out)
+      s.table(out.qualifiedName)
+    }),
+
+    // streaming windowed aggregation (watermark + tumbling event-time
+    // window), made oracle-exact by the far-future sentinel second batch
+    "q34_streaming_window" -> ((s, dir) => {
+      allowNanos(s)
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), expr("ts div 1000000000").as("sec"))
+      val maxSec = ev.agg(max("sec")).collect()(0).getLong(0)
+      val streamDir = stageTwoBatches("q34",
+        ev.select(col("event_type"), col("sec").cast("timestamp").as("ts")),
+        Seq(("__sentinel", maxSec + 10L * 86400)).toDF("event_type", "sec")
+          .select(col("event_type"), col("sec").cast("timestamp").as("ts")))
+      val schema = s.read.parquet(streamDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val counts = StreamingLoad.windowedCounts(stream, "ts", "event_type",
+        windowDuration = "1 hour", watermark = "0 seconds")
+      val sink = s"graft_q34_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).where(col("event_type") =!= "__sentinel")
+        .select(col("event_type"), col("window.start").cast("long").as("win_start"),
+          col("cnt"))
+    }),
+
+    // transform_file: SQL text loaded from a .sql file, CTAS'd to a table
+    "q35_transform_file" -> ((s, dir) => {
+      val sqlPath = s"$scratch/q35_${java.util.UUID.randomUUID().toString.take(8)}.sql"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(scratch))
+      java.nio.file.Files.write(java.nio.file.Paths.get(sqlPath),
+        ("SELECT s_nationkey, count(*) AS suppliers, round(sum(s_acctbal), 2) AS total_bal " +
+          "FROM {{sup}} GROUP BY s_nationkey").getBytes("UTF-8"))
+      val out = Table("graft_q35_out")
+      Transform.fromFile(s, sqlPath, out, Map("sup" -> tbl(s, dir, "supplier")))
+      s.table(out.qualifiedName)
     }),
 
     // co-bucketed join: both sides bucketed on custkey → the join runs
@@ -634,6 +702,23 @@ object SparkEntry {
         |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
         |  CAST(max(tsec) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q33_dataframe_op" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    // tumbling 1h event-time windows are epoch-aligned in both engines
+    "q34_streaming_window" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS tsec FROM events)
+        |SELECT event_type, CAST(tsec // 3600 * 3600 AS BIGINT) AS win_start,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM e GROUP BY event_type, tsec // 3600 * 3600""".stripMargin,
+
+    "q35_transform_file" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers,
+        |round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
 
     "q30_bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS orders,
