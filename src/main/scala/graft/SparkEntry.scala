@@ -472,6 +472,56 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
+    // deterministic train/val/test split: assignment is a pure function of
+    // md5(doc_id) — stable across reruns, partitionings, and engines
+    "q36_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(tbl(s, dir, "documents").select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))),
+
+    // C4/Gopher-style quality gate: composite score + token budget, one
+    // projection + filter, no shuffle (the 100 TB corpus-filter shape)
+    "q37_quality_filter" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("score"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .where(col("score") >= 0.7 && col("n_tokens").between(5, 10000))
+        .select(col("doc_id"), round(col("score"), 2).as("score"))),
+
+    // deterministic per-group sampling (per-language here): hash-ordered
+    // row_number <= n — the reservoir-sample stand-in that re-runs stably
+    "q38_group_sample" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"))
+      Sampling.sampleByGroup(d, Seq("lang_id"), "doc_id", n = 3)
+    }),
+
+    // salted skew-join: hot keys spread over 8 reducers; result must equal
+    // the plain join (oracle-checked — salting is pure partitioning)
+    "q39_salted_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, Seq("custkey"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // n-gram Jaccard near-dup (char 5-grams — robust to word-boundary
+    // noise), recall-exact banding → full all-pairs oracle like q12.
+    // Char grams have HIGH background similarity (~0.2 between unrelated
+    // docs — common words share grams), so recall-exactness comes from
+    // r=4 over 256 hashes (miss 2e-8 at J=0.7) instead of r=2, which
+    // would sweep ~90% of all pairs into the verify stage. The 20% sample
+    // keeps the bench entry about the operator, not corpus size.
+    "q40_neardup_ngram" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing token")).as("text"))
+      Dedup.nearDupPairsNgram(d.unionByName(dup), "doc_id", "text", threshold = 0.7,
+          ngram = 5, numHashes = 256, bands = Dedup.recallExactBands(0.7, numHashes = 256))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // ---- multimodal binary columns (decode stub; real batched plumbing) ----
     // documents.text encoded to binary stands in for image payloads — the
     // bytes→meta decode is the deterministic STUB in Multimodal.stubDecode,
@@ -728,6 +778,72 @@ object SparkEntry {
 
     "q31_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // hexCut(0.8)=cccccccc, hexCut(0.9)=e6666666; fixed-length lowercase hex
+    // compares lexicographically == numerically in both engines
+    "q36_hash_split" ->
+      """SELECT doc_id,
+        |CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |     ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // mirrors TextFunctions.qualityScore term by term (same +/* order so the
+    // FP sums are bit-identical); empty-text guards mirror the when() guards
+    "q37_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS clen,
+        |  regexp_split_to_array(trim(text), '\s+') AS toks,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks FROM documents),
+        |m AS (SELECT doc_id, clen, len(toks) AS ntoks,
+        |  len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x))) AS stopc,
+        |  len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}]')) AS punctc,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS meantok
+        |  FROM t),
+        |sc AS (SELECT doc_id, ntoks,
+        |  (CASE WHEN clen >= 50 AND clen <= 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |  (CASE WHEN ntoks > 0 AND CAST(stopc AS DOUBLE) / ntoks > 0.05 THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |  (CASE WHEN clen = 0 OR CAST(punctc AS DOUBLE) / clen < 0.2 THEN 1.0 ELSE 0.0 END) * 0.15 +
+        |  (CASE WHEN ntoks > 0 AND meantok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.15 AS score
+        |  FROM m)
+        |SELECT doc_id, round(score, 2) AS score FROM sc
+        |WHERE score >= 0.7 AND ntoks BETWEEN 5 AND 10000""".stripMargin,
+
+    "q38_group_sample" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |len(list_filter(toks, x -> list_contains(['the','and','of','to','is','with'], x))) AS s_en,
+        |len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une'], x))) AS s_fr,
+        |len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ein'], x))) AS s_de,
+        |len(list_filter(toks, x -> list_contains(['el','los','las','una','por','que'], x))) AS s_es
+        |FROM t),
+        |l AS (SELECT doc_id, CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+        |WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |ELSE 'es' END AS lang_id FROM s),
+        |r AS (SELECT doc_id, lang_id, row_number() OVER (PARTITION BY lang_id
+        |  ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn FROM l)
+        |SELECT doc_id, lang_id FROM r WHERE rn <= 3""".stripMargin,
+
+    "q39_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q40_neardup_ngram" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM d
+        |  UNION ALL SELECT doc_id + 1000000,
+        |    regexp_replace(lower(trim(text || ' extra trailing token')), '\s+', ' ', 'g') FROM d),
+        |s AS (SELECT doc_id, CASE WHEN length(norm) <= 5 THEN [norm]
+        |  ELSE list_distinct(list_transform(generate_series(1, length(norm) - 4),
+        |    i -> substr(norm, i, 5))) END AS g FROM corpus),
+        |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin,
 
     // mirrors Multimodal.stubDecode: width=(len%1019)+1, height=((len*31)%761)+1
     "q27_multimodal_meta" ->

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines (builder's
+  * brief, beyond-reference scope).
+  *
+  * Everything here derives randomness from a CONTENT HASH of a key column,
+  * never from an RNG: the assignment of a row is a pure function of its key,
+  * so it is (a) stable across reruns, engines, partitionings, and cluster
+  * sizes — the property a 100 TB train/val/test split must have, or a
+  * re-shard reassigns documents between splits; (b) mirrorable by the DuckDB
+  * oracle. Each op is one narrow projection or one window — no extra shuffle
+  * beyond what the semantics require.
+  *
+  * The hash → [0,1) trick avoids hex→int parsing entirely: the first 8 hex
+  * chars of md5 are uniform, and for FIXED-LENGTH lowercase hex strings,
+  * lexicographic order == numeric order. A fraction f maps to the hex
+  * literal of floor(f·2³²); `substr(md5(key),1,8) < hexCut(f)` then keeps an
+  * f-fraction of keys, with identical semantics in any engine that compares
+  * ASCII strings bytewise.
+  */
+object Sampling {
+
+  /** Lowercase 8-hex-char cut point for fraction `f` of the 32-bit space. */
+  private[graft] def hexCut(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f")
+    val cut = math.min((f * 4294967296.0).toLong, 4294967295L)
+    f"$cut%08x"
+  }
+
+  /** The stable per-row hash bucket: first 8 hex chars of md5(key). */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Deterministic Bernoulli sample: keep a `fraction` of rows by key hash. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(hashBucket(col(keyCol)) < lit(hexCut(fraction)))
+
+  /** Deterministic train/val/test-style split assignment. `cuts` are
+    * (name, cumulativeUpperFraction) pairs in ascending order; the last
+    * name catches the remainder. E.g.
+    * `Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)`.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, cuts: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty, "cuts must be non-empty")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be ascending")
+    val h = hashBucket(col(keyCol))
+    val assigned = cuts.init.foldRight(lit(cuts.last._1)) { case ((name, hi), acc) =>
+      when(h < lit(hexCut(hi)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Deterministic per-group sample of `n` rows: rank rows within each group
+    * by key hash (tie-broken by the key itself) and keep the first `n` —
+    * the scalable stand-in for per-source reservoir sampling. One shuffle by
+    * group key; the window never buffers more than a partition's rows.
+    */
+  def sampleByGroup(df: DataFrame, groupCols: Seq[String], keyCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hashBucket(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 2000L).toDF("id")
+
+  test("hashSplit assigns every row, fractions land near the cuts") {
+    val split  = Sampling.hashSplit(ids, "id", Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 80/10/10 ± a few percent at n=2000
+    assert(math.abs(counts("train") - 1600L) < 120, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 200L) < 80, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 200L) < 80, s"test=${counts("test")}")
+  }
+
+  test("hashSplit is deterministic and independent of partitioning") {
+    val a = Sampling.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 1.0))
+      .orderBy("id").as[(Long, String)].collect()
+    val b = Sampling.hashSplit(ids.repartition(13), "id", Seq("a" -> 0.5, "b" -> 1.0))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("sampleByHash keeps roughly the requested fraction, stable across runs") {
+    val s1 = Sampling.sampleByHash(ids, "id", 0.25)
+    val n  = s1.count()
+    assert(math.abs(n - 500L) < 80, s"n=$n")
+    assert(s1.collect().map(_.getLong(0)).toSet ==
+      Sampling.sampleByHash(ids.repartition(7), "id", 0.25).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("sampleByGroup caps each group at n with deterministic members") {
+    val df = Seq.tabulate(300)(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val s  = Sampling.sampleByGroup(df, Seq("g"), "id", n = 5)
+    val perGroup = s.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(perGroup.values.forall(_ == 5))
+    val again = Sampling.sampleByGroup(df.repartition(11), Seq("g"), "id", n = 5)
+    assert(s.orderBy("g", "id").collect().sameElements(again.orderBy("g", "id").collect()))
+  }
+
+  test("hexCut formats the fraction boundary as 8 lowercase hex chars") {
+    assert(Sampling.hexCut(0.8) == "cccccccc")
+    assert(Sampling.hexCut(0.9) == "e6666666")
+    assert(Sampling.hexCut(0.0) == "00000000")
+    assert(Sampling.hexCut(1.0) == "ffffffff")
+  }
+}
