@@ -40,6 +40,17 @@ object SparkEntry {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered: a
+    * stateful stream pays one state-store commit (+fsync) per partition per
+    * micro-batch, so fixture-scale streaming queries want few, fat state
+    * partitions. Production streams size this to keyspace, not cores.
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stage two single-file parquet micro-batches into a fresh scratch dir for
     * a `maxFilesPerTrigger=1` file stream. Batch 2 is the far-future
     * watermark sentinel (see q32): it pushes the watermark past every real
@@ -384,10 +395,12 @@ object SparkEntry {
       val sessions = graft.streaming.Sessionize.sessionize(
         stream, "user_id", "ts", gapSeconds = 3600, watermark = "0 seconds")
       val sink = s"graft_q32_${java.util.UUID.randomUUID().toString.take(8)}"
-      val q = sessions.toDF().writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = sessions.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(sink).where(col("key") =!= "-1")
         .select(col("key").cast("long").as("user_id"),
           col("session_start").cast("long").as("session_start"),
@@ -428,10 +441,12 @@ object SparkEntry {
       val counts = StreamingLoad.windowedCounts(stream, "ts", "event_type",
         windowDuration = "1 hour", watermark = "0 seconds")
       val sink = s"graft_q34_${java.util.UUID.randomUUID().toString.take(8)}"
-      val q = counts.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = counts.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(sink).where(col("event_type") =!= "__sentinel")
         .select(col("event_type"), col("window.start").cast("long").as("win_start"),
           col("cnt"))

@@ -69,8 +69,9 @@ final case class Table(name: String, metadata: Metadata, temp: Boolean) {
 }
 
 /** File formats the engine loads/exports (reference: constants.py:36-47).
-  * xls/xlsx have no bundled Spark source in this environment; they are
-  * accepted by the dispatcher and rejected with a clear error at read time.
+  * xlsx reads/writes through the dependency-free SpreadsheetML codec in
+  * [[graft.sources.Xlsx]] (driver-side staging — spreadsheets are an
+  * inherently small-file on-ramp, not a bulk path).
   */
 sealed abstract class FileType(val name: String, val extensions: Seq[String])
 object FileType {
