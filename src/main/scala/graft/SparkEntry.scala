@@ -316,6 +316,38 @@ object SparkEntry {
         .select(col("id"), col("info_name"), col("info_bal"))
     }),
 
+    // xlsx round-trip through the dependency-free SpreadsheetML codec
+    // (driver-side single-file by format nature; reference xlsx.py)
+    "q41_xlsx_roundtrip" -> ((s, dir) => {
+      val f = File(s"$scratch/region_export.xlsx", Some(FileType.Xlsx))
+      ExportToFile.df(s, tbl(s, dir, "region"), f, IfExists.Replace)
+      LoadFile.toDataFrame(s, f)
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+    }),
+
+    // load_file from an http:// location (reference locations/http.py):
+    // an in-process server stands in for the remote endpoint; the staged
+    // fetch + distributed read is the real production path
+    "q42_http_load" -> ((s, dir) => {
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      try {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/nation.parquet"))
+        server.createContext("/nation.parquet", (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          try ex.getResponseBody.write(bytes) finally ex.close()
+        })
+        server.start()
+        val port = server.getAddress.getPort
+        // staged-fetch cache is keyed by URL; the random port makes each
+        // session fetch fresh
+        LoadFile.toDataFrame(s,
+            File(s"http://127.0.0.1:$port/nation.parquet", Some(FileType.Parquet)))
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      } finally server.stop(0)
+    }),
+
     // ---- raw SQL / value list / window ----
     "q23_raw_sql" -> ((s, dir) =>
       RawSql.run(
@@ -793,6 +825,10 @@ object SparkEntry {
 
     "q31_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q41_xlsx_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
+
+    "q42_http_load" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     // hexCut(0.8)=cccccccc, hexCut(0.9)=e6666666; fixed-length lowercase hex
     // compares lexicographically == numerically in both engines
