@@ -316,6 +316,23 @@ object SparkEntry {
         .select(col("id"), col("info_name"), col("info_bal"))
     }),
 
+    // pure-SQL surface: the native graft expressions registered as SQL
+    // functions (graft.plans.GraftExtensions) — a SQL-only user computes
+    // exact cosine top-k without touching the DataFrame API
+    "q43_sql_functions" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("graft_q43_emb")
+      s.sql(
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM graft_q43_emb WHERE vec_id < 5),
+          |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, graft_cosine(q.qv, e.embedding) AS cos
+          |         FROM q CROSS JOIN graft_q43_emb e),
+          |r AS (SELECT query_id, neighbor_id, cos,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+          |      FROM sims)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
+          |FROM r WHERE rn <= 10""".stripMargin)
+    }),
+
     // xlsx round-trip through the dependency-free SpreadsheetML codec
     // (driver-side single-file by format nature; reference xlsx.py)
     "q41_xlsx_roundtrip" -> ((s, dir) => {
@@ -827,6 +844,22 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q41_xlsx_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
+
+    // same exact-cosine-top-k oracle as q18 (q43 is the pure-SQL route)
+    "q43_sql_functions" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q42_http_load" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.NativeFunctions
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("SQL functions match the Column-API native expressions") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+    val viaSql = df.selectExpr(
+      "graft_simhash(t) AS sh",
+      "graft_shingle_hashes(t, 3) AS sg",
+      "graft_minhash(graft_shingle_hashes(t, 3), 64) AS mh",
+    ).collect()(0)
+    val viaCol = df.select(
+      NativeFunctions.simHash64(col("t")).as("sh"),
+      NativeFunctions.shingleHashes(col("t"), 3).as("sg"),
+      NativeFunctions.minHashSignature(NativeFunctions.shingleHashes(col("t"), 3), 64).as("mh"),
+    ).collect()(0)
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](2) == viaCol.getSeq[Long](2))
+  }
+
+  test("vector SQL functions: cosine/dot/sqdist") {
+    val df = Seq((Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f))).toDF("a", "b")
+    val r = df.selectExpr(
+      "graft_cosine(a, b) AS c", "graft_dot(a, b) AS d", "graft_sqdist(a, b) AS s").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("jaccard of identical and disjoint hash sets") {
+    val r = spark.sql(
+      "SELECT graft_jaccard_sorted(array(1L,2L,3L), array(1L,2L,3L)) AS same, " +
+        "graft_jaccard_sorted(array(1L,2L), array(3L,4L)) AS disj").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("fixed parameters must be integer literals") {
+    val err = intercept[Exception] {
+      Seq(("x", 3)).toDF("t", "k").selectExpr("graft_shingle_hashes(t, k)").collect()
+    }
+    assert(err.getMessage.contains("integer literal") || err.getMessage.contains("k"))
+  }
+
+  test("srp bucket via SQL equals Column API") {
+    val df  = Seq(Array.tabulate(8)(i => i.toFloat)).toDF("v")
+    val sql = df.selectExpr("graft_srp_bucket(v, 8, 42L) AS b").collect()(0).getLong(0)
+    val api = df.select(NativeFunctions.srpBucket(col("v"), 8, 42L).as("b")).collect()(0).getLong(0)
+    assert(sql == api)
+  }
+}
