@@ -547,7 +547,9 @@ object SparkEntry {
     "q37_quality_filter" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("score"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+          // same one-pass stats struct the score uses — CSE folds them
+          graft.functions.NativeFunctions.textStats(col("text"))
+            .getField("tokens").cast("long").as("n_tokens"))
         .where(col("score") >= 0.7 && col("n_tokens").between(5, 10000))
         .select(col("doc_id"), round(col("score"), 2).as("score"))),
 

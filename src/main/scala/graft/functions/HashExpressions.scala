@@ -485,4 +485,5 @@ object NativeFunctions {
     c(NearestCentroidsExpr(x(vec), centroids, nprobe))
   def jaccardSorted(a: Column, b: Column): Column = c(JaccardSortedExpr(x(a), x(b)))
   def sigAgreement(a: Column, b: Column): Column  = c(SigAgreementExpr(x(a), x(b)))
+  def textStats(text: Column): Column             = c(TextStatsExpr(x(text)))
 }

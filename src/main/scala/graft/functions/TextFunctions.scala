@@ -80,12 +80,31 @@ object TextFunctions {
   /** Composite quality score ∈ [0,1] (length / punctuation / stopword
     * heuristics à la C4/Gopher filtering rules). Deterministic and cheap —
     * one projection, no shuffle.
+    *
+    * All five ingredients come from ONE pass over the string
+    * ([[graft.functions.TextImpl.textStats]], a codegen'd native
+    * expression); the score itself is scalar arithmetic, so the whole thing
+    * stays inside whole-stage codegen and common-subexpression elimination
+    * dedupes the shared stats struct. (Composing this from the HOF-based
+    * ratio functions above cost ~12 interpreted regex splits per row and
+    * dropped the enclosing Filter out of codegen.) Arithmetic matches the
+    * HOF composition bit-for-bit — same int→double divisions, same order
+    * of additions and multiplications — so the DuckDB oracle is unchanged.
     */
   def qualityScore(c: Column, minChars: Int = 50, maxChars: Int = 100000): Column = {
-    val lenOk   = (length(c) >= minChars && length(c) <= maxChars).cast("double")
-    val stopOk  = (stopwordRatio(c) > 0.05).cast("double")
-    val punctOk = (punctRatio(c) < 0.2).cast("double")
-    val meanOk  = (meanTokenLength(c).between(2.0, 12.0)).cast("double")
+    val s      = NativeFunctions.textStats(c)
+    val chars  = s.getField("chars")
+    val ntoks  = s.getField("tokens")
+    val stopRatio = when(ntoks === 0, 0.0)
+      .otherwise(s.getField("stopwords").cast("double") / ntoks)
+    val punctRatio = when(chars === 0, 0.0)
+      .otherwise(s.getField("punct").cast("double") / chars)
+    val meanTok = when(ntoks === 0, 0.0)
+      .otherwise(s.getField("tok_len_sum").cast("double") / ntoks)
+    val lenOk   = (chars >= minChars && chars <= maxChars).cast("double")
+    val stopOk  = (stopRatio > 0.05).cast("double")
+    val punctOk = (punctRatio < 0.2).cast("double")
+    val meanOk  = meanTok.between(2.0, 12.0).cast("double")
     (lenOk * 0.4 + stopOk * 0.3 + punctOk * 0.15 + meanOk * 0.15)
   }
 

@@ -92,4 +92,37 @@ class HashPropertySpec extends SparkSpec {
       native == hof || (native.isNaN && hof.isNaN)
     })
   }
+
+  test("textStats native pass matches the HOF component functions") {
+    import org.apache.spark.sql.functions._
+    // tricky shapes: leading/trailing spaces, non-space whitespace (tabs,
+    // newlines — Java split("\s+") emits a leading empty token), empties,
+    // punctuation runs, stopwords in mixed case
+    val fixed = Seq(
+      "", " ", "   ", "\thello", "\n\nthe quick, brown fox!", "a  b\t\tc",
+      "The AND of to IS with;", "one", "!!!...???", "x \n y \t z ",
+      " padded both sides ", "tab\tsep\ttoks",
+    )
+    val gen = for {
+      words <- Gen.listOf(Gen.oneOf(Gen.alphaLowerChar.map(_.toString),
+        Gen.oneOf("the", "and", "of", "a", "it,", "x.y", "{b}")))
+      sep <- Gen.listOfN(math.max(words.length - 1, 0), Gen.oneOf(" ", "  ", "\t", "\n", " \t "))
+    } yield words.zipAll(sep, "", "").map { case (w, s) => w + s }.mkString
+    check(forAll(Gen.oneOf(Gen.oneOf(fixed), gen)) { s: String =>
+      val df = Seq(s).toDF("t")
+      val n = df.select(NativeFunctions.textStats(col("t")).as("s"))
+        .select(col("s.chars"), col("s.tokens"), col("s.stopwords"), col("s.punct"), col("s.tok_len_sum"))
+        .collect()(0)
+      val h = df.select(
+        length(col("t")),
+        size(TextFunctions.tokens(col("t"))),
+        TextFunctions.stopwordCount(col("t")),
+        TextFunctions.punctCount(col("t")),
+        aggregate(TextFunctions.tokens(col("t")), lit(0L), (acc, t) => acc + length(t)),
+      ).collect()(0)
+      n.getInt(0) == h.getInt(0) && n.getInt(1) == h.getInt(1) &&
+      n.getInt(2) == h.getInt(2) && n.getInt(3) == h.getInt(3) &&
+      n.getLong(4) == h.getLong(4)
+    })
+  }
 }
