@@ -501,6 +501,29 @@ object SparkEntry {
           col("cnt"))
     }),
 
+    // streaming exact-dedup: dropDuplicates state carries across
+    // micro-batches (the keys are split over two batches on purpose), so
+    // the emitted key set equals batch DISTINCT regardless of batch layout
+    "q44_streaming_dedup" -> ((s, dir) => {
+      allowNanos(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"))
+      val streamDir = stageTwoBatches("q44",
+        ev.where(col("user_id") % 2 === 0), ev.where(col("user_id") % 2 =!= 0))
+      val schema = s.read.parquet(streamDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val sink = s"graft_q44_${java.util.UUID.randomUUID().toString.take(8)}"
+      withStatePartitions(s, 8) {
+        val q = stream.dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(sink)
+    }),
+
     // transform_file: SQL text loaded from a .sql file, CTAS'd to a table
     "q35_transform_file" -> ((s, dir) => {
       val sqlPath = s"$scratch/q35_${java.util.UUID.randomUUID().toString.take(8)}.sql"
@@ -830,6 +853,9 @@ object SparkEntry {
         |SELECT event_type, CAST(tsec // 3600 * 3600 AS BIGINT) AS win_start,
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM e GROUP BY event_type, tsec // 3600 * 3600""".stripMargin,
+
+    "q44_streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q35_transform_file" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers,
