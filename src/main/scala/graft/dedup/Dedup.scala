@@ -183,7 +183,11 @@ object Dedup {
     * with label = the component's min id.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // cache the DIRECTED pairs before mirroring: the union's two branches
+    // would otherwise each recompute the full upstream plan (the LSH
+    // pipeline) when the edge cache materializes.
     val fwd = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .cache()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
@@ -201,6 +205,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    fwd.unpersist()
     labels
   }
 
