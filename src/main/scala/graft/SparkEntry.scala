@@ -611,6 +611,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // end-to-end ELT pipeline (the reference's core value prop): load into
+    // auto-named temp tables -> templated transform -> upsert into the
+    // persistent target -> temp GC via the registry; the returned table is
+    // read AFTER cleanup, proving the target outlives the temps
+    "q45_pipeline" -> ((s, dir) => {
+      val target = Table("graft_q45_target")
+      Pipeline.run(s) { reg =>
+        val sup = reg.track(Table.temp())
+        TableIO.overwrite(s, tbl(s, dir, "supplier"), sup)
+        val nat = reg.track(Table.temp())
+        TableIO.overwrite(s, tbl(s, dir, "nation"), nat)
+        val agg = reg.track(Table.temp())
+        Transform.toTable(s,
+          "SELECT n_name, count(*) AS suppliers, round(sum(s_acctbal), 2) AS total_bal " +
+            "FROM {{sup}} JOIN {{nat}} ON s_nationkey = n_nationkey GROUP BY n_name",
+          agg, Map("sup" -> sup, "nat" -> nat))
+        TableIO.overwrite(s, s.table(agg.qualifiedName).limit(0), target)
+        Merge.mergeDf(s, s.table(agg.qualifiedName), target, Map.empty,
+          Seq("n_name"), MergeConflict.Update)
+      }
+      s.table(target.qualifiedName)
+    }),
+
     // ---- multimodal binary columns (decode stub; real batched plumbing) ----
     // documents.text encoded to binary stands in for image payloads — the
     // bytes→meta decode is the deterministic STUB in Multimodal.stubDecode,
@@ -624,9 +647,10 @@ object SparkEntry {
           col("meta.channels").cast("long").as("channels"), col("meta.format"))
     }),
 
-    // feature extraction (hash-derived stub embedding): rows-only; the
-    // L2-norm==1 invariant is asserted here so a broken batch shape fails
-    // loudly instead of producing plausible rows.
+    // feature extraction (hash-derived stub embedding). The in-query filter
+    // asserts the L2-norm==1/dim==16 invariant per row, which makes the
+    // surviving output SQL-constant — so this has a full oracle: any broken
+    // batch shape, dropped row, or denormalized vector turns the row red.
     "q28_multimodal_features" -> ((s, dir) => {
       val imgs = tbl(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("img_bytes"))
@@ -856,6 +880,16 @@ object SparkEntry {
 
     "q44_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q45_pipeline" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS suppliers,
+        |round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    // the invariant filter makes the surviving rows SQL-constant
+    "q28_multimodal_features" ->
+      "SELECT doc_id, CAST(1.0 AS DOUBLE) AS l2, CAST(16 AS BIGINT) AS dim FROM documents",
 
     "q35_transform_file" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers,
