@@ -365,6 +365,33 @@ object SparkEntry {
       } finally server.stop(0)
     }),
 
+    // get_file_list over a glob of files the query itself stages — output
+    // is the (deterministic) basename set, mirrored by a VALUES oracle
+    "q46_get_file_list" -> ((s, dir) => {
+      import s.implicits._
+      val d = s"$scratch/q46_list"
+      val dirF = new java.io.File(d)
+      dirF.mkdirs()
+      Option(dirF.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      Seq("alpha.csv", "beta.csv", "gamma.csv").foreach { n =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/$n"), "x,y\n1,2\n".getBytes("UTF-8"))
+      }
+      GetFileList(s, s"$d/*.csv")
+        .map(p => p.split('/').last)
+        .toDF("file_name")
+    }),
+
+    // row_count / exists helpers surfaced through one oracle-checked row
+    "q47_row_count" -> ((s, dir) => {
+      import s.implicits._
+      val t = Table("graft_q47_orders")
+      TableIO.overwrite(s, tbl(s, dir, "orders"), t)
+      val n      = RawSql.rowCount(s, t)
+      val exists = RawSql.tableExists(s, t)
+      val cols   = RawSql.columnsExist(s, t, Seq("o_orderkey", "o_custkey"))
+      Seq((n, exists, cols)).toDF("n", "table_exists", "columns_exist")
+    }),
+
     // ---- raw SQL / value list / window ----
     "q23_raw_sql" -> ((s, dir) =>
       RawSql.run(
@@ -924,6 +951,13 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q42_http_load" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q46_get_file_list" ->
+      "SELECT * FROM (VALUES ('alpha.csv'), ('beta.csv'), ('gamma.csv')) AS t(file_name)",
+
+    "q47_row_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, true AS table_exists, true AS columns_exist
+        |FROM orders""".stripMargin,
 
     // hexCut(0.8)=cccccccc, hexCut(0.9)=e6666666; fixed-length lowercase hex
     // compares lexicographically == numerically in both engines
