@@ -392,6 +392,33 @@ object SparkEntry {
       Seq((n, exists, cols)).toDF("n", "table_exists", "columns_exist")
     }),
 
+    // query_modifier: pre-queries set up session state the main statement
+    // depends on; post-queries tear it down (reference query_modifier.py)
+    "q48_query_modifier" -> ((s, dir) => {
+      tbl(s, dir, "region").createOrReplaceTempView("graft_q48_src")
+      val qm = QueryModifier(
+        preQueries = Seq(
+          "CREATE OR REPLACE TEMPORARY VIEW graft_q48_view AS " +
+            "SELECT r_regionkey, upper(r_name) AS r_name_up FROM graft_q48_src"),
+        postQueries = Seq("DROP VIEW IF EXISTS graft_q48_view"),
+      )
+      qm.runWith(s)(s.sql("SELECT r_regionkey, r_name_up FROM graft_q48_view"))
+    }),
+
+    // Table/File JSON round-trip (the reference's XCom hand-off contract):
+    // the row is built from the DESERIALIZED pointers, so any serializer
+    // drift breaks the oracle match
+    "q49_serde_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val t  = Table("graft_q49", Metadata(database = Some("db1")), temp = false)
+      val t2 = Table.fromJson(t.toJson)
+      val f  = File(s"$dir/region.parquet", Some(FileType.Parquet))
+      val f2 = File.fromJson(f.toJson)
+      Seq((t2.name, t2.metadata.database.getOrElse(""), t2.temp,
+        f2.resolvedType.map(_.name).getOrElse(""), f2.path.split('/').last))
+        .toDF("name", "database", "temp", "filetype", "file_base")
+    }),
+
     // ---- raw SQL / value list / window ----
     "q23_raw_sql" -> ((s, dir) =>
       RawSql.run(
@@ -954,6 +981,13 @@ object SparkEntry {
 
     "q46_get_file_list" ->
       "SELECT * FROM (VALUES ('alpha.csv'), ('beta.csv'), ('gamma.csv')) AS t(file_name)",
+
+    "q48_query_modifier" ->
+      "SELECT r_regionkey, upper(r_name) AS r_name_up FROM region",
+
+    "q49_serde_roundtrip" ->
+      """SELECT 'graft_q49' AS name, 'db1' AS database, false AS temp,
+        |'parquet' AS filetype, 'region.parquet' AS file_base""".stripMargin,
 
     "q47_row_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, true AS table_exists, true AS columns_exist
