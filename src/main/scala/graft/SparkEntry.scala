@@ -236,6 +236,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // dedup-at-rest: corpus written bucketed (+sorted) by the content
+    // fingerprint, then exact dedup reads the bucketed layout — the window
+    // needs hash distribution by fp, which the buckets already provide, so
+    // the dedup pass runs with ZERO exchange (asserted in BucketedSpec).
+    // The 100 TB shape: pay the clustering once at ingest, dedup for free.
+    "q50_dedup_bucketed" -> ((s, dir) => {
+      val withFp = tbl(s, dir, "documents")
+        .withColumn("__fp", TextFunctions.fingerprint(col("text")))
+      val t = Table("graft_q50_docs")
+      TableIO.overwriteBucketed(s, withFp, t, Seq("__fp"), 8, Seq("__fp", "doc_id"))
+      val docs = s.table(t.qualifiedName)
+      val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // ---- text analysis ----
     "q15_text_stats" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
@@ -782,6 +798,11 @@ object SparkEntry {
     "q11_dedup_exact_keys" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_id IN (
         |SELECT min(event_id) FROM events GROUP BY user_id, event_type)""".stripMargin,
+
+    "q50_dedup_bucketed" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id IN (
+        |SELECT min(doc_id) FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
 
     // exact all-pairs 3-word-shingle Jaccard — the Spark side runs LSH in
     // recall-exact r=2 banding, so candidate-gen misses nothing at J>=0.6

@@ -57,4 +57,18 @@ class BucketingSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(agg.count() == 50)
   }
+
+  test("window dedup over a fingerprint-bucketed table runs with zero exchange") {
+    // the q50 dedup-at-rest shape: bucket layout provides the hash
+    // distribution the window needs
+    val df = (0 until 300).map(i => (i.toLong, s"doc body ${i % 60}")).toDF("id", "text")
+      .withColumn("fp", md5(col("text")))
+    TableIO.overwriteBucketed(spark, df, Table("graft_bkt_dedup"), Seq("fp"), 4, Seq("fp", "id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("id"))
+    val dedup = spark.table("graft_bkt_dedup")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val plan = dedup.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(dedup.count() == 60)
+  }
 }
