@@ -198,4 +198,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r._1 > 0.8, s"good=$r")
     assert(r._2 < 0.5, s"bad=$r")
   }
+
+  test("recallExactBands picks the largest r with miss < 1e-6 at the threshold") {
+    def miss(t: Double, hashes: Int, bands: Int): Double =
+      math.pow(1 - math.pow(t, hashes.toDouble / bands), bands.toDouble)
+    for ((t, hashes) <- Seq((0.5, 128), (0.6, 128), (0.7, 256), (0.9, 128))) {
+      val bands = Dedup.recallExactBands(t, hashes)
+      val r     = hashes / bands
+      assert(miss(t, hashes, bands) < 1e-6, s"t=$t hashes=$hashes bands=$bands")
+      // maximal r: doubling rows-per-band would violate the bound (unless
+      // already at the r that halving can't improve)
+      if (r < hashes) assert(miss(t, hashes, hashes / (r * 2)) >= 1e-6, s"t=$t not maximal")
+    }
+    // mid thresholds over 128 hashes land on r=2; char-gram setup on r=4
+    assert(Dedup.recallExactBands(0.5) == 64)
+    assert(Dedup.recallExactBands(0.6) == 64)
+    assert(Dedup.recallExactBands(0.7, numHashes = 256) == 64)
+  }
 }
