@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Each `queries` entry exercises one operator from SURVEY.md §2 (or a
   * beyond-reference LLM-pipeline component) end-to-end through the public
-  * graft API, reading the driver's parquet fixtures from `dir`. Every
-  * SQL-expressible entry has a DuckDB oracle in [[oracleSql]]; approximate /
-  * side-effect-only ops (LSH near-dup, ANN) are rows-only checked.
+  * graft API, reading the driver's parquet fixtures from `dir`. 48 of 50
+  * entries carry a full DuckDB oracle in [[oracleSql]] — including the LSH
+  * near-dup family, which runs in recall-exact banding so its verified
+  * output equals the exact all-pairs answer (see Dedup.recallExactBands).
+  * Rows-only: q13 (SimHash signatures are engine-specific) and q19 (IVF is
+  * approximate by design; recall-tested in DedupSimilaritySpec).
   *
   * Determinism rules (the driver hash-compares values after sorting columns
   * by name): every floating aggregate is `round(x, 2)` on BOTH sides; counts
