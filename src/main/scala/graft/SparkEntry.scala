@@ -255,6 +255,44 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    // one-hop near-dedup (keeps chain endpoints — the cheap variant vs
+    // q29's transitive closure); recall-exact banding makes the removed
+    // set exactly {id_b of pairs with Jaccard >= 0.6}
+    "q51_dedup_near" -> ((s, dir) => {
+      val d   = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing token")).as("text"))
+      Dedup.dedupNear(d.unionByName(dup), "doc_id", "text", threshold = 0.6,
+          bands = Dedup.recallExactBands(0.6))
+        .select(col("doc_id"))
+    }),
+
+    // salted two-phase aggregation: one hot key spread over 8 reducers in
+    // phase 1, merged in phase 2 — result must equal the direct groupBy
+    "q52_salted_agg" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      Skew.saltedAgg(o, Seq("o_orderstatus"), salts = 8)(
+        _.agg(count(lit(1)).as("pc"), sum("o_totalprice").as("ps")),
+        _.agg(sum("pc").as("orders"), round(sum("ps"), 2).as("revenue")),
+      )
+    }),
+
+    // multimodal resize + frame-sampling plumbing: fixed target bytes and
+    // frame count make the shape columns SQL-constant (decode is the
+    // documented stub; batch shape and schema evolution are the contract)
+    "q53_multimodal_resize" -> ((s, dir) => {
+      val imgs = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("img_bytes"))
+      val resized = graft.multimodal.Multimodal.resizeImage(imgs, "img_bytes", "resized", targetBytes = 64)
+      val framed  = graft.multimodal.Multimodal.sampleFrames(resized, "resized", "frames", frames = 4)
+      framed.select(col("doc_id"),
+        octet_length(col("resized")).cast("long").as("resized_len"),
+        size(col("frames")).cast("long").as("n_frames"),
+        // frame payloads must tile the resized payload exactly
+        aggregate(col("frames"), lit(0L), (acc, f) => acc + octet_length(f)).as("frame_bytes"))
+        .where(col("resized_len") === 64 && col("n_frames") === 4 && col("frame_bytes") === 64)
+    }),
+
     // ---- text analysis ----
     "q15_text_stats" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
@@ -806,6 +844,29 @@ object SparkEntry {
       """SELECT doc_id, text FROM documents WHERE doc_id IN (
         |SELECT min(doc_id) FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+
+    // survivors = corpus minus the id_b side of the exact Jaccard>=0.6 pairs
+    "q51_dedup_near" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_split_to_array(trim(lower(text || ' extra trailing token')), '\s+') FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM base),
+        |losers AS (SELECT DISTINCT b.doc_id AS id FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
+        |SELECT doc_id FROM base WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    "q52_salted_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q53_multimodal_resize" ->
+      """SELECT doc_id, CAST(64 AS BIGINT) AS resized_len, CAST(4 AS BIGINT) AS n_frames,
+        |CAST(64 AS BIGINT) AS frame_bytes FROM documents""".stripMargin,
 
     // exact all-pairs 3-word-shingle Jaccard — the Spark side runs LSH in
     // recall-exact r=2 banding, so candidate-gen misses nothing at J>=0.6

@@ -151,8 +151,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.7,
+      bands: Int = 32,
   ): DataFrame = {
-    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold)
+    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
     val losers = pairs.select(col("id_b").as("__loser")).distinct()
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
