@@ -745,6 +745,59 @@ object SparkEntry {
       s.table(target.qualifiedName)
     }),
 
+    // as-of join: latest click at-or-before each purchase per user — one
+    // union + window pass, never the per-key cross product (AsofJoin doc).
+    // Micros granularity on both sides (events.ts is TIMESTAMP(NANOS);
+    // DuckDB truncates to micros, Spark `div 1000` floors identically).
+    "q54_asof_join" -> ((s, dir) => {
+      allowNanos(s)
+      val ev = tbl(s, dir, "events")
+      val buys = ev.where(col("event_type") === "purchase").select(
+        col("user_id"),
+        col("event_id").as("buy_id"),
+        expr("ts div 1000").as("buy_us"),
+      )
+      val clicks = ev.where(col("event_type") === "click").select(
+        col("user_id"),
+        expr("ts div 1000").as("click_us"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"),
+      )
+      AsofJoin.asof(buys, clicks, on = Seq("user_id"), leftTs = "buy_us",
+          rightTs = "click_us", rightCols = Seq("click_id", "click_value"),
+          rightTieBreak = "click_id")
+        .select(col("user_id"), col("buy_id"), col("buy_us"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+    }),
+
+    // range join: customers whose balance falls in any supplier's ±100 band
+    // — bin-bucketed equi-join (one shuffle, bounded interval replication),
+    // not the BroadcastNestedLoop a bare BETWEEN join plans to.
+    "q55_range_join" -> ((s, dir) => {
+      val pts = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val iv = tbl(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_acctbal") - 100.0).as("lo"), (col("s_acctbal") + 100.0).as("hi"))
+      RangeJoin.pointInInterval(pts, "c_acctbal", iv, "lo", "hi", binWidth = 200.0)
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // ANN over a PERSISTED IVF index: corpus bucketed by cell at build time;
+    // the query batch prunes to its probed buckets at scan time. nprobe =
+    // numCentroids here → provably exact (same oracle as q18); partial-probe
+    // recall + bucket pruning are asserted in AnnIndexSpec.
+    "q56_ann_index" -> ((s, dir) => {
+      val e   = tbl(s, dir, "embeddings")
+      val idx = Table("graft_q56_index")
+      val cen = Table("graft_q56_centroids")
+      Ann.buildIvfIndex(s, e, "vec_id", "embedding", idx, cen,
+        numCentroids = 8, numBuckets = 8)
+      val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.queryIvfIndex(s, idx, cen, queries, "qid", "embedding", k = 10, nprobe = 8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // ---- multimodal binary columns (decode stub; real batched plumbing) ----
     // documents.text encoded to binary stands in for image payloads — the
     // bytes→meta decode is the deterministic STUB in Multimodal.stubDecode,
@@ -1143,6 +1196,40 @@ object SparkEntry {
         |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin,
+
+    // DuckDB ASOF LEFT JOIN; right side deduped per (user, ts) to the max
+    // event_id — the same tie winner AsofJoin's rightTieBreak picks.
+    "q54_asof_join" ->
+      """WITH buys AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS buy_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1)
+        |SELECT b.user_id, b.buy_id, b.buy_us,
+        |  coalesce(c.click_id, -1) AS click_id,
+        |  coalesce(c.click_value, -1.0) AS click_value
+        |FROM buys b ASOF LEFT JOIN clicks c
+        |  ON b.user_id = c.user_id AND c.click_us <= b.buy_us""".stripMargin,
+
+    "q55_range_join" ->
+      """SELECT c_custkey, s_suppkey FROM customer JOIN supplier
+        |ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0""".stripMargin,
+
+    // nprobe = numCentroids → the index query is exact: same oracle as q18
+    "q56_ann_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     // mirrors Multimodal.stubDecode: width=(len%1019)+1, height=((len*31)%761)+1
     "q27_multimodal_meta" ->

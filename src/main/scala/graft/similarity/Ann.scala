@@ -178,14 +178,7 @@ object Ann {
       numCentroids: Int = 256,
       nprobe: Int = 16,
   ): DataFrame = {
-    val cents: Array[Array[Float]] = corpus
-      .select(xxhash64(col(corpusId)).as("__h"), col(corpusVec).as("__v"))
-      .orderBy(col("__h"))
-      .limit(numCentroids)
-      .select(col("__v"))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(cents.nonEmpty, "ivfTopK: empty corpus")
+    val cents = sampleCentroids(corpus, corpusId, corpusVec, numCentroids)
     val corpusCells = corpus.select(
       col(corpusId).as("__nid"),
       col(corpusVec).as("__nvec"),
@@ -198,6 +191,101 @@ object Ann {
     )
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
+    topKOf(scored, k)
+  }
+
+  /** Deterministic centroid sample: `numCentroids` corpus vectors in
+    * hash-of-id order — stable across reruns and partitionings. Bounded
+    * driver state (C × dim floats), the one legitimate collect in the IVF
+    * path.
+    */
+  private def sampleCentroids(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      numCentroids: Int,
+  ): Array[Array[Float]] = {
+    val cents = corpus
+      .select(xxhash64(col(corpusId)).as("__h"), col(corpusVec).as("__v"))
+      .orderBy(col("__h"))
+      .limit(numCentroids)
+      .select(col("__v"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "IVF: empty corpus")
+    cents
+  }
+
+  /** Persist an IVF index AT REST: pay centroid sampling + cell assignment
+    * once at ingest, write the corpus BUCKETED BY CELL (plus a small
+    * centroid table), and answer every later query batch against the
+    * layout. The 100 TB shape — [[ivfTopK]] re-assigns the whole corpus per
+    * call; this amortizes it to ingest time.
+    *
+    * Index table schema is normalized to `(id, vec, cell)`; centroid table
+    * is `(cell, centroid)`.
+    */
+  def buildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      indexTable: graft.model.Table,
+      centroidTable: graft.model.Table,
+      numCentroids: Int = 256,
+      numBuckets: Int = 64,
+  ): Unit = {
+    import spark.implicits._
+    val cents = sampleCentroids(corpus, corpusId, corpusVec, numCentroids)
+    graft.ops.TableIO.overwrite(spark,
+      cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("cell", "centroid"),
+      centroidTable)
+    val assigned = corpus.select(
+      col(corpusId).as("id"),
+      col(corpusVec).as("vec"),
+      element_at(NativeFunctions.nearestCentroids(col(corpusVec), cents, 1), 1).as("cell"),
+    )
+    graft.ops.TableIO.overwriteBucketed(spark, assigned, indexTable,
+      Seq("cell"), numBuckets, Seq("cell"))
+  }
+
+  /** Query a persisted IVF index. The probed-cell set (≤ |queries| × nprobe,
+    * bounded because the query batch is the broadcast-small side) becomes an
+    * `IN` filter on the bucket column, so the scan PRUNES non-probed buckets
+    * at the source (`SelectedBucketsCount` in the plan — asserted in
+    * AnnIndexSpec): a query batch physically reads ~nprobe/numCentroids of
+    * the corpus, with zero corpus shuffle after it.
+    *
+    * `nprobe >= numCentroids` degrades gracefully to an exact scan-all
+    * (recall 1.0) — still shuffle-free.
+    */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexTable: graft.model.Table,
+      centroidTable: graft.model.Table,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nprobe: Int = 16,
+  ): DataFrame = {
+    import spark.implicits._
+    val cents: Array[Array[Float]] = spark.table(centroidTable.qualifiedName)
+      .orderBy(col("cell"))
+      .select(col("centroid"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, s"IVF: empty centroid table ${centroidTable.qualifiedName}")
+    val queryCells = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("__qvec"),
+      explode(NativeFunctions.nearestCentroids(col(queryVec), cents, nprobe)).as("cell"),
+    )
+    val probed = queryCells.select(col("cell")).distinct().as[Int].collect()
+    val index  = spark.table(indexTable.qualifiedName)
+      .where(col("cell").isin(probed.map(Int.box): _*))
+    val scored = index.join(broadcast(queryCells), Seq("cell"))
+      .select(col("query_id"), col("id").as("__nid"), cosine(col("__qvec"), col("vec")).as("__sim"))
     topKOf(scored, k)
   }
 }
