@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * Each `queries` entry exercises one operator from SURVEY.md §2 (or a
   * beyond-reference LLM-pipeline component) end-to-end through the public
-  * graft API, reading the driver's parquet fixtures from `dir`. 48 of 50
+  * graft API, reading the driver's parquet fixtures from `dir`. 62 of 64
   * entries carry a full DuckDB oracle in [[oracleSql]] — including the LSH
   * near-dup family, which runs in recall-exact banding so its verified
   * output equals the exact all-pairs answer (see Dedup.recallExactBands).
@@ -824,6 +824,112 @@ object SparkEntry {
           size(col("features")).cast("long").as("dim"))
         .where(col("l2") === 1.0 && col("dim") === 16)
     }),
+
+    // ---- round 4: relational-surface + fingerprint/sketch/stream-join ----
+
+    // rollup (grouping-sets family): subtotals + grand total in one pass —
+    // Catalyst expands to a single Expand + hash aggregate, no extra scans
+    "q57_rollup" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("orders"), col("revenue"))),
+
+    // set operations: INTERSECT / EXCEPT (both directions, tagged) — the
+    // nation sets with customers vs suppliers
+    "q58_set_ops" -> ((s, dir) => {
+      val custN = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      val suppN = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+      custN.intersect(suppN).withColumn("which", lit("both"))
+        .unionByName(custN.except(suppN).withColumn("which", lit("cust_only")))
+        .unionByName(suppN.except(custN).withColumn("which", lit("supp_only")))
+    }),
+
+    // hive-style partitioned table + partition pruning: the status filter
+    // prunes whole directories at scan time (PartitionFilters asserted in
+    // Round4Spec) — the first scale lever for selective reads
+    "q59_partition_prune" -> ((s, dir) => {
+      val t = Table("graft_q59_orders")
+      TableIO.overwrite(s, tbl(s, dir, "orders"), t, partitionBy = Seq("o_orderstatus"))
+      s.table(t.qualifiedName).where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // JSON-ARRAY file round-trip (reference files/types/json.py — a JSON
+    // array document, not ndjson; single-file rewrite wraps rows in [...])
+    "q60_json_roundtrip" -> ((s, dir) => {
+      val f = File(s"$scratch/region_export.json", Some(FileType.Json))
+      ExportToFile.df(s, tbl(s, dir, "region"), f, IfExists.Replace, singleFile = true)
+      LoadFile.toDataFrame(s, f)
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+    }),
+
+    // columns_names_capitalization knob (reference constants.py:93,
+    // utils/dataframe.py:17-33) applied on load
+    "q61_capitalization" -> ((s, dir) =>
+      LoadFile.toDataFrame(s, File(s"$dir/region.parquet"),
+          LoadOptions(capitalization = Capitalization.Upper))
+        .select(col("R_REGIONKEY"), col("R_NAME"))),
+
+    // winnowing document fingerprints (SIGMOD'03): k-gram md5 hashes, sliding
+    // min per window — passage-level copy detection whose fingerprint-equality
+    // join replaces all-pairs comparison. md5-hex hashes are engine-neutral,
+    // so the full fingerprint SET has a DuckDB oracle.
+    "q62_winnow_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))),
+
+    // stream-stream interval join: purchases ⋈ clicks within the preceding
+    // hour, both sides streaming — inner-join output is complete independent
+    // of watermark pace (matches emit with the later arrival); the generous
+    // watermark here disables eviction at fixture scale, production uses the
+    // real lateness bound so state stays O(lag window) per key
+    "q63_stream_stream_join" -> ((s, dir) => {
+      allowNanos(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+      val streamDir = stageTwoBatches("q63",
+        ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 =!= 0))
+      val schema = s.read.parquet(streamDir).schema
+      def src() = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val buys = src().where(col("event_type") === "purchase").select(
+        col("user_id").as("buy_user"), col("event_id").as("buy_id"),
+        col("sec").cast("timestamp").as("buy_ts"))
+      val clicks = src().where(col("event_type") === "click").select(
+        col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("sec").cast("timestamp").as("click_ts"))
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+        buys, "buy_user", "buy_ts", clicks, "click_user", "click_ts",
+        maxLagSeconds = 3600, watermarkDelay = "3650 days")
+      val sink = s"graft_q63_${java.util.UUID.randomUUID().toString.take(8)}"
+      withStatePartitions(s, 8) {
+        val q = joined.select(col("buy_user").as("user_id"), col("buy_id"), col("click_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(sink)
+    }),
+
+    // HLL++ sketch distinct counts: approx_count_distinct aggregates with
+    // true map-side partials (mergeable sketch state — the 100 TB distinct
+    // count). The in-query bound vs the exact count makes the output
+    // SQL-constant: sketch drift outside ±15% turns the row red.
+    "q64_approx_distinct" -> ((s, dir) => {
+      allowNanos(s)
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          countDistinct("user_id").as("exact_users"))
+        .where(abs(col("approx_users") - col("exact_users")) <= col("exact_users") * 0.15)
+        .select(col("event_type"), col("exact_users"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1238,5 +1344,50 @@ object SparkEntry {
         |CAST(((octet_length(encode(text)) * 31) % 761) + 1 AS BIGINT) AS height,
         |CAST(3 AS BIGINT) AS channels, 'fake' AS format
         |FROM documents""".stripMargin,
+
+    "q57_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |CAST(count(*) AS BIGINT) AS orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q58_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS which FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL SELECT nationkey, 'cust_only' FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |UNION ALL SELECT nationkey, 'supp_only' FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)""".stripMargin,
+
+    "q59_partition_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""".stripMargin,
+
+    "q60_json_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
+
+    "q61_capitalization" ->
+      """SELECT r_regionkey AS "R_REGIONKEY", r_name AS "R_NAME" FROM region""",
+
+    // mirrors TextFunctions.winnowFingerprints(k=8, w=4) gram by gram:
+    // first-8-hex-of-md5 hashes, sliding min over 4, distinct, unnested
+    "q62_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN length(norm) <= 8 THEN [norm]
+        |  ELSE list_transform(generate_series(1, length(norm) - 7), i -> substr(norm, i, 8)) END AS grams FROM t),
+        |h AS (SELECT doc_id, list_transform(grams, gr -> substring(md5(gr), 1, 8)) AS hs FROM g),
+        |m AS (SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |  ELSE list_transform(generate_series(1, len(hs) - 3), j -> list_min(hs[j:j+3])) END AS mins FROM h)
+        |SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m""".stripMargin,
+
+    "q63_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |p AS (SELECT user_id, event_id AS buy_id, sec AS buy_sec FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, sec AS click_sec FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, buy_id, click_id FROM p JOIN c ON p.user_id = c.user_id
+        |AND c.click_sec >= p.buy_sec - 3600 AND c.click_sec <= p.buy_sec""".stripMargin,
+
+    "q64_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -164,4 +164,30 @@ object TextFunctions {
     val uni   = size(array_union(a, b)).cast("double")
     when(uni === 0, 1.0).otherwise(inter / uni)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * — "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+    * k-char gram of the normalized text, slide a window of w consecutive gram
+    * hashes, keep each window's minimum, dedup. Guarantee: any match of
+    * length ≥ w + k − 1 between two documents shares at least one
+    * fingerprint, so fingerprint-equality joins find copied passages without
+    * all-pairs comparison (group by fingerprint = one shuffle).
+    *
+    * Hashes are the first 8 hex chars of md5 — fixed-length lowercase hex
+    * compares lexicographically the same as numerically, and both Spark and
+    * DuckDB compute identical md5, so the operator is oracle-mirrorable
+    * end-to-end. Texts shorter than k yield one whole-text fingerprint.
+    */
+  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val norm  = normalizeText(c)
+    val len   = length(norm)
+    val grams = when(len <= k, array(norm))
+      .otherwise(transform(sequence(lit(1), len - k + 1), i => norm.substr(i, lit(k))))
+    val hashes = transform(grams, g => substring(md5(g), 1, 8))
+    val n      = size(hashes)
+    val mins = when(n <= w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), n - w + 1), j => array_min(slice(hashes, j, lit(w)))))
+    array_distinct(mins)
+  }
 }
