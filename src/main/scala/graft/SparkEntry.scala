@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * Each `queries` entry exercises one operator from SURVEY.md §2 (or a
   * beyond-reference LLM-pipeline component) end-to-end through the public
-  * graft API, reading the driver's parquet fixtures from `dir`. 62 of 64
+  * graft API, reading the driver's parquet fixtures from `dir`. 67 of 69
   * entries carry a full DuckDB oracle in [[oracleSql]] — including the LSH
   * near-dup family, which runs in recall-exact banding so its verified
   * output equals the exact all-pairs answer (see Dedup.recallExactBands).
@@ -930,6 +930,58 @@ object SparkEntry {
         .where(abs(col("approx_users") - col("exact_users")) <= col("exact_users") * 0.15)
         .select(col("event_type"), col("exact_users"))
     }),
+
+    // benchmark decontamination: train docs sharing any 8-word shingle with
+    // the eval corpus (eval = every 5th doc here). The join key is
+    // md5(gram) — 16 bytes on the wire — and the eval side broadcasts, so
+    // the corpus scan streams once with no shuffle.
+    "q65_decontaminate" -> ((s, dir) => {
+      val d  = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ev = d.filter(col("doc_id") % 5 === 0)
+      Dedup.contaminated(d, ev, "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"))
+    }),
+
+    // Gopher-style repetition score: duplicate 3-shingle fraction per doc —
+    // the boilerplate/degenerate-text filter signal
+    "q66_repetition" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(TextFunctions.repeatedShingleFraction(col("text"), k = 3), 6)
+          .as("dup_shingle_frac"))),
+
+    // deterministic source-mixture sampling: per-language keep-fractions
+    // (en 50%, und 10%, rest 100%) as one hash filter — re-weighting corpus
+    // sources toward a target mixture without an RNG or a shuffle
+    "q67_mixture" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"))
+      Sampling.mixture(d, "lang_id", "doc_id", Map("en" -> 0.5, "und" -> 0.1))
+    }),
+
+    // greedy sequence packing: docs → fixed-token-budget packs per language,
+    // id order — one shuffle + secondary sort + O(1)-state mapPartitions;
+    // assignment is RNG-free so the DuckDB recursive-CTE oracle replays it
+    "q68_pack_greedy" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packGreedy(d, "lang_id", "doc_id", "n_tokens", budget = 200)
+        .select(col("grp").as("lang_id"), col("id").as("doc_id"),
+          col("tokens").as("n_tokens"), col("pack_id"))
+    }),
+
+    // quantile sketch (GK percentile_approx) gated by the exact percentile:
+    // mergeable sketch state with map-side partials is the 100 TB quantile;
+    // drift beyond 1% vs exact turns rows red, the emitted value is exact
+    "q69_approx_quantile" -> ((s, dir) => {
+      allowNanos(s)
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(100000)).as("approx_med"),
+          expr("percentile(value, 0.5)").as("exact_med"))
+        .where(abs(col("approx_med") - col("exact_med")) <= abs(col("exact_med")) * 0.01 + 0.001)
+        .select(col("event_type"), round(col("exact_med"), 2).as("median_value"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1388,6 +1440,79 @@ object SparkEntry {
 
     "q64_approx_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // mirrors Dedup.contaminated(k=8): 8-word shingles, eval = doc_id%5=0
+    "q65_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) END AS gs FROM t),
+        |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 5 = 0),
+        |tg AS (SELECT doc_id, unnest(gs) AS gram FROM g)
+        |SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)""".stripMargin,
+
+    // same 3-shingle construction as q12's oracle; 1 - distinct/total
+    "q66_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS gs FROM t)
+        |SELECT doc_id, round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+        |  AS dup_shingle_frac FROM g""".stripMargin,
+
+    // hexCut(0.5)=80000000, hexCut(0.1)=19999999, default ffffffff
+    "q67_mixture" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |len(list_filter(toks, x -> list_contains(['the','and','of','to','is','with'], x))) AS s_en,
+        |len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une'], x))) AS s_fr,
+        |len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ein'], x))) AS s_de,
+        |len(list_filter(toks, x -> list_contains(['el','los','las','una','por','que'], x))) AS s_es
+        |FROM t),
+        |l AS (SELECT doc_id, CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+        |WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |ELSE 'es' END AS lang_id FROM s)
+        |SELECT doc_id, lang_id FROM l
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang_id WHEN 'en' THEN '80000000' WHEN 'und' THEN '19999999' ELSE 'ffffffff' END""".stripMargin,
+
+    // replays Packing.packGreedy(budget=200) row by row per language group:
+    // recursive step walks rn → rn+1 carrying (pack_id, running token sum)
+    "q68_pack_greedy" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |len(list_filter(toks, x -> list_contains(['the','and','of','to','is','with'], x))) AS s_en,
+        |len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une'], x))) AS s_fr,
+        |len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ein'], x))) AS s_de,
+        |len(list_filter(toks, x -> list_contains(['el','los','las','una','por','que'], x))) AS s_es
+        |FROM t),
+        |l AS (SELECT doc_id, n_tokens, CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+        |WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |ELSE 'es' END AS lang_id FROM s),
+        |base AS (SELECT lang_id, doc_id, n_tokens,
+        |  row_number() OVER (PARTITION BY lang_id ORDER BY doc_id) AS rn FROM l),
+        |r AS (
+        |  SELECT lang_id, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id,
+        |    CAST(n_tokens AS BIGINT) AS acc
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.lang_id, b.doc_id, b.n_tokens, b.rn,
+        |    CASE WHEN r.acc + b.n_tokens > 200 THEN r.pack_id + 1 ELSE r.pack_id END,
+        |    CASE WHEN r.acc + b.n_tokens > 200 THEN CAST(b.n_tokens AS BIGINT)
+        |         ELSE r.acc + b.n_tokens END
+        |  FROM r JOIN base b ON b.lang_id = r.lang_id AND b.rn = r.rn + 1)
+        |SELECT lang_id, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pack_id FROM r""".stripMargin,
+
+    "q69_approx_quantile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 2) AS median_value
         |FROM events GROUP BY event_type""".stripMargin,
   )
 }

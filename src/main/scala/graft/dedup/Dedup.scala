@@ -229,6 +229,28 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Benchmark decontamination: train-set documents sharing any k-word
+    * shingle with the eval corpus (the contamination filter every serious
+    * training pipeline runs before training). Grams are md5-hashed so the
+    * join shuffles 16-byte keys, never gram text; the eval side (benchmark
+    * suites — inherently small) broadcasts, so the corpus-side scan streams
+    * once with no shuffle at all. Output: distinct contaminated train ids.
+    */
+  def contaminated(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+  ): DataFrame = {
+    val tg = train.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+      .select(col("id"), md5(col("gram")).as("gh"))
+    val eg = eval.select(explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+      .select(md5(col("gram")).as("gh")).distinct()
+    tg.join(broadcast(eg), Seq("gh")).select(col("id")).distinct()
+  }
+
   /** 64-bit SimHash over tokens — native one-pass expression
     * ([[graft.functions.HashImpl.simHash64]]); bit i is the sign of the
     * token-hash-bit vote.

@@ -165,6 +165,16 @@ object TextFunctions {
     when(uni === 0, 1.0).otherwise(inter / uni)
   }
 
+  /** Gopher-style repetition signal: the fraction of word k-shingles that
+    * are duplicates within the document (1 − distinct/total). High values
+    * flag boilerplate loops and degenerate generations; one projection, no
+    * shuffle, fully SQL-mirrorable.
+    */
+  def repeatedShingleFraction(c: Column, k: Int = 3): Column = {
+    val sh = wordShingles(c, k)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
     * — "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
     * k-char gram of the normalized text, slide a window of w consecutive gram

@@ -64,4 +64,25 @@ object Sampling {
       .orderBy(hashBucket(col(keyCol)), col(keyCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
   }
+
+  /** Deterministic source-mixture sampling: keep a per-group fraction of
+    * rows — the "re-weight corpus sources toward a target data mixture"
+    * op of a training pipeline. The fractions map is bounded config (one
+    * entry per source), embedded in the plan as a CASE chain: no join, no
+    * shuffle, one filter that composes with scan pushdown. Groups absent
+    * from the map keep `defaultFraction`. Same stability contract as
+    * [[sampleByHash]]: membership is a pure function of the key.
+    */
+  def mixture(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+  ): DataFrame = {
+    val cut = fractions.foldLeft(lit(hexCut(defaultFraction))) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(hexCut(f))).otherwise(acc)
+    }
+    df.where(hashBucket(col(keyCol)) < cut)
+  }
 }

@@ -83,6 +83,64 @@ class Round4Spec extends SparkSpec {
     assert(roll == expected)
   }
 
+  test("contaminated finds exactly the train docs sharing an 8-word shingle with eval") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val train = Seq(
+      (1L, s"prefix words here $base and a tail"),   // contains the eval passage
+      (2L, "totally disjoint text with other words entirely distinct tokens"),
+      (3L, base),                                     // exact eval doc
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, base)).toDF("doc_id", "text")
+    val ids = graft.dedup.Dedup.contaminated(train, eval, "doc_id", "text", k = 8)
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 3L))
+  }
+
+  test("repeatedShingleFraction: unique text 0, fully repeated text > 0") {
+    val df = Seq(
+      (1L, "a b c d e f"),                 // all 3-shingles distinct
+      (2L, "x y z x y z x y z x y z"),     // heavy repetition
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextFunctions.repeatedShingleFraction(col("text"), 3).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) > 0.5)
+  }
+
+  test("mixture keeps per-group fractions deterministically") {
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx")).toDF("id", "grp")
+    val kept = Sampling.mixture(df, "grp", "id", Map("en" -> 0.5, "xx" -> 0.1))
+    val counts = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("en") - 1000L) < 150, s"en kept ${counts("en")}")
+    assert(math.abs(counts("xx") - 200L) < 80, s"xx kept ${counts.getOrElse("xx", 0L)}")
+    // deterministic: same rows on re-run regardless of partitioning
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = Sampling.mixture(df.repartition(7), "grp", "id", Map("en" -> 0.5, "xx" -> 0.1))
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("packGreedy: budget boundaries, oversized docs, per-group reset, determinism") {
+    val df = Seq(
+      ("a", 1L, 60L), ("a", 2L, 50L), ("a", 3L, 10L),  // 60+50 > 100 → pack split after id1? 60+50=110>100 → id2 opens pack 1; +10=60 stays
+      ("a", 4L, 250L),                                  // oversized → own pack
+      ("a", 5L, 5L),                                    // 250+5 > 100 → new pack
+      ("b", 6L, 30L), ("b", 7L, 30L),                   // fresh counter per group
+    ).toDF("grp", "id", "tokens")
+    val out = Packing.packGreedy(df, "grp", "id", "tokens", budget = 100L)
+      .select("grp", "id", "pack_id").as[(String, Long, Long)].collect()
+      .map { case (g, i, p) => (g, i) -> p }.toMap
+    assert(out(("a", 1L)) == 0 && out(("a", 2L)) == 1 && out(("a", 3L)) == 1)
+    assert(out(("a", 4L)) == 2 && out(("a", 5L)) == 3)
+    assert(out(("b", 6L)) == 0 && out(("b", 7L)) == 0)
+    // partitioning-independent
+    val re = Packing.packGreedy(df.repartition(5), "grp", "id", "tokens", budget = 100L)
+      .select("grp", "id", "pack_id").as[(String, Long, Long)].collect()
+      .map { case (g, i, p) => (g, i) -> p }.toMap
+    assert(re == out)
+  }
+
   test("approx_count_distinct stays within the default rsd envelope") {
     val df  = (1 to 10000).map(i => i % 997).toDF("k")
     val row = df.agg(approx_count_distinct("k").as("a"), countDistinct("k").as("e")).collect()(0)
