@@ -486,4 +486,6 @@ object NativeFunctions {
   def jaccardSorted(a: Column, b: Column): Column = c(JaccardSortedExpr(x(a), x(b)))
   def sigAgreement(a: Column, b: Column): Column  = c(SigAgreementExpr(x(a), x(b)))
   def textStats(text: Column): Column             = c(TextStatsExpr(x(text)))
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    c(WinnowFingerprintsExpr(x(text), k, w))
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -82,6 +83,158 @@ object TextImpl {
     }
     new GenericInternalRow(Array[Any](chars, tokens, stop, punct, tokLen))
   }
+
+  /** `regexp_replace(lower(trim(c)), "\s+", " ")` — the exact
+    * [[TextFunctions.normalizeText]] semantics in one pass: trim strips ASCII
+    * spaces only (Spark SQL trim), lowercase via UTF8String (same unicode
+    * mapping Spark's `lower` uses), then runs of Java-regex `\s`
+    * (space/tab/NL/VT/FF/CR) collapse to a single space. Leading/trailing
+    * non-space whitespace therefore survives as a single leading/trailing
+    * space, exactly as the Column composition (and the DuckDB oracles that
+    * mirror it) produce.
+    */
+  def normalize(u: UTF8String): String = {
+    val lowered = u.trim().toLowerCase().toString
+    var needs = false
+    var i     = 0
+    while (i < lowered.length && !needs) {
+      val c = lowered.charAt(i)
+      if (isWs(c) && (c != ' ' || (i + 1 < lowered.length && isWs(lowered.charAt(i + 1)))))
+        needs = true
+      i += 1
+    }
+    if (!needs) lowered
+    else {
+      val sb = new java.lang.StringBuilder(lowered.length)
+      var j  = 0
+      while (j < lowered.length) {
+        val c = lowered.charAt(j)
+        if (isWs(c)) {
+          sb.append(' ')
+          while (j < lowered.length && isWs(lowered.charAt(j))) j += 1
+        } else { sb.append(c); j += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private final val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex8(v: Int): UTF8String = {
+    val out = new Array[Byte](8)
+    var i   = 0
+    while (i < 8) {
+      out(i) = HexChars((v >>> (28 - 4 * i)) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03) in ONE pass: md5 every k-char gram of the normalized text,
+    * slide a window of w gram hashes keeping each window's min (monotonic
+    * deque — O(n) total, not O(n·w)), dedup preserving first occurrence.
+    *
+    * Exactly mirrors the former Column composition (and the q62 DuckDB
+    * oracle): hashes are the FIRST 8 HEX CHARS of md5 — i.e. the first 4
+    * digest bytes — which compare lexicographically the same as unsigned
+    * 32-bit ints, so the sliding min runs on ints and hex is rendered only
+    * for the surviving fingerprints. Grams are code-point substrings
+    * (Spark `substr`/`length` count code points); each gram's md5 is taken
+    * over its UTF-8 bytes, which are a contiguous slice of the normalized
+    * text's UTF-8 bytes — one `getBytes` for the whole document, zero
+    * per-gram string allocation.
+    *
+    * The Column/HOF version re-evaluated the whole gram-hash array inside
+    * the sliding-window lambda (Spark HOFs re-evaluate non-lambda-variable
+    * subexpressions per invocation): O(len²) interpreted md5s per row,
+    * 472 s for 500 ~300-char docs. This is the same round-2 lesson as
+    * [[graft.functions.HashImpl]] — single tree node, one tight JVM loop.
+    */
+  def winnowFingerprints(u: UTF8String, k: Int, w: Int): ArrayData = {
+    val norm  = normalize(u)
+    val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val md    = md5Local.get()
+
+    // code-point count + UTF-8 byte offset of each code point
+    val byteOff = new Array[Int](norm.length + 1)
+    var cp = 0
+    var b  = 0
+    var ci = 0
+    while (ci < norm.length) {
+      byteOff(cp) = b
+      val code = norm.codePointAt(ci)
+      b += (if (code < 0x80) 1 else if (code < 0x800) 2 else if (code < 0x10000) 3 else 4)
+      ci += Character.charCount(code)
+      cp += 1
+    }
+    byteOff(cp) = bytes.length
+
+    def first4(d: Array[Byte]): Int =
+      ((d(0) & 0xFF) << 24) | ((d(1) & 0xFF) << 16) | ((d(2) & 0xFF) << 8) | (d(3) & 0xFF)
+
+    val nGrams = if (cp <= k) 1 else cp - k + 1
+    val hs     = new Array[Int](nGrams)
+    if (cp <= k) {
+      md.reset(); md.update(bytes)
+      hs(0) = first4(md.digest())
+    } else {
+      var i = 0
+      while (i < nGrams) {
+        md.reset(); md.update(bytes, byteOff(i), byteOff(i + k) - byteOff(i))
+        hs(i) = first4(md.digest())
+        i += 1
+      }
+    }
+
+    val fps = new java.util.LinkedHashSet[Integer]()
+    if (nGrams <= w) {
+      var min = hs(0)
+      var i   = 1
+      while (i < nGrams) {
+        if (java.lang.Integer.compareUnsigned(hs(i), min) < 0) min = hs(i)
+        i += 1
+      }
+      fps.add(min)
+    } else {
+      // monotonic deque of indices: front = min of current window
+      val deque = new Array[Int](nGrams)
+      var head  = 0
+      var tail  = 0 // exclusive
+      var i     = 0
+      while (i < nGrams) {
+        while (tail > head && java.lang.Integer.compareUnsigned(hs(deque(tail - 1)), hs(i)) >= 0)
+          tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) fps.add(hs(deque(head)))
+        i += 1
+      }
+    }
+
+    val out = new Array[Any](fps.size())
+    val it  = fps.iterator()
+    var o   = 0
+    while (it.hasNext) { out(o) = hex8(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing fingerprints as a single codegen'd tree node — see
+  * [[TextImpl.winnowFingerprints]] for semantics and the O(len²)-HOF story.
+  */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int) extends GraftUnaryCodegen {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextImpl.winnowFingerprints($c, $k, $w)"
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
 }
 
 case class TextStatsExpr(child: Expression) extends GraftUnaryCodegen {

@@ -187,17 +187,13 @@ object TextFunctions {
     * compares lexicographically the same as numerically, and both Spark and
     * DuckDB compute identical md5, so the operator is oracle-mirrorable
     * end-to-end. Texts shorter than k yield one whole-text fingerprint.
+    *
+    * Implemented as a native codegen'd expression
+    * ([[graft.functions.WinnowFingerprintsExpr]]): the HOF composition this
+    * replaces re-evaluated the whole gram-hash array inside the
+    * sliding-window lambda — O(len²) interpreted md5s per row, which timed
+    * out the round-4 bench. Semantics (and the q62 oracle) are unchanged.
     */
-  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column = {
-    require(k >= 1 && w >= 1, "k and w must be >= 1")
-    val norm  = normalizeText(c)
-    val len   = length(norm)
-    val grams = when(len <= k, array(norm))
-      .otherwise(transform(sequence(lit(1), len - k + 1), i => norm.substr(i, lit(k))))
-    val hashes = transform(grams, g => substring(md5(g), 1, 8))
-    val n      = size(hashes)
-    val mins = when(n <= w, array(array_min(hashes)))
-      .otherwise(transform(sequence(lit(1), n - w + 1), j => array_min(slice(hashes, j, lit(w)))))
-    array_distinct(mins)
-  }
+  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column =
+    NativeFunctions.winnowFingerprints(c, k, w)
 }

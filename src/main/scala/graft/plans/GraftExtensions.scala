@@ -100,6 +100,13 @@ object GraftFunctions {
       case Seq(a, b) => SqDistExpr(a, b)
       case args      => throw new IllegalArgumentException(s"expects 2 args, got ${args.length}")
     },
+    fn("graft_winnow_fingerprints",
+      "graft_winnow_fingerprints(text[, k[, w]]) - winnowing md5-hex8 fingerprints (SIGMOD'03)") {
+      case Seq(t)       => WinnowFingerprintsExpr(t, 8, 4)
+      case Seq(t, k)    => WinnowFingerprintsExpr(t, intArg("k", k), 4)
+      case Seq(t, k, w) => WinnowFingerprintsExpr(t, intArg("k", k), intArg("w", w))
+      case args         => throw new IllegalArgumentException(s"expects 1-3 args, got ${args.length}")
+    },
   )
 
   /** Register (or re-register) every graft function on a live session. */

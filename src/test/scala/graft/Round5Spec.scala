@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.{NativeFunctions, TextFunctions, TextImpl}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Prop.forAll
+
+/** Round-5 regressions: the native winnowing expression must reproduce the
+  * (oracle-verified) Column/HOF composition it replaced, bit for bit.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, minTests: Int = 30): Unit = {
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** The round-4 Column composition, kept verbatim as the semantic reference
+    * (it hash-matched the q62 DuckDB oracle; it was replaced only because
+    * HOF free-variable re-evaluation made it O(len²) per row).
+    */
+  private def winnowColumnRef(c: Column, k: Int, w: Int): Column = {
+    val norm  = TextFunctions.normalizeText(c)
+    val len   = length(norm)
+    val grams = when(len <= k, array(norm))
+      .otherwise(transform(sequence(lit(1), len - k + 1), i => norm.substr(i, lit(k))))
+    val hashes = transform(grams, g => substring(md5(g), 1, 8))
+    val n      = size(hashes)
+    val mins = when(n <= w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), n - w + 1), j => array_min(slice(hashes, j, lit(w)))))
+    array_distinct(mins)
+  }
+
+  private def bothWays(texts: Seq[String], k: Int, w: Int): Unit = {
+    val df = texts.toDF("t")
+    val native = df.select(NativeFunctions.winnowFingerprints($"t", k, w)).as[Seq[String]].collect()
+    val ref    = df.select(winnowColumnRef($"t", k, w)).as[Seq[String]].collect()
+    assert(native.toSeq == ref.toSeq, s"k=$k w=$w texts=${texts.take(3)}...")
+  }
+
+  private val edgeTexts = Seq(
+    "",
+    " ",
+    "   ",
+    "x",
+    "short",
+    "exactly8",
+    "exactly9c",
+    "The quick brown fox jumps over the lazy dog",
+    "AAAAAAAAAAAAAAAAAAAAAAAA",
+    "  leading and trailing  ",
+    "tab\tseparated\twords",
+    "\tleading tab",
+    "trailing tab\t",
+    "line\nbreaks\r\nandvertical\ftabs",
+    "MiXeD CaSe TeXt with Punctuation!!! and numbers 12345",
+    "répétition café naïve — unicode œuvre",
+    "日本語のテキストです、これはテストです",
+    ("lorem ipsum dolor sit amet " * 20).trim,
+  )
+
+  test("winnow native == Column reference on edge-case texts (k=8, w=4)") {
+    bothWays(edgeTexts, 8, 4)
+  }
+
+  test("winnow native == Column reference at other (k, w)") {
+    for ((k, w) <- Seq((1, 1), (2, 3), (5, 10), (12, 2)))
+      bothWays(edgeTexts, k, w)
+  }
+
+  test("winnow native == Column reference on random whitespace-rich text") {
+    val wsChar = Gen.oneOf(' ', ' ', ' ', '\t', '\n', '\r', '\u000B', '\f')
+    val chunk  = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(12).mkString),
+      wsChar.map(_.toString),
+    )
+    val textGen = Gen.listOf(chunk).map(_.take(60).mkString)
+    check(forAll(textGen) { t =>
+      val df     = Seq(t).toDF("t")
+      val native = df.select(NativeFunctions.winnowFingerprints($"t", 8, 4)).as[Seq[String]].collect().head
+      val ref    = df.select(winnowColumnRef($"t", 8, 4)).as[Seq[String]].collect().head
+      native == ref
+    })
+  }
+
+  test("winnow guarantee: shared passage of length >= w+k-1 shares a fingerprint") {
+    val passage = "the common copied passage that is long enough to fingerprint"
+    val a = s"unique prefix alpha $passage unique suffix alpha"
+    val b = s"totally different beginning $passage and a different end"
+    val fps = Seq(a, b).toDF("t")
+      .select(NativeFunctions.winnowFingerprints($"t", 8, 4).as("fp")).as[Seq[String]].collect()
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
+  }
+
+  test("winnow null text -> null, and is registered as a SQL function") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_winnow_fingerprints(CAST(NULL AS STRING)) AS a, " +
+        "graft_winnow_fingerprints('hello world, a test document', 8, 4) AS b")
+      .collect().head
+    assert(out.isNullAt(0))
+    assert(out.getSeq[String](1).nonEmpty)
+  }
+
+  test("winnow is linear-ish: 20k-char doc fingerprints in well under a second") {
+    val doc = ("abcdefghij " * 2000).trim
+    val t0  = System.nanoTime()
+    val n   = TextImpl.winnowFingerprints(UTF8String.fromString(doc), 8, 4).numElements()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n > 0)
+    assert(sec < 1.0, s"took $sec s for 20k chars — quadratic regression?")
+  }
+}
