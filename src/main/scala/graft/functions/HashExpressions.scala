@@ -488,4 +488,5 @@ object NativeFunctions {
   def textStats(text: Column): Column             = c(TextStatsExpr(x(text)))
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     c(WinnowFingerprintsExpr(x(text), k, w))
+  def wordShingles(text: Column, k: Int = 3): Column = c(WordShinglesExpr(x(text), k))
 }

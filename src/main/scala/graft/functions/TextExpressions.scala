@@ -118,6 +118,49 @@ object TextImpl {
     }
   }
 
+  /** k-word shingles with the exact
+    * `tokens(normalizeText(c))`-then-`concat_ws` Column semantics
+    * ([[TextFunctions.wordShingles]]): normalize (trim spaces, lower,
+    * collapse `\s+` runs), re-trim the single leading/trailing space a
+    * non-space whitespace edge leaves behind, split on the single spaces —
+    * so no empty tokens ever — then join each k-window with spaces. Fewer
+    * than k tokens → one whole-text shingle (empty string for blank input,
+    * like `concat_ws` over an empty array).
+    *
+    * Same O(len²) HOF story as winnowing: the Column version left `toks`
+    * free inside the window lambda, re-splitting the text once per shingle.
+    */
+  def wordShingles(u: UTF8String, k: Int): ArrayData = {
+    val norm = normalize(u)
+    var lo   = 0
+    var hi   = norm.length
+    if (hi > lo && norm.charAt(lo) == ' ') lo += 1
+    if (hi > lo && norm.charAt(hi - 1) == ' ') hi -= 1
+    val core = norm.substring(lo, hi)
+    val toks: Array[String] =
+      if (core.isEmpty) Array.empty[String] else core.split(" ")
+    if (toks.length < k) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val n   = toks.length - k + 1
+      val out = new Array[Any](n)
+      val sb  = new java.lang.StringBuilder(64)
+      var i   = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -221,6 +264,20 @@ object TextImpl {
     while (it.hasNext) { out(o) = hex8(it.next()); o += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** k-word shingles as a single codegen'd tree node — see
+  * [[TextImpl.wordShingles]].
+  */
+case class WordShinglesExpr(child: Expression, k: Int) extends GraftUnaryCodegen {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.wordShingles(input.asInstanceOf[UTF8String], k)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextImpl.wordShingles($c, $k)"
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
 }
 
 /** Winnowing fingerprints as a single codegen'd tree node — see

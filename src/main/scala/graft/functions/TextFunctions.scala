@@ -134,13 +134,15 @@ object TextFunctions {
     }
   }
 
-  /** k-word shingles over the normalized text (the MinHash input). */
-  def wordShingles(c: Column, k: Int = 3): Column = {
-    val toks = tokens(normalizeText(c))
-    val n    = size(toks)
-    when(n < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** k-word shingles over the normalized text (the MinHash input).
+    *
+    * Native expression ([[graft.functions.WordShinglesExpr]]): the HOF
+    * composition left the token array free inside the window lambda —
+    * re-splitting the text once per shingle, O(tokens²) interpreted work
+    * per row (the same bug class as the round-4 winnowing bench-killer).
+    */
+  def wordShingles(c: Column, k: Int = 3): Column =
+    NativeFunctions.wordShingles(c, k)
 
   /** Distinct 64-bit shingle hashes — the set representation used by MinHash
     * and Jaccard verification. Hashing shingles to longs up front keeps every
@@ -149,14 +151,14 @@ object TextFunctions {
   def shingleHashes(c: Column, k: Int = 3): Column =
     array_distinct(transform(wordShingles(c, k), s => xxhash64(s)))
 
-  /** Character n-gram hash set (for n-gram Jaccard near-dup). */
-  def charNgramHashes(c: Column, n: Int = 5): Column = {
-    val norm = normalizeText(c)
-    val len  = length(norm)
-    val grams = when(len <= n, array(norm))
-      .otherwise(transform(sequence(lit(1), len - n + 1), i => norm.substr(i, lit(n))))
-    array_distinct(transform(grams, g => xxhash64(g)))
-  }
+  /** Character n-gram hash set (for n-gram Jaccard near-dup). Delegates to
+    * the native [[graft.functions.CharNgramHashesExpr]] (the production path
+    * q40 already uses): the HOF composition re-normalized the text inside
+    * the gram lambda — O(len²) per row. The native set is sorted (set
+    * semantics; every consumer — Jaccard, MinHash — is order-insensitive).
+    */
+  def charNgramHashes(c: Column, n: Int = 5): Column =
+    NativeFunctions.charNgramHashes(c, n)
 
   /** Exact Jaccard similarity of two pre-hashed sets. */
   def jaccard(a: Column, b: Column): Column = {

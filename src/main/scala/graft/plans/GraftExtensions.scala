@@ -100,6 +100,11 @@ object GraftFunctions {
       case Seq(a, b) => SqDistExpr(a, b)
       case args      => throw new IllegalArgumentException(s"expects 2 args, got ${args.length}")
     },
+    fn("graft_word_shingles", "graft_word_shingles(text[, k]) - k-word shingles of normalized text") {
+      case Seq(t)    => WordShinglesExpr(t, 3)
+      case Seq(t, k) => WordShinglesExpr(t, intArg("k", k))
+      case args      => throw new IllegalArgumentException(s"expects 1-2 args, got ${args.length}")
+    },
     fn("graft_winnow_fingerprints",
       "graft_winnow_fingerprints(text[, k[, w]]) - winnowing md5-hex8 fingerprints (SIGMOD'03)") {
       case Seq(t)       => WinnowFingerprintsExpr(t, 8, 4)

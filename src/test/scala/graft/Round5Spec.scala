@@ -86,6 +86,40 @@ class Round5Spec extends SparkSpec {
     })
   }
 
+  /** The round-4 Column composition of wordShingles, kept verbatim as the
+    * semantic reference (q65/q66 oracles mirror it).
+    */
+  private def wordShinglesColumnRef(c: Column, k: Int): Column = {
+    val toks = TextFunctions.tokens(TextFunctions.normalizeText(c))
+    val n    = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  test("wordShingles native == Column reference on edge-case texts") {
+    for (k <- Seq(1, 2, 3, 8)) {
+      val df     = edgeTexts.toDF("t")
+      val native = df.select(graft.functions.NativeFunctions.wordShingles($"t", k)).as[Seq[String]].collect()
+      val ref    = df.select(wordShinglesColumnRef($"t", k)).as[Seq[String]].collect()
+      assert(native.toSeq == ref.toSeq, s"k=$k")
+    }
+  }
+
+  test("wordShingles native == Column reference on random whitespace-rich text") {
+    val wsChar = Gen.oneOf(' ', ' ', ' ', '\t', '\n', '\r', '\u000B', '\f')
+    val chunk = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(10).mkString),
+      wsChar.map(_.toString),
+    )
+    val textGen = Gen.listOf(chunk).map(_.take(50).mkString)
+    check(forAll(textGen) { t =>
+      val df     = Seq(t).toDF("t")
+      val native = df.select(graft.functions.NativeFunctions.wordShingles($"t", 3)).as[Seq[String]].collect().head
+      val ref    = df.select(wordShinglesColumnRef($"t", 3)).as[Seq[String]].collect().head
+      native == ref
+    })
+  }
+
   test("winnow guarantee: shared passage of length >= w+k-1 shares a fingerprint") {
     val passage = "the common copied passage that is long enough to fingerprint"
     val a = s"unique prefix alpha $passage unique suffix alpha"
