@@ -7,11 +7,48 @@ import org.apache.spark.sql.SparkSession
   *   showed 15–26 s of pure first-query JVM cost otherwise).
   * - Failure honesty: a crashed query is reported in an `errors` map with
   *   elapsed -1, never as a plausible wall-time.
+  * - Per-query wall-clock budget (SPARK_GRAFT_QUERY_BUDGET_SEC, default
+  *   120 s at the target SF): a pathological query gets its job group
+  *   cancelled and one red `errors` entry — it can never erase the other
+  *   results again (round 4's bench died rc=124 inside ONE quadratic query
+  *   and the driver got no numbers at all).
+  * - Per-query progress streams to stderr as results land; stdout stays the
+  *   single JSON line the driver parses.
   */
 object Bench {
+
+  /** Run `body` in its own thread under a cancellable job group; returns
+    * Right(result) or Left(error string) on crash/timeout. The thread is the
+    * job-group owner, so cancelJobGroup kills exactly this query's jobs.
+    */
+  private def withBudget[T](spark: SparkSession, name: String, budgetSec: Int)(
+      body: => T): Either[String, T] = {
+    @volatile var out: Either[String, T] = Left("did not run")
+    val t = new Thread(() => {
+      spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+      out =
+        try Right(body)
+        catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      finally spark.sparkContext.clearJobGroup()
+    }, s"bench-$name")
+    t.setDaemon(true)
+    t.start()
+    t.join(budgetSec * 1000L)
+    if (t.isAlive) {
+      spark.sparkContext.cancelJobGroup(s"bench-$name")
+      t.interrupt()
+      t.join(10000L)
+      Left(s"timeout after ${budgetSec}s (job group cancelled)")
+    } else out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "120").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,18 +62,22 @@ object Bench {
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
-      sorted.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      sorted.foreach { case (name, fn) =>
+        withBudget(spark, s"warmup-$name", budgetSec)(fn(spark, warmupDir).count())
       }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
-        name -> -1.0
+      val r = withBudget(spark, name, budgetSec)(fn(spark, sfDir).count())
+      val sec = (System.nanoTime() - t0) / 1e9
+      r match {
+        case Right(_) =>
+          System.err.println(f"[bench] $name%-28s ${sec}%8.2f s")
+          name -> sec
+        case Left(err) =>
+          errors(name) = err
+          System.err.println(f"[bench] $name%-28s   FAILED  $err")
+          name -> -1.0
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -45,5 +86,10 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    // non-daemon Spark threads (e.g. an interrupted streaming query) must not
+    // keep the JVM alive past the report — the round-4 failure mode was an
+    // rc-124 harness kill with NOTHING on stdout.
+    System.out.flush()
+    sys.exit(0)
   }
 }
