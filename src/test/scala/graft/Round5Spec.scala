@@ -139,6 +139,31 @@ class Round5Spec extends SparkSpec {
     assert(out.getSeq[String](1).nonEmpty)
   }
 
+  test("legacy .xls (OLE2/BIFF) gets an actionable error, not 'no worksheet'") {
+    val dir  = tmpDir()
+    val path = s"$dir/legacy.xls"
+    val out  = new java.io.FileOutputStream(path)
+    out.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    out.write(new Array[Byte](512))
+    out.close()
+    val e = intercept[UnsupportedOperationException] {
+      graft.ops.LoadFile.toDataFrame(spark, graft.model.File(path))
+    }
+    assert(e.getMessage.contains("97-2003"))
+    assert(e.getMessage.contains(".xlsx"))
+  }
+
+  test("SpreadsheetML content with a .xls extension still reads") {
+    val dir = tmpDir()
+    val df  = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    graft.ops.ExportToFile.df(spark, df, graft.model.File(s"$dir/data.xlsx"),
+      graft.model.IfExists.Replace, singleFile = true)
+    val renamed = s"$dir/data.xls"
+    assert(new java.io.File(s"$dir/data.xlsx").renameTo(new java.io.File(renamed)))
+    val back = graft.ops.LoadFile.toDataFrame(spark, graft.model.File(renamed))
+    assert(back.count() == 2)
+  }
+
   test("winnow is linear-ish: 20k-char doc fingerprints in well under a second") {
     val doc = ("abcdefghij " * 2000).trim
     val t0  = System.nanoTime()
