@@ -2,7 +2,8 @@ package graft.ops
 
 import graft.model.{MergeConflict, Table}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, raise_error, when}
 
 /** `merge`: upsert source into target on conflict columns, strategy
   * ignore | update | exception
@@ -30,12 +31,39 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * — the documented stance, matching Snowflake's default
   * ERROR_ON_NONDETERMINISTIC_MERGE and Postgres's "cannot affect row a second
   * time" (a silent arbitrary winner would be nondeterministic at scale).
+  * The check rides INSIDE the merge plan — a `count(*) over (partition by
+  * keys)` window guarding the first key column — so it reuses the key
+  * shuffle the join needs anyway instead of a separate full-source
+  * aggregate job (at 100 TB the old pre-check was a full extra pass).
+  * Pipelines that guarantee unique sources can skip even the window with
+  * `failOnDuplicateSourceKeys = false` (with a dup source that setting
+  * yields nondeterministic results, exactly like the warehouses' opt-outs).
   *
   * Scale: both sides shuffle by the conflict keys; AQE broadcasts the source
   * when it is small and handles key skew. The `update` rewrite is one extra
   * full write — the unavoidable cost of upsert on immutable files.
   */
 object Merge {
+
+  private val DupMsg =
+    "merge source contains duplicate conflict-key rows - nondeterministic merge " +
+      "(matches Snowflake ERROR_ON_NONDETERMINISTIC_MERGE / Postgres ON CONFLICT semantics)"
+
+  /** The in-plan guard raises through the executor as a wrapped
+    * SparkRuntimeException; surface the documented IllegalStateException.
+    */
+  private def translatingDupError[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          if (Option(c.getMessage).exists(_.contains("duplicate conflict-key rows")))
+            throw new IllegalStateException(DupMsg, e)
+          c = c.getCause
+        }
+        throw e
+    }
 
   def apply(
       spark: SparkSession,
@@ -44,8 +72,10 @@ object Merge {
       columns: Map[String, String], // source col -> target col
       conflictColumns: Seq[String], // target key columns
       strategy: MergeConflict,
+      failOnDuplicateSourceKeys: Boolean = true,
   ): Table =
-    mergeDf(spark, spark.table(source.qualifiedName), target, columns, conflictColumns, strategy)
+    mergeDf(spark, spark.table(source.qualifiedName), target, columns, conflictColumns, strategy,
+      failOnDuplicateSourceKeys)
 
   def mergeDf(
       spark: SparkSession,
@@ -54,6 +84,7 @@ object Merge {
       columns: Map[String, String],
       conflictColumns: Seq[String],
       strategy: MergeConflict,
+      failOnDuplicateSourceKeys: Boolean = true,
   ): Table = {
     require(conflictColumns.nonEmpty, "merge requires at least one conflict column")
     val tgtDf     = spark.table(target.qualifiedName)
@@ -68,7 +99,7 @@ object Merge {
     require(missingKeys.isEmpty, s"conflict columns not covered by the column mapping: $missingKeys")
 
     // Source projected to target names/types for the mapped columns.
-    val srcT = source.select(mapping.toSeq.sortBy(_._1).map { case (tgt0, src0) =>
+    val srcMapped = source.select(mapping.toSeq.sortBy(_._1).map { case (tgt0, src0) =>
       val f = tgtSchema.fields.find(_.name.equalsIgnoreCase(tgt0)).getOrElse(
         throw new IllegalArgumentException(s"unknown target column in mapping: $tgt0"))
       col(src0).cast(f.dataType).as(f.name)
@@ -77,11 +108,22 @@ object Merge {
     val keys = conflictColumns.map(k => tgtSchema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
       throw new IllegalArgumentException(s"unknown conflict column: $k")))
 
-    val dupKeys = srcT.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
-    if (dupKeys > 0)
-      throw new IllegalStateException(
-        "merge source contains duplicate conflict-key rows — nondeterministic merge " +
-          "(matches Snowflake ERROR_ON_NONDETERMINISTIC_MERGE / Postgres ON CONFLICT semantics)")
+    // Dup-key rejection inside the plan: per-key window count; a count > 1
+    // detonates raise_error folded into the FIRST KEY COLUMN (a column every
+    // strategy must evaluate, so pruning cannot drop the guard). The window's
+    // HashPartitioning(keys) satisfies the downstream join requirement —
+    // no exchange is added and the old separate aggregate job is gone.
+    val srcT =
+      if (!failOnDuplicateSourceKeys) srcMapped
+      else {
+        val k0     = keys.head
+        val k0Type = tgtSchema.fields.find(_.name == k0).get.dataType
+        srcMapped
+          .withColumn("__kc", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+          .withColumn(k0,
+            when(col("__kc") > 1, raise_error(lit(DupMsg)).cast(k0Type)).otherwise(col(k0)))
+          .drop("__kc")
+      }
 
     // Expand the mapped projection to the full target schema (unmapped -> NULL),
     // like INSERT INTO t (mapped...) SELECT ... .
@@ -92,7 +134,7 @@ object Merge {
       }: _*)
     }
 
-    strategy match {
+    translatingDupError(strategy match {
       case MergeConflict.Ignore =>
         val newRows = expand(srcT.join(tgtDf.select(keys.map(col): _*), keys, "left_anti"))
         appendViaStaging(spark, newRows, target)
@@ -121,7 +163,7 @@ object Merge {
         }
         val merged = t.join(s, joinCond, "full_outer").select(outCols: _*)
         rewrite(spark, merged, target)
-    }
+    })
     target
   }
 

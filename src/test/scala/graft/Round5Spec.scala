@@ -164,6 +164,22 @@ class Round5Spec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("merge failOnDuplicateSourceKeys=false skips the dup guard (caller-guaranteed uniqueness)") {
+    import graft.model.{MergeConflict, Table}
+    val t = Table("r5_merge_optout")
+    Seq((1, "a")).toDF("k", "v").write.saveAsTable(t.qualifiedName)
+    val dup = Seq((2, "x"), (2, "y")).toDF("k", "v")
+    // guard ON -> rejected
+    intercept[IllegalStateException] {
+      graft.ops.Merge.mergeDf(spark, dup, t, Map.empty, Seq("k"), MergeConflict.Ignore)
+    }
+    // guard OFF -> proceeds (documented nondeterministic-with-dups contract)
+    graft.ops.Merge.mergeDf(spark, dup, t, Map.empty, Seq("k"), MergeConflict.Ignore,
+      failOnDuplicateSourceKeys = false)
+    assert(spark.table(t.qualifiedName).filter($"k" === 2).count() == 2)
+    spark.sql(s"DROP TABLE ${t.qualifiedName}")
+  }
+
   test("winnow is linear-ish: 20k-char doc fingerprints in well under a second") {
     val doc = ("abcdefghij " * 2000).trim
     val t0  = System.nanoTime()
