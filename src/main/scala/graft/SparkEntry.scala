@@ -1462,7 +1462,8 @@ object SparkEntry {
         |SELECT doc_id, round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
         |  AS dup_shingle_frac FROM g""".stripMargin,
 
-    // hexCut(0.5)=80000000, hexCut(0.1)=19999999, default ffffffff
+    // hexCut(0.5)=80000000, hexCut(0.1)=19999999, default 'g' (keep-all
+    // sentinel: compares greater than every 8-hex bucket)
     "q67_mixture" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
@@ -1478,7 +1479,7 @@ object SparkEntry {
         |ELSE 'es' END AS lang_id FROM s)
         |SELECT doc_id, lang_id FROM l
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-        |  CASE lang_id WHEN 'en' THEN '80000000' WHEN 'und' THEN '19999999' ELSE 'ffffffff' END""".stripMargin,
+        |  CASE lang_id WHEN 'en' THEN '80000000' WHEN 'und' THEN '19999999' ELSE 'g' END""".stripMargin,
 
     // replays Packing.packGreedy(budget=200) row by row per language group:
     // recursive step walks rn → rn+1 carrying (pack_id, running token sum)

@@ -47,7 +47,17 @@ object Packing {
       var pack: Long     = 0L
       var first          = true
       rows.map { r =>
-        val grp    = r.getString(0)
+        val grp = r.getString(0)
+        // A null id/token count (e.g. tokenCount of a null text column) would
+        // otherwise surface as an opaque NullPointerException from getLong —
+        // and the declared nullable=false schema would be a lie.
+        if (r.isNullAt(1))
+          throw new IllegalArgumentException(
+            s"packGreedy: null $idCol — document ids must be non-null (filter or fill first)")
+        if (r.isNullAt(2))
+          throw new IllegalArgumentException(
+            s"packGreedy: null $tokenCol for id=${r.getLong(1)} — token counts must be " +
+              "non-null (a null text column yields a null tokenCount; filter or fill first)")
         val id     = r.getLong(1)
         val tokens = r.getLong(2)
         if (first || grp != curGrp) {

@@ -24,11 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Lowercase 8-hex-char cut point for fraction `f` of the 32-bit space. */
+  /** Lowercase 8-hex-char cut point for fraction `f` of the 32-bit space.
+    * `f >= 1.0` returns the sentinel `"g"`, which compares greater than every
+    * 8-hex bucket in any bytewise-ASCII engine ('g' > 'f') — a strict `<`
+    * against `"ffffffff"` would silently drop keys whose bucket is exactly
+    * `ffffffff` (~2.3e-10 of keys: real documents at 100 TB scale) from
+    * groups whose contract is "keep everything".
+    */
   private[graft] def hexCut(f: Double): String = {
     require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f")
-    val cut = math.min((f * 4294967296.0).toLong, 4294967295L)
-    f"$cut%08x"
+    if (f >= 1.0) "g"
+    else f"${(f * 4294967296.0).toLong}%08x"
   }
 
   /** The stable per-row hash bucket: first 8 hex chars of md5(key). */

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Stream-stream equi-join with an event-time range constraint — the
   * enrichment shape of a training-data ingest pipeline (e.g. attach the
@@ -40,12 +40,15 @@ object StreamJoin {
   ): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
+    // Column API, not an expr() string splice: caller-supplied names needing
+    // backticks (dots, spaces, hyphens) would fail to parse — or worse, parse
+    // as expressions. Only the literal interval goes through expr().
+    val lag = expr(s"interval $maxLagSeconds seconds")
     l.join(
       r,
-      expr(
-        s"$leftKey = $rightKey AND " +
-          s"$rightTs >= $leftTs - interval $maxLagSeconds seconds AND " +
-          s"$rightTs <= $leftTs"),
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - lag &&
+        col(rightTs) <= col(leftTs),
       joinType,
     )
   }

@@ -48,6 +48,17 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hexCut(0.8) == "cccccccc")
     assert(Sampling.hexCut(0.9) == "e6666666")
     assert(Sampling.hexCut(0.0) == "00000000")
-    assert(Sampling.hexCut(1.0) == "ffffffff")
+    // keep-all sentinel: strictly greater than every 8-hex bucket, so
+    // fraction 1.0 keeps even keys hashing to exactly "ffffffff"
+    assert(Sampling.hexCut(1.0) == "g")
+    assert("ffffffff" < Sampling.hexCut(1.0))
+  }
+
+  test("fraction 1.0 keeps every row, including buckets of exactly ffffffff") {
+    val df = Seq("k1", "k2", "k3").toDF("id")
+      .union(Seq("__sentinel__").toDF("id"))
+    assert(Sampling.sampleByHash(df, "id", 1.0).count() == df.count())
+    // direct unit check of the comparison the filter performs
+    assert("ffffffff" < "g" && "00000000" < "g")
   }
 }
