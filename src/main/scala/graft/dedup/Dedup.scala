@@ -62,6 +62,22 @@ object Dedup {
     * (1/32)^(1/4) ≈ 0.42; pairs at `threshold` ≥ 0.7 are caught with
     * probability > 0.99.
     *
+    * ==Choosing `bands` — the production dial==
+    * The default `bands = 32` (r = 4 signature rows per band) is the
+    * 100 TB setting: candidate volume stays proportional to the true
+    * near-dup density. For provable completeness (e.g. an oracle-checked
+    * run where LSH recall must be exact), pass
+    * [[recallExactBands]]:
+    * {{{
+    * val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+    *   threshold = 0.5, bands = Dedup.recallExactBands(0.5)) // r=2
+    * }}}
+    * r=2 makes any pair with J ≳ 0.1 a coin-flip candidate — on a corpus
+    * with ordinary background similarity that sweeps a large share of ALL
+    * pairs into the exact-Jaccard verify (candidate-volume ratio asserted
+    * in DedupSimilaritySpec). Do NOT ship r=2 to a production-scale corpus;
+    * it exists for recall-exactness, not throughput.
+    *
     * @param maxBucketSize drop degenerate buckets larger than this (boiler-
     *   plate clusters) instead of letting one bucket go quadratic.
     */

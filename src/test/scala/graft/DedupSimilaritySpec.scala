@@ -35,6 +35,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).contains(5L) })
   }
 
+  test("banding dial: r=2 (recall-exact) generates far more candidates than the r=4 scale default") {
+    // 40 docs sharing a 6-word prefix with unique 18-word tails: pairwise
+    // shingle Jaccard ~0.1 — background similarity, not near-dups. This is
+    // exactly the regime the dial trades on: at r=2 a J~0.1 pair has a
+    // per-band collision chance of ~J^2 x 64 bands (~half the pairs
+    // collide); at r=4 it's ~J^4 x 32 (a fraction of a percent).
+    // (Docs must carry many more shingles than the 128 signature buckets —
+    // one-permutation densification inflates agreement for tiny sets.)
+    val corpus = (0 until 40).map { i =>
+      val shared = (0 until 60).map(j => s"shared$j").mkString(" ")
+      val tail   = (0 until 240).map(j => s"unique${i}word$j").mkString(" ")
+      (i.toLong, s"$shared $tail")
+    }.toDF("doc_id", "text")
+
+    // candidate volume = distinct (id_a < id_b) pairs sharing any (band, bucket),
+    // replicated from the public native exprs (the pipeline's banding step)
+    def candidateCount(bands: Int): Long = {
+      val banded = corpus.select(
+        col("doc_id").as("id"),
+        posexplode(graft.functions.NativeFunctions.bandBuckets(
+          graft.functions.NativeFunctions.minHashSignature(
+            graft.functions.NativeFunctions.shingleHashes(col("text"), 3), 128), bands)),
+      ).toDF("id", "band", "bucket")
+      val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+      a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    }
+
+    val r4 = candidateCount(bands = 32) // scale default
+    val r2 = candidateCount(bands = 64) // recallExactBands territory
+    info(s"candidates r4=$r4 r2=$r2")
+    assert(Dedup.recallExactBands(0.5) == 64) // the documented r=2 setting
+    assert(r2 >= 2 * math.max(r4, 1),
+      s"r=2 should cost multiples of r=4's candidate volume (r2=$r2, r4=$r4) — " +
+        "if this starts failing, the banding dial docs in Dedup are stale")
+  }
+
   test("dedupNear removes near-duplicates keeping smallest id") {
     val out = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
