@@ -57,6 +57,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ops.TableIO.sweepOrphanTemps(spark)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)

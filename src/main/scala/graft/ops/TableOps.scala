@@ -69,6 +69,24 @@ object TableIO {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
 
+  /** Sweep stale `_tmp_*` staging directories (crashed runs) out of the
+    * current database's warehouse location: any `_tmp_`-prefixed directory
+    * with NO catalog entry is an orphan — a live temp table always has one.
+    * Verify/Bench call this at startup so leftover staging dirs from a
+    * killed JVM can't litter "ignored path" warnings (or disk) forever.
+    */
+  def sweepOrphanTemps(spark: SparkSession): Int = {
+    val dbRoot = managedLocation(spark, Table("probe")).getParent
+    val fs     = dbRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dbRoot)) return 0
+    val orphans = fs.listStatus(dbRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(Table.TempPrefix + "_"))
+      .map(_.getPath)
+      .filterNot(p => spark.catalog.tableExists(p.getName))
+    orphans.foreach(fs.delete(_, true))
+    orphans.size
+  }
+
   /** Rerunnable bucketed-table create: rows hash-partition into `numBuckets`
     * files per partition on `bucketCols` (optionally sorted within buckets).
     * Two tables bucketed on the same keys with the same bucket count join
