@@ -982,6 +982,27 @@ object SparkEntry {
         .where(abs(col("approx_med") - col("exact_med")) <= abs(col("exact_med")) * 0.01 + 0.001)
         .select(col("event_type"), round(col("exact_med"), 2).as("median_value"))
     }),
+
+    // PII scrub (C4-style pre-training cleanup): mask emails + phone-length
+    // digit runs with stable tokens — two codegen'd regexp_replaces, one
+    // projection, no shuffle; patterns chosen Java-regex/RE2-identical so
+    // the DuckDB oracle matches span for span
+    "q70_pii_mask" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.maskPii(col("text")).as("masked"),
+        coalesce(regexp_count(col("text"), lit(TextFunctions.EmailPattern)), lit(0))
+          .cast("long").as("n_emails"),
+        coalesce(regexp_count(col("text"), lit(TextFunctions.PhonePattern)), lit(0))
+          .cast("long").as("n_phones"),
+      )),
+
+    // deterministic epoch shuffle: per-epoch permutation key + shard label
+    // as a pure projection (NO Spark shuffle) — the training loader sorts
+    // within shard by shuffle_key; a new epoch is a new permutation
+    "q71_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShard(
+        tbl(s, dir, "documents").select(col("doc_id")), "doc_id", epoch = 1)),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1515,5 +1536,23 @@ object SparkEntry {
     "q69_approx_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 2) AS median_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // mirrors TextFunctions.maskPii: email pass then phone pass, 'g' flag
+    // for Spark's replace-all semantics
+    "q70_pii_mask" ->
+      """SELECT doc_id,
+        |regexp_replace(
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?[0-9]{7,15}', '<PHONE>', 'g') AS masked,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text, '\+?[0-9]{7,15}')) AS BIGINT) AS n_phones
+        |FROM documents""".stripMargin,
+
+    // mirrors Sampling.epochShard(epoch=1, shardChars=2)
+    "q71_epoch_shuffle" ->
+      """SELECT doc_id,
+        |md5(CAST(doc_id AS VARCHAR) || ':' || '1') AS shuffle_key,
+        |substring(md5(CAST(doc_id AS VARCHAR) || ':' || '1'), 1, 2) AS shard
+        |FROM documents""".stripMargin,
   )
 }

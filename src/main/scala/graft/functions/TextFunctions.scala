@@ -160,6 +160,32 @@ object TextFunctions {
   def charNgramHashes(c: Column, n: Int = 5): Column =
     NativeFunctions.charNgramHashes(c, n)
 
+  /** Email-address pattern — intersection of Java-regex and RE2 semantics,
+    * so Spark and DuckDB (and any RE2 engine) match identical spans.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Contiguous-digit phone/id-number pattern (optionally +-prefixed).
+    * Deliberately conservative: formatted numbers with separators are a
+    * per-corpus dial; a contiguous 7-15 digit run is the high-precision
+    * core that never false-positives on years or small counts.
+    */
+  val PhonePattern = "\\+?[0-9]{7,15}"
+
+  /** PII scrub pass (the C4-style pre-training cleanup step): replace
+    * emails, then contiguous phone-length digit runs, with stable tokens.
+    * Two codegen'd `regexp_replace`s — one projection, no shuffle, no UDF;
+    * composes with scan pushdown like any other narrow transform.
+    */
+  def maskPii(
+      c: Column,
+      emailToken: String = "<EMAIL>",
+      phoneToken: String = "<PHONE>",
+  ): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, emailToken),
+      PhonePattern, phoneToken)
+
   /** Exact Jaccard similarity of two pre-hashed sets. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -71,6 +71,28 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
   }
 
+  /** Deterministic epoch shuffle for training readers: a per-epoch
+    * pseudo-random permutation key plus a shard label, WITHOUT a Spark
+    * shuffle — one narrow projection. `shuffle_key = md5(key ":" epoch)`
+    * gives every epoch an independent ordering (the training loader sorts
+    * within shard by it); `shard` = first `shardChars` hex chars of the key
+    * (16^shardChars shards) lets 16^shardChars readers consume the corpus
+    * independently with no coordination. Pure function of (key, epoch):
+    * re-runs, re-shards, and engine swaps reproduce the exact epoch order.
+    */
+  def epochShard(
+      df: DataFrame,
+      keyCol: String,
+      epoch: Int,
+      shardChars: Int = 2,
+      keyOut: String = "shuffle_key",
+      shardOut: String = "shard",
+  ): DataFrame = {
+    require(shardChars >= 1 && shardChars <= 8, s"shardChars out of range: $shardChars")
+    df.withColumn(keyOut, md5(concat_ws(":", col(keyCol).cast("string"), lit(epoch.toString))))
+      .withColumn(shardOut, substring(col(keyOut), 1, shardChars))
+  }
+
   /** Deterministic source-mixture sampling: keep a per-group fraction of
     * rows — the "re-weight corpus sources toward a target data mixture"
     * op of a training pipeline. The fractions map is bounded config (one

@@ -180,6 +180,34 @@ class Round5Spec extends SparkSpec {
     spark.sql(s"DROP TABLE ${t.qualifiedName}")
   }
 
+  test("maskPii masks planted emails and phone runs, leaves prose alone") {
+    val docs = Seq(
+      "contact alice.smith+test@example.co.uk or call +4915123456789 today",
+      "year 2024 had 365 days and room 101 stayed open", // no PII-shaped spans
+      "two mails: a@b.io c.d@e-f.org and digits 1234567",
+    ).toDF("text")
+    val out = docs.select(TextFunctions.maskPii($"text").as("m")).as[String].collect()
+    assert(out(0) == "contact <EMAIL> or call <PHONE> today")
+    assert(out(1) == "year 2024 had 365 days and room 101 stayed open")
+    assert(out(2) == "two mails: <EMAIL> <EMAIL> and digits <PHONE>")
+  }
+
+  test("epochShard: deterministic per epoch, different across epochs, no shuffle in plan") {
+    val df = (1L to 200L).toDF("id")
+    val e1a = graft.ops.Sampling.epochShard(df, "id", epoch = 1)
+    val e1b = graft.ops.Sampling.epochShard(df, "id", epoch = 1)
+    val e2  = graft.ops.Sampling.epochShard(df, "id", epoch = 2)
+    val k1a = e1a.orderBy("id").select("shuffle_key").as[String].collect().toSeq
+    val k1b = e1b.orderBy("id").select("shuffle_key").as[String].collect().toSeq
+    val k2  = e2.orderBy("id").select("shuffle_key").as[String].collect().toSeq
+    assert(k1a == k1b)                 // rerun-stable
+    assert(k1a != k2)                  // a new epoch is a new permutation
+    assert(e1a.select("shard").distinct().count() > 1) // spreads across shards
+    // pure projection: no exchange in the plan
+    val plan = e1a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epochShard must not shuffle:\n$plan")
+  }
+
   test("winnow is linear-ish: 20k-char doc fingerprints in well under a second") {
     val doc = ("abcdefghij " * 2000).trim
     val t0  = System.nanoTime()
