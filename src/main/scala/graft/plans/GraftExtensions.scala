@@ -100,6 +100,11 @@ object GraftFunctions {
       case Seq(a, b) => SqDistExpr(a, b)
       case args      => throw new IllegalArgumentException(s"expects 2 args, got ${args.length}")
     },
+    fn("graft_text_stats",
+      "graft_text_stats(text) - one-pass struct(chars, tokens, stopwords, punct, tok_len_sum)") {
+      case Seq(t) => TextStatsExpr(t)
+      case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
+    },
     fn("graft_word_shingles", "graft_word_shingles(text[, k]) - k-word shingles of normalized text") {
       case Seq(t)    => WordShinglesExpr(t, 3)
       case Seq(t, k) => WordShinglesExpr(t, intArg("k", k))

@@ -26,6 +26,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Long](2) == viaCol.getSeq[Long](2))
   }
 
+  test("text SQL functions: stats/word-shingles/winnow match the Column API") {
+    val df = Seq("The quick brown fox and the lazy dog, again and again").toDF("t")
+    val viaSql = df.selectExpr(
+      "graft_text_stats(t) AS st",
+      "graft_word_shingles(t, 3) AS ws",
+      "graft_winnow_fingerprints(t, 8, 4) AS fp",
+    ).collect()(0)
+    val viaCol = df.select(
+      NativeFunctions.textStats(col("t")).as("st"),
+      NativeFunctions.wordShingles(col("t"), 3).as("ws"),
+      NativeFunctions.winnowFingerprints(col("t"), 8, 4).as("fp"),
+    ).collect()(0)
+    assert(viaSql.getStruct(0) == viaCol.getStruct(0))
+    assert(viaSql.getSeq[String](1) == viaCol.getSeq[String](1))
+    assert(viaSql.getSeq[String](2) == viaCol.getSeq[String](2))
+    // struct fields land with the documented names
+    assert(viaSql.getStruct(0).schema.fieldNames.toSeq ==
+      Seq("chars", "tokens", "stopwords", "punct", "tok_len_sum"))
+  }
+
   test("vector SQL functions: cosine/dot/sqdist") {
     val df = Seq((Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f))).toDF("a", "b")
     val r = df.selectExpr(
