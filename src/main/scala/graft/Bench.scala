@@ -40,7 +40,13 @@ object Bench {
     if (t.isAlive) {
       spark.sparkContext.cancelJobGroup(s"bench-$name")
       t.interrupt()
-      t.join(10000L)
+      t.join(30000L)
+      if (t.isAlive)
+        // a zombie's tasks still occupy cores and taint every later timing —
+        // make that loud instead of silently reporting plausible numbers
+        System.err.println(
+          s"[bench] WARNING: $name did not stop after cancel+interrupt; " +
+            "subsequent timings may be inflated by its leftover tasks")
       Left(s"timeout after ${budgetSec}s (job group cancelled)")
     } else out
   }
@@ -58,8 +64,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ops.TableIO.sweepOrphanTemps(spark)
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    // escape backslash, quote, and ALL control chars (<0x20) — an exception
+    // message carrying a stray \f or ESC byte must not make the one stdout
+    // JSON line unparseable (that would recreate the round-4 no-numbers
+    // failure this file exists to prevent); same contract as Verify's writer
+    def esc(s: String) = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)

@@ -1544,8 +1544,8 @@ object SparkEntry {
         |regexp_replace(
         |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |  '\+?[0-9]{7,15}', '<PHONE>', 'g') AS masked,
-        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |CAST(len(regexp_extract_all(text, '\+?[0-9]{7,15}')) AS BIGINT) AS n_phones
+        |COALESCE(CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT), 0) AS n_emails,
+        |COALESCE(CAST(len(regexp_extract_all(text, '\+?[0-9]{7,15}')) AS BIGINT), 0) AS n_phones
         |FROM documents""".stripMargin,
 
     // mirrors Sampling.epochShard(epoch=1, shardChars=2)

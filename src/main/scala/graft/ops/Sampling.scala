@@ -79,6 +79,9 @@ object Sampling {
     * (16^shardChars shards) lets 16^shardChars readers consume the corpus
     * independently with no coordination. Pure function of (key, epoch):
     * re-runs, re-shards, and engine swaps reproduce the exact epoch order.
+    * A null key propagates to a null shuffle_key/shard (concat, not
+    * concat_ws — the skip-nulls variant would silently pile every null-key
+    * row onto one identical position).
     */
   def epochShard(
       df: DataFrame,
@@ -89,7 +92,7 @@ object Sampling {
       shardOut: String = "shard",
   ): DataFrame = {
     require(shardChars >= 1 && shardChars <= 8, s"shardChars out of range: $shardChars")
-    df.withColumn(keyOut, md5(concat_ws(":", col(keyCol).cast("string"), lit(epoch.toString))))
+    df.withColumn(keyOut, md5(concat(col(keyCol).cast("string"), lit(":"), lit(epoch.toString))))
       .withColumn(shardOut, substring(col(keyOut), 1, shardChars))
   }
 

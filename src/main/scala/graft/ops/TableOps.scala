@@ -75,12 +75,18 @@ object TableIO {
     * Verify/Bench call this at startup so leftover staging dirs from a
     * killed JVM can't litter "ignored path" warnings (or disk) forever.
     */
-  def sweepOrphanTemps(spark: SparkSession): Int = {
+  def sweepOrphanTemps(spark: SparkSession, minAgeMs: Long = 3600000L): Int = {
     val dbRoot = managedLocation(spark, Table("probe")).getParent
     val fs     = dbRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dbRoot)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = fs.listStatus(dbRoot).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(Table.TempPrefix + "_"))
+      // the catalog check only sees THIS session's in-memory catalog, but the
+      // warehouse dir is shared across JVMs — an age floor keeps a concurrent
+      // session's seconds-old live staging dir safe while still reclaiming
+      // genuinely dead leftovers from crashed runs
+      .filter(_.getModificationTime < cutoff)
       .map(_.getPath)
       .filterNot(p => spark.catalog.tableExists(p.getName))
     orphans.foreach(fs.delete(_, true))
