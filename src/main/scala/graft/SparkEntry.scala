@@ -1003,6 +1003,72 @@ object SparkEntry {
     "q71_epoch_shuffle" -> ((s, dir) =>
       Sampling.epochShard(
         tbl(s, dir, "documents").select(col("doc_id")), "doc_id", epoch = 1)),
+
+    // merge pushed down to an EXTERNAL JDBC database: data ships into a
+    // staging table (executor-parallel write), the upsert itself is one
+    // in-database ANSI MERGE statement — the reference's per-dialect merge
+    // SQL for remote targets (q05 is the catalog-table counterpart)
+    "q72_jdbc_merge" -> ((s, dir) => {
+      val url  = "jdbc:derby:memory:graftq72;create=true"
+      val cust = tbl(s, dir, "customer")
+      graft.sources.Jdbc.write(s,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        url, "q72_target", IfExists.Replace)
+      val src = cust.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey"),
+        concat(lit("upd_"), col("c_name")).as("c_name"),
+        (col("c_acctbal") + 100).as("c_acctbal"),
+      )
+      graft.sources.Jdbc.merge(s, src, url, "q72_target", Seq("c_custkey"),
+        MergeConflict.Update)
+      graft.sources.Jdbc.read(s, url, "q72_target")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // transitive near-dedup keeping the BEST copy per duplicate cluster
+    // (longest text, id tie-break) — q29's corpus, production survivor rule.
+    // Recall-exact banding keeps the edge set equal to exact Jaccard>=0.5,
+    // so the recursive-CTE closure + window oracle compares hash-for-hash.
+    "q73_dedup_keep_best" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val b = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" chain link one two three")).as("text"))
+      val c = b.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" more drift four five six")).as("text"))
+      Dedup.dedupNearKeepBest(d.unionByName(b).unionByName(c), "doc_id", "text",
+          orderBy = Seq(length(col("text")).desc),
+          threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+        .select(col("doc_id"))
+    }),
+
+    // table compaction: a 64-file fragmented table rewritten to
+    // size-targeted files via a staged swap; rows must be untouched
+    // (oracle = plain SELECT on the source) — file-count assertions live
+    // in BucketingSpec
+    "q74_compact" -> ((s, dir) => {
+      val t = Table("graft_q74_orders")
+      TableIO.overwrite(s, tbl(s, dir, "orders").repartition(64), t)
+      TableIO.compact(s, t, targetFileBytes = 512L * 1024 * 1024)
+      s.table(t.qualifiedName)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // C4-style boilerplate-line removal: lines planted across >=1% of the
+    // corpus (newsletter banner) disappear; per-doc unique closing lines
+    // survive in original order
+    "q75_boilerplate" -> ((s, dir) => {
+      val corpus = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit("\n"),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter today"))
+            .otherwise(concat(lit("closing note "), col("doc_id")))).as("text"),
+      )
+      Dedup.stripBoilerplateLines(corpus, "doc_id", "text",
+          maxDocFrac = 0.01, minDocs = 2)
+        .select(col("doc_id"), col("__clean").as("clean_text"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1554,5 +1620,57 @@ object SparkEntry {
         |md5(CAST(doc_id AS VARCHAR) || ':' || '1') AS shuffle_key,
         |substring(md5(CAST(doc_id AS VARCHAR) || ':' || '1'), 1, 2) AS shard
         |FROM documents""".stripMargin,
+
+    // same upsert semantics as q05, three-column shape (the merge itself
+    // ran inside Derby; doubles round-trip bit-exact through the JDBC DOUBLE)
+    "q72_jdbc_merge" ->
+      """WITH src AS (SELECT c_custkey, 'upd_' || c_name AS c_name,
+        |c_acctbal + 100 AS c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        |tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT * FROM src
+        |UNION ALL SELECT * FROM tgt WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
+
+    // q29's transitive-closure oracle with the keep-best survivor rule:
+    // component label = min reachable id; winner = longest text, id tie-break
+    "q73_dedup_keep_best" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text || ' chain link one two three' FROM d
+        |  UNION ALL SELECT doc_id + 2000000, text || ' chain link one two three more drift four five six' FROM d),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t),
+        |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (SELECT src, dst FROM e0
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src WHERE e.dst <> r.src),
+        |lab AS (SELECT src AS id, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+        |SELECT doc_id FROM (
+        |  SELECT c.doc_id, row_number() OVER (PARTITION BY coalesce(l.comp, c.doc_id)
+        |    ORDER BY length(c.text) DESC, c.doc_id) AS rn
+        |  FROM corpus c LEFT JOIN lab l ON c.doc_id = l.id) ranked
+        |WHERE rn = 1""".stripMargin,
+
+    "q74_compact" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // mirrors Dedup.stripBoilerplateLines: line frequency over distinct
+    // docs, cutoff max(2, ceil(0.01*n)), order-preserving reconstruction
+    "q75_boilerplate" ->
+      """WITH corpus AS (SELECT doc_id, text || chr(10) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
+        |       ELSE 'closing note ' || CAST(doc_id AS VARCHAR) END AS text FROM documents),
+        |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+        |freq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY line) q
+        |  WHERE d >= greatest(2, CAST(ceil(0.01 * (SELECT count(*) FROM corpus)) AS BIGINT))),
+        |fl AS (SELECT coalesce(list(line), []) AS fls FROM freq)
+        |SELECT c.doc_id, array_to_string(list_filter(string_split(c.text, chr(10)),
+        |  x -> NOT list_contains(fl.fls, x)), chr(10)) AS clean_text
+        |FROM corpus c CROSS JOIN fl""".stripMargin,
   )
 }

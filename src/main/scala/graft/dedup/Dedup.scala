@@ -245,6 +245,88 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Transitive near-dedup that keeps the BEST document per duplicate
+    * cluster instead of the min-id one: every connected component of the
+    * near-dup graph collapses onto the row ranked first by `orderBy`
+    * (ties broken by ascending id so the survivor is deterministic). The
+    * standard production variant of [[dedupNearTransitive]] — web-scale
+    * pipelines keep the longest / highest-quality copy of a duplicated
+    * page, not an arbitrary one (reference scope: training-data curation
+    * beyond astro-sdk; cf. SURVEY.md §2 LLM-pipeline addenda).
+    *
+    * Scale shape: the ranking window runs ONLY over rows that belong to
+    * some component (inner join with the CC labels — a tiny fraction of
+    * the corpus at real dup rates); the untouched majority passes through
+    * with an anti-join against that same small label set, so the full
+    * corpus is never shuffled by the window.
+    */
+  def dedupNearKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      orderBy: Seq[Column],
+      threshold: Double = 0.7,
+      maxIter: Int = 20,
+      bands: Int = 32,
+  ): DataFrame = {
+    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
+    val labels = connectedComponents(pairs, maxIter)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    val inComponents = df.join(labels, df(idCol) === col("__cc_id"))
+    val w = Window.partitionBy(col("__cc_label"))
+      .orderBy(orderBy :+ col(idCol).asc: _*)
+    val winners = inComponents
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__cc_id", "__cc_label")
+    val untouched = df.join(labels, df(idCol) === col("__cc_id"), "left_anti")
+    untouched.unionByName(winners)
+  }
+
+  /** C4-style boilerplate-line removal: delete every line that occurs in at
+    * least `max(minDocs, ceil(maxDocFrac × corpus size))` DISTINCT documents
+    * (nav bars, cookie banners, boilerplate footers), preserving the
+    * remaining lines in original order. Documents whose every line is
+    * boilerplate survive with empty text (dropping them is a separate
+    * quality-filter decision).
+    *
+    * Scale shape: the line-frequency pass groups by the 128-bit md5 of the
+    * line (16-byte shuffle keys, never line text); the frequent-line set —
+    * tiny by construction, it only holds lines repeated across ≥ that many
+    * documents — broadcasts into an anti-join against the exploded lines;
+    * reconstruction shuffles each surviving line once, grouped by doc id.
+    * No driver-side state beyond one corpus count.
+    */
+  def stripBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFrac: Double = 0.01,
+      minDocs: Long = 2L,
+      delimiter: String = "\n",
+  ): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1, "maxDocFrac must be in (0, 1]")
+    val nDocs  = df.count() // bounded driver scalar: one long
+    val cutoff = math.max(minDocs, math.ceil(maxDocFrac * nDocs).toLong)
+    val lines = df.select(
+      col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))),
+    ).toDF("__id", "__pos", "__line")
+      .withColumn("__lh", md5(col("__line")))
+    val frequent = lines.groupBy(col("__lh"))
+      .agg(count_distinct(col("__id")).as("__docs"))
+      .where(col("__docs") >= cutoff)
+      .select(col("__lh"))
+    val kept = lines.join(broadcast(frequent), Seq("__lh"), "left_anti")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(concat_ws(delimiter,
+        transform(sort_array(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as("__clean"))
+    df.join(rebuilt, df(idCol) === col("__id"), "left")
+      .withColumn("__clean", coalesce(col("__clean"), lit("")))
+      .drop("__id")
+  }
+
   /** Benchmark decontamination: train-set documents sharing any k-word
     * shingle with the eval corpus (the contamination filter every serious
     * training pipeline runs before training). Grams are md5-hashed so the

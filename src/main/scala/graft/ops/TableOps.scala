@@ -122,6 +122,76 @@ object TableIO {
     w.saveAsTable(table.qualifiedName)
     table
   }
+
+  /** Compact a fragmented managed table: rewrite it into
+    * `ceil(totalBytes / targetFileBytes)` files (per partition-directory
+    * when the table is hive-partitioned). Streaming appends, micro-batch
+    * loads, and high-parallelism writes leave thousands of small files
+    * behind; at warehouse scale every later scan then pays
+    * open/seek/footer overhead per file and the driver pays listing time —
+    * compaction is the standing maintenance op that keeps scan cost
+    * proportional to bytes, not file count (reference scope: the
+    * warehouses it delegates to run this internally; a Spark-native table
+    * needs it as an explicit op).
+    *
+    * Returns (fileCountBefore, fileCountAfter). Rewrite goes through a
+    * staged swap ([[prepareCreate]] + saveAsTable on a rename), so a crash
+    * mid-compact leaves the original table intact, not half-rewritten.
+    */
+  def compact(
+      spark: SparkSession,
+      table: Table,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+  ): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val catalogTable = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table.name))
+    val partitionCols = catalogTable.partitionColumnNames
+    val df  = spark.table(table.qualifiedName)
+    val loc = new Path(catalogTable.location)
+    val fs  = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it  = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += s
+      }
+      buf.toSeq
+    }
+
+    val before     = dataFiles(loc)
+    val totalBytes = before.map(_.getLen).sum
+    val targetFiles =
+      math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+
+    // Stage the compacted copy under a temp name, then swap. For a
+    // partitioned table, repartition BY the partition columns (with the
+    // file-count cap) so each output task writes into one directory
+    // instead of every task writing a sliver into every directory.
+    val staged = Table.temp()
+    prepareCreate(spark, staged)
+    val repart =
+      if (partitionCols.nonEmpty)
+        df.repartition(targetFiles, partitionCols.map(df.col): _*)
+      else df.repartition(targetFiles)
+    val w = repart.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .saveAsTable(staged.qualifiedName)
+
+    prepareCreate(spark, table)
+    spark.sql(s"ALTER TABLE ${staged.qualifiedName} RENAME TO ${table.qualifiedName}")
+    // the rename moves the location but partition entries still point at the
+    // staged directory — re-list them from the new location
+    if (partitionCols.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE ${table.qualifiedName}")
+    spark.catalog.refreshTable(table.qualifiedName)
+    val after = dataFiles(new Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table.name)).location))
+    (before.size, after.size)
+  }
 }
 
 /** `drop_table` (reference: python-sdk/src/astro/sql/operators/drop.py:14-51;

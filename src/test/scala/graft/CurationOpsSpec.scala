@@ -1,0 +1,104 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.model.Table
+import graft.ops.TableIO
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators added in round 5b: keep-best transitive dedup,
+  * C4-style boilerplate-line removal, and table compaction.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Three exact-duplicate clusters by construction: texts are near-identical
+  // variants well above the 0.5 Jaccard threshold within a cluster and
+  // unrelated across clusters.
+  private def dupCorpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // longest of cluster {1,2,3}
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    (10L, "one two three four five six seven eight"),
+    (11L, "one two three four five six seven eight nine"), // longest of {10,11}
+    (20L, "lonely unique document with no duplicate partner at all"),
+  ).toDF("id", "text")
+
+  test("dedupNearKeepBest keeps the longest copy per component, min-id keeps everything else") {
+    val out = Dedup.dedupNearKeepBest(dupCorpus, "id", "text",
+      orderBy = Seq(length(col("text")).desc),
+      threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+    assert(out.select("id").as[Long].collect().toSet == Set(2L, 11L, 20L))
+    // contrast: min-id survivor rule picks 1 and 10 instead
+    val minId = Dedup.dedupNearTransitive(dupCorpus, "id", "text",
+      threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+    assert(minId.select("id").as[Long].collect().toSet == Set(1L, 10L, 20L))
+  }
+
+  test("dedupNearKeepBest tie-breaks equal ranks on ascending id") {
+    val tied = Seq(
+      (5L, "same words in this duplicated sentence body here"),
+      (4L, "same words in this duplicated sentence body here"),
+    ).toDF("id", "text")
+    val out = Dedup.dedupNearKeepBest(tied, "id", "text",
+      orderBy = Seq(length(col("text")).desc),
+      threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("stripBoilerplateLines removes frequent lines, keeps order, empties all-boilerplate docs") {
+    val docs = Seq(
+      (1L, "unique opening one\nSUBSCRIBE NOW\nunique closing one"),
+      (2L, "unique opening two\nSUBSCRIBE NOW\nunique closing two"),
+      (3L, "SUBSCRIBE NOW\nCOOKIE BANNER"),
+      (4L, "COOKIE BANNER\nreal content here"),
+      (5L, "only original content in this one"),
+    ).toDF("doc_id", "text")
+    // n=5 docs, cutoff = max(2, ceil(0.01*5)) = 2: SUBSCRIBE (3 docs) and
+    // COOKIE (2 docs) go; everything else stays in original order.
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text")
+      .select(col("doc_id"), col("__clean")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique opening one\nunique closing one")
+    assert(out(2L) == "unique opening two\nunique closing two")
+    assert(out(3L) == "") // every line was boilerplate; row survives
+    assert(out(4L) == "real content here")
+    assert(out(5L) == "only original content in this one")
+  }
+
+  test("stripBoilerplateLines counts documents, not occurrences") {
+    // the repeated line appears 3 times but inside ONE document — below the
+    // 2-distinct-docs cutoff, so it must survive
+    val docs = Seq(
+      (1L, "echo line\necho line\necho line"),
+      (2L, "something else entirely"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text")
+      .select(col("doc_id"), col("__clean")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "echo line\necho line\necho line")
+  }
+
+  test("compact rewrites a fragmented table to the size-targeted file count, rows intact") {
+    val t  = Table("graft_compact_t")
+    val df = (0 until 10000).map(i => (i.toLong, s"value_$i")).toDF("id", "v")
+    TableIO.overwrite(spark, df.repartition(40), t)
+    val warehouse = spark.table(t.qualifiedName)
+    assert(warehouse.inputFiles.length == 40)
+    val (before, after) = TableIO.compact(spark, t, targetFileBytes = 512L * 1024 * 1024)
+    assert(before == 40 && after == 1, s"before=$before after=$after")
+    val back = spark.table(t.qualifiedName)
+    assert(back.inputFiles.length == 1)
+    assert(back.count() == 10000)
+    assert(back.agg(sum("id")).as[Long].head() == (0 until 10000).map(_.toLong).sum)
+  }
+
+  test("compact preserves hive partitions and prunes after the rewrite") {
+    val t  = Table("graft_compact_part")
+    val df = (0 until 2000).map(i => (i.toLong, s"p${i % 4}", i * 1.0)).toDF("id", "part", "x")
+    TableIO.overwrite(spark, df.repartition(32), t, partitionBy = Seq("part"))
+    val (before, after) = TableIO.compact(spark, t, targetFileBytes = 512L * 1024 * 1024)
+    assert(after < before, s"before=$before after=$after")
+    val pruned = spark.table(t.qualifiedName).where(col("part") === "p1")
+    assert(pruned.count() == 500)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part"), plan)
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.model.{IfExists, Table}
+import graft.model.{IfExists, MergeConflict, Table}
 import graft.sources.Jdbc
 import org.apache.spark.sql.functions._
 
@@ -41,5 +41,60 @@ class JdbcSpec extends SparkSpec {
     Jdbc.importTable(spark, url, "t_imp", Table("graft_jdbc_imp"))
     Jdbc.importTable(spark, url, "t_imp", Table("graft_jdbc_imp")) // rerun-safe
     assert(spark.table("graft_jdbc_imp").as[(Long, String)].collect().toSeq == Seq((7L, "x")))
+  }
+
+  test("merge strategy=update runs an in-database ANSI MERGE (upsert)") {
+    Jdbc.write(spark, Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"),
+      url, "t_merge_u", IfExists.Replace)
+    val src = Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "name", "score")
+    Jdbc.merge(spark, src, url, "t_merge_u", Seq("id"), MergeConflict.Update)
+    val back = Jdbc.read(spark, url, "t_merge_u").as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+  }
+
+  test("merge strategy=ignore inserts only new keys") {
+    Jdbc.write(spark, Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"),
+      url, "t_merge_i", IfExists.Replace)
+    val src = Seq((2L, "SHOULD_NOT_LAND", 0.0), (3L, "c", 3.0)).toDF("id", "name", "score")
+    Jdbc.merge(spark, src, url, "t_merge_i", Seq("id"), MergeConflict.Ignore)
+    val back = Jdbc.read(spark, url, "t_merge_i").as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
+  test("merge strategy=exception fails on existing keys, target untouched, stage dropped") {
+    Jdbc.write(spark, Seq((1L, "a", 1.0)).toDF("id", "name", "score"),
+      url, "t_merge_e", IfExists.Replace)
+    val clash = Seq((1L, "dup", 9.0), (4L, "d", 4.0)).toDF("id", "name", "score")
+    val e = intercept[IllegalStateException] {
+      Jdbc.merge(spark, clash, url, "t_merge_e", Seq("id"), MergeConflict.Exception)
+    }
+    assert(e.getMessage.contains("already exist"))
+    assert(Jdbc.read(spark, url, "t_merge_e").count() == 1) // nothing landed
+    val ok = Seq((4L, "d", 4.0)).toDF("id", "name", "score")
+    Jdbc.merge(spark, ok, url, "t_merge_e", Seq("id"), MergeConflict.Exception)
+    assert(Jdbc.read(spark, url, "t_merge_e").count() == 2)
+    // staging tables are cleaned up on both paths (Derby upcases unquoted names)
+    val stale = Jdbc.read(spark, url,
+      "(SELECT COUNT(*) AS n FROM SYS.SYSTABLES WHERE TABLENAME LIKE 'T_MERGE_E_STAGE_%') probe")
+    assert(stale.collect()(0).get(0).toString == "0")
+  }
+
+  test("dialect SQL: ON CONFLICT (postgres/sqlite/duckdb) and ON DUPLICATE KEY (mysql)") {
+    val cols = Seq("id" -> "id", "name" -> "name", "score" -> "score")
+    val up = Jdbc.OnConflict.upsertSql("t", "stg", cols, Seq("id"), update = true)
+    assert(up ==
+      """INSERT INTO t ("id", "name", "score") SELECT "id", "name", "score" FROM stg """ +
+        """ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", "score" = EXCLUDED."score"""")
+    val ig = Jdbc.OnConflict.upsertSql("t", "stg", cols, Seq("id"), update = false)
+    assert(ig.endsWith("""ON CONFLICT ("id") DO NOTHING"""))
+    val my = Jdbc.OnDuplicateKey.upsertSql("t", "stg", cols, Seq("id"), update = true)
+    assert(my ==
+      "INSERT INTO t (`id`, `name`, `score`) SELECT `id`, `name`, `score` FROM stg " +
+        "ON DUPLICATE KEY UPDATE `name` = VALUES(`name`), `score` = VALUES(`score`)")
+    val myIg = Jdbc.OnDuplicateKey.upsertSql("t", "stg", cols, Seq("id"), update = false)
+    assert(myIg.startsWith("INSERT IGNORE INTO t"))
+    // key-only tables degrade to insert-only on every dialect
+    val keyOnly = Jdbc.AnsiMerge.upsertSql("t", "stg", Seq("id" -> "id"), Seq("id"), update = true)
+    assert(!keyOnly.contains("WHEN MATCHED"))
   }
 }
