@@ -1,0 +1,415 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Legacy Excel 97-2003 (`.xls`) reader with no external dependencies: a
+  * minimal CFB (OLE2 compound file, MS-CFB) walker + BIFF8 record parser
+  * (MS-XLS). Closes the reference's `.xls` surface
+  * (python-sdk/src/astro/files/types/xls.py reads it via pandas/xlrd).
+  *
+  * Driver-side by design, like [[Xlsx]]: spreadsheets are a small-file
+  * on-ramp, not a bulk path; the parsed rows become a normal distributed
+  * DataFrame immediately.
+  *
+  * Supported: first worksheet; SST/LABELSST shared strings (compressed +
+  * UTF-16, CONTINUE-spanning), LABEL inline strings, NUMBER/RK/MULRK
+  * numerics, BLANK/MULBLANK, FORMULA cached numeric/string/boolean
+  * results. Mini-stream (< 4096-byte workbook) and regular FAT chains both
+  * handled.
+  */
+object Xls {
+
+  // ---------- public API ----------
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p    = new org.apache.hadoop.fs.Path(path)
+    val fs   = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in   = fs.open(p)
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val cells =
+      try parseWorkbook(bytes, path)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"$path: corrupt or unsupported legacy Excel 97-2003 (.xls/BIFF) " +
+              s"workbook - re-save as .xlsx if the file opens in a spreadsheet " +
+              s"application ($e)", e)
+      }
+    toDataFrame(spark, cells, path)
+  }
+
+  /** Parse the workbook into a dense row-major cell grid (None = blank). */
+  private[sources] def parseWorkbook(
+      bytes: Array[Byte], path: String): Seq[Seq[Option[String]]] = {
+    val wb = extractStream(bytes, Set("Workbook", "Book"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: no Workbook/Book stream in OLE2 container - not an Excel file?"))
+    parseBiff(wb)
+  }
+
+  // ---------- CFB container (MS-CFB) ----------
+
+  private val EndOfChain = 0xFFFFFFFE
+  private val FreeSect   = 0xFFFFFFFF
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def i32(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+
+  /** Find a stream by name (first match wins) and return its bytes. */
+  private def extractStream(b: Array[Byte], names: Set[String]): Option[Array[Byte]] = {
+    require(b.length >= 512 &&
+      (b(0) & 0xFF) == 0xD0 && (b(1) & 0xFF) == 0xCF && (b(2) & 0xFF) == 0x11 &&
+      (b(3) & 0xFF) == 0xE0, "not an OLE2 compound file")
+    val sectorShift     = u16(b, 30)
+    val miniSectorShift = u16(b, 32)
+    require(sectorShift >= 7 && sectorShift <= 12 && miniSectorShift <= sectorShift,
+      s"implausible OLE2 sector sizes (shift $sectorShift/$miniSectorShift) - corrupt header?")
+    val sectorSize      = 1 << sectorShift
+    val miniSectorSize  = 1 << miniSectorShift
+    val numFatSectors   = i32(b, 44)
+    val firstDirSector  = i32(b, 48)
+    val miniCutoff      = i32(b, 56)
+    val firstMiniFat    = i32(b, 60)
+    val firstDifat      = i32(b, 68)
+    val numDifat        = i32(b, 72)
+
+    def sectorBytes(sect: Int): Array[Byte] = {
+      val off = 512 + sect.toLong * sectorSize
+      require(off + sectorSize <= b.length, s"sector $sect out of range")
+      java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sectorSize)
+    }
+
+    // FAT sector list: 109 header DIFAT entries + chained DIFAT sectors
+    val fatSectors = mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < 109 && fatSectors.length < numFatSectors) {
+      val s = i32(b, 76 + i * 4)
+      if (s != FreeSect) fatSectors += s
+      i += 1
+    }
+    var difat  = firstDifat
+    var guard1 = 0
+    while (difat != EndOfChain && difat != FreeSect && guard1 <= numDifat) {
+      val ds      = sectorBytes(difat)
+      val perSect = sectorSize / 4 - 1
+      for (j <- 0 until perSect) {
+        val s = i32(ds, j * 4)
+        if (s != FreeSect && fatSectors.length < numFatSectors) fatSectors += s
+      }
+      difat = i32(ds, sectorSize - 4)
+      guard1 += 1
+    }
+    val fat = fatSectors.toArray.flatMap { s =>
+      val sb = sectorBytes(s)
+      (0 until sectorSize / 4).map(j => i32(sb, j * 4))
+    }
+
+    def chain(start: Int): Iterator[Int] = new Iterator[Int] {
+      private var cur  = start
+      private var seen = 0
+      def hasNext: Boolean = cur != EndOfChain && cur != FreeSect && cur >= 0 &&
+        seen <= fat.length
+      def next(): Int = { val c = cur; cur = fat(c); seen += 1; c }
+    }
+
+    def readChain(start: Int, size: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      chain(start).foreach(s => out.write(sectorBytes(s)))
+      val all = out.toByteArray
+      java.util.Arrays.copyOfRange(all, 0, math.min(size, all.length.toLong).toInt)
+    }
+
+    // directory entries (128 bytes each) across the directory chain
+    val dirBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      chain(firstDirSector).foreach(s => out.write(sectorBytes(s)))
+      out.toByteArray
+    }
+    case class Entry(name: String, entryType: Int, start: Int, size: Long)
+    val entries = (0 until dirBytes.length / 128).map { e =>
+      val off     = e * 128
+      val nameLen = u16(dirBytes, off + 64) // bytes incl. UTF-16 terminator
+      val name =
+        if (nameLen >= 2)
+          new String(dirBytes, off, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+        else ""
+      Entry(name, dirBytes(off + 66) & 0xFF, i32(dirBytes, off + 116),
+        i32(dirBytes, off + 120).toLong & 0xFFFFFFFFL)
+    }
+
+    val root = entries.find(_.entryType == 5)
+    entries.find(e => e.entryType == 2 && names.contains(e.name)).map { e =>
+      if (e.size >= miniCutoff || root.isEmpty) readChain(e.start, e.size)
+      else {
+        // mini stream: the root entry's regular chain holds the container;
+        // the miniFAT chains 64-byte mini sectors inside it
+        val container = readChain(root.get.start, root.get.size)
+        val miniFat = {
+          val out = new java.io.ByteArrayOutputStream()
+          chain(firstMiniFat).foreach(s => out.write(sectorBytes(s)))
+          val mb = out.toByteArray
+          (0 until mb.length / 4).map(j => i32(mb, j * 4)).toArray
+        }
+        val out  = new java.io.ByteArrayOutputStream()
+        var cur  = e.start
+        var seen = 0
+        while (cur != EndOfChain && cur != FreeSect && cur >= 0 && seen <= miniFat.length) {
+          val off = cur * miniSectorSize
+          out.write(container, off, math.min(miniSectorSize, container.length - off))
+          cur = miniFat(cur)
+          seen += 1
+        }
+        java.util.Arrays.copyOfRange(out.toByteArray, 0, e.size.toInt)
+      }
+    }
+  }
+
+  // ---------- BIFF8 records (MS-XLS) ----------
+
+  private object Rec {
+    val BOF        = 0x0809
+    val EOF        = 0x000A
+    val BOUNDSHEET = 0x0085
+    val SST        = 0x00FC
+    val CONTINUE   = 0x003C
+    val LABELSST   = 0x00FD
+    val LABEL      = 0x0204
+    val NUMBER     = 0x0203
+    val RK         = 0x027E
+    val MULRK      = 0x00BD
+    val BLANK      = 0x0201
+    val MULBLANK   = 0x00BE
+    val FORMULA    = 0x0006
+    val STRING     = 0x0207
+    val RSTRING    = 0x00D6
+  }
+
+  /** RK-encoded number (MS-XLS 2.5.276): 30-bit int or truncated double,
+    * optionally ×1/100.
+    */
+  private[graft] def decodeRk(rk: Int): Double = {
+    val x100 = (rk & 1) != 0
+    val v =
+      if ((rk & 2) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)
+    if (x100) v / 100 else v
+  }
+
+  /** Render a cell double the way the xlsx path renders `<v>` text: integral
+    * values print without the trailing `.0` so column-type inference sees
+    * longs (BIFF stores every number as double/RK).
+    */
+  private def numToString(d: Double): String =
+    if (d == math.rint(d) && !d.isInfinite && math.abs(d) < 9.007199254740992e15)
+      d.toLong.toString
+    else d.toString
+
+  /** A cursor over the record stream that transparently continues into
+    * CONTINUE records — SST payloads regularly span several.
+    */
+  private final class RecCursor(b: Array[Byte], var pos: Int, var remaining: Int) {
+    def continueIfNeeded(): Unit =
+      while (remaining == 0 && pos + 4 <= b.length && u16(b, pos) == Rec.CONTINUE) {
+        remaining = u16(b, pos + 2)
+        pos += 4
+      }
+    def atContinueBoundary: Boolean = remaining == 0
+    def u8(): Int = { continueIfNeeded(); val v = b(pos) & 0xFF; pos += 1; remaining -= 1; v }
+    def u16v(): Int = u8() | (u8() << 8)
+    def i32v(): Int = u16v() | (u16v() << 16)
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        continueIfNeeded()
+        val take = math.min(left, remaining)
+        pos += take; remaining -= take; left -= take
+      }
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        continueIfNeeded()
+        val take = math.min(n - got, remaining)
+        System.arraycopy(b, pos, out, got, take)
+        pos += take; remaining -= take; got += take
+      }
+      out
+    }
+  }
+
+  /** XLUnicodeRichExtendedString (MS-XLS 2.5.293): cch chars whose width can
+    * RESET at each CONTINUE boundary (a fresh grbit byte precedes the
+    * continued characters).
+    */
+  private def readUnicodeString(c: RecCursor, cch: Int): String = {
+    var flags   = c.u8()
+    val rich    = (flags & 0x08) != 0
+    val ext     = (flags & 0x04) != 0
+    val cRun    = if (rich) c.u16v() else 0
+    val cbExt   = if (ext) c.i32v() else 0
+    val sb      = new java.lang.StringBuilder(cch)
+    var read    = 0
+    var wide    = (flags & 0x01) != 0
+    while (read < cch) {
+      if (c.atContinueBoundary) {
+        c.continueIfNeeded()
+        wide = (c.u8() & 0x01) != 0 // grbit repeats after the boundary
+      }
+      if (wide) sb.append(c.u16v().toChar)
+      else sb.append((c.u8() & 0xFF).toChar) // compressed = Latin-1 low bytes
+      read += 1
+    }
+    c.skip(cRun * 4 + cbExt)
+    sb.toString
+  }
+
+  /** Parse the workbook stream: globals substream (SST, BOUNDSHEET) then the
+    * first worksheet substream's cell records into a dense grid.
+    */
+  private def parseBiff(wb: Array[Byte]): Seq[Seq[Option[String]]] = {
+    val sst = mutable.ArrayBuffer[String]()
+    var firstSheetOffset = -1
+
+    // --- pass 1: workbook globals ---
+    var pos = 0
+    var done = false
+    while (!done && pos + 4 <= wb.length) {
+      val id  = u16(wb, pos)
+      val len = u16(wb, pos + 2)
+      id match {
+        case Rec.SST =>
+          val c = new RecCursor(wb, pos + 4, len)
+          c.skip(4) // cstTotal
+          val unique = c.i32v()
+          var k = 0
+          while (k < unique) {
+            val cch = c.u16v()
+            sst += readUnicodeString(c, cch)
+            k += 1
+          }
+        case Rec.BOUNDSHEET =>
+          if (firstSheetOffset < 0) {
+            // first BOUNDSHEET = first sheet (visible ordering); dt at +4
+            firstSheetOffset = i32(wb, pos + 4)
+          }
+        case Rec.EOF => done = true
+        case 0 if len == 0 => done = true // zero padding past the stream end
+        case _ => ()
+      }
+      pos += 4 + len
+    }
+    require(firstSheetOffset >= 0 && firstSheetOffset < wb.length,
+      "no worksheet substream in workbook globals")
+
+    // --- pass 2: first worksheet substream ---
+    val cells = mutable.HashMap[(Int, Int), String]() // (row, col) -> value
+    var maxRow = -1
+    var maxCol = -1
+    def put(row: Int, col: Int, v: String): Unit = {
+      cells((row, col)) = v
+      if (row > maxRow) maxRow = row
+      if (col > maxCol) maxCol = col
+    }
+
+    pos = firstSheetOffset
+    done = false
+    var sawBof = false
+    while (!done && pos + 4 <= wb.length) {
+      val id  = u16(wb, pos)
+      val len = u16(wb, pos + 2)
+      id match {
+        case Rec.BOF =>
+          if (sawBof) done = true // ran into the next substream
+          else sawBof = true
+        case Rec.EOF => done = true
+        case 0 if len == 0 => done = true
+        case Rec.LABELSST =>
+          val row = u16(wb, pos + 4); val col = u16(wb, pos + 6)
+          val idx = i32(wb, pos + 10)
+          put(row, col, sst(idx))
+        case Rec.LABEL | Rec.RSTRING =>
+          val row = u16(wb, pos + 4); val col = u16(wb, pos + 6)
+          val c   = new RecCursor(wb, pos + 10, len - 6)
+          val cch = c.u16v()
+          put(row, col, readUnicodeString(c, cch))
+        case Rec.NUMBER =>
+          val row = u16(wb, pos + 4); val col = u16(wb, pos + 6)
+          val d = ByteBuffer.wrap(wb, pos + 10, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+          put(row, col, numToString(d))
+        case Rec.RK =>
+          val row = u16(wb, pos + 4); val col = u16(wb, pos + 6)
+          put(row, col, numToString(decodeRk(i32(wb, pos + 10))))
+        case Rec.MULRK =>
+          val row = u16(wb, pos + 4); val colFirst = u16(wb, pos + 6)
+          val n = (len - 6) / 6
+          // payload: rw(2) colFirst(2) then n × [ixfe(2) rk(4)], colLast(2)
+          for (j <- 0 until n)
+            put(row, colFirst + j, numToString(decodeRk(i32(wb, pos + 10 + j * 6))))
+        case Rec.FORMULA =>
+          val row = u16(wb, pos + 4); val col = u16(wb, pos + 6)
+          val res = java.util.Arrays.copyOfRange(wb, pos + 10, pos + 18)
+          if (u16(res, 6) != 0xFFFF) {
+            val d = ByteBuffer.wrap(res).order(ByteOrder.LITTLE_ENDIAN).getDouble
+            put(row, col, numToString(d))
+          } else res(0) match {
+            case 0 => // cached string: in the STRING record that follows
+              var p2 = pos + 4 + len
+              while (p2 + 4 <= wb.length && u16(wb, p2) != Rec.STRING) p2 += 4 + u16(wb, p2 + 2)
+              if (p2 + 4 <= wb.length) {
+                val c   = new RecCursor(wb, p2 + 4, u16(wb, p2 + 2))
+                val cch = c.u16v()
+                put(row, col, readUnicodeString(c, cch))
+              }
+            case 1 => put(row, col, if (res(2) != 0) "true" else "false")
+            case _ => () // error cell -> blank
+          }
+        case _ => ()
+      }
+      pos += 4 + len
+    }
+
+    (0 to maxRow).map(r => (0 to maxCol).map(cc => cells.get((r, cc))))
+  }
+
+  // ---------- DataFrame assembly (same inference contract as Xlsx) ----------
+
+  private def toDataFrame(
+      spark: SparkSession, grid: Seq[Seq[Option[String]]], path: String): DataFrame = {
+    require(grid.nonEmpty, s"empty worksheet in $path")
+    val header = grid.head.map(_.getOrElse(""))
+    val data   = grid.tail
+    val width  = header.length
+    def colValues(i: Int) = data.map(r => if (i < r.length) r(i) else None)
+    val types: Seq[DataType] = (0 until width).map { i =>
+      val vs = colValues(i).flatten
+      if (vs.nonEmpty && vs.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+      else if (vs.nonEmpty && vs.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+      else StringType
+    }
+    val schema = StructType(header.zip(types).map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    })
+    val rows = data.map { r =>
+      Row.fromSeq((0 until width).map { i =>
+        val v = if (i < r.length) r(i) else None
+        (v, types(i)) match {
+          case (None, _)             => null
+          case (Some(s), LongType)   => s.toLong
+          case (Some(s), DoubleType) => s.toDouble
+          case (Some(s), _)          => s
+        }
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+}

@@ -27,9 +27,10 @@ object Xlsx {
   // ---------- read ----------
 
   /** OLE2 compound-document magic — the container of legacy 97-2003 `.xls`
-    * (BIFF) workbooks. We read only zip/SpreadsheetML; without this check a
-    * genuine BIFF file died with a misleading "no worksheet" error.
-    * (Reference reads both via pandas: python-sdk/src/astro/files/types/xls.py.)
+    * (BIFF) workbooks, which route to the [[Xls]] BIFF8 reader. Dispatch is
+    * by content, not extension, so a mislabeled workbook still parses with
+    * the right codec. (Reference reads both via pandas:
+    * python-sdk/src/astro/files/types/xls.py.)
     */
   private val Ole2Magic =
     Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
@@ -43,10 +44,7 @@ object Xlsx {
     raw.reset()
     if (java.util.Arrays.equals(head, Ole2Magic)) {
       raw.close()
-      throw new UnsupportedOperationException(
-        s"$path is a legacy Excel 97-2003 (.xls / BIFF / OLE2) workbook; only " +
-          "zip-based SpreadsheetML (.xlsx) is supported - re-save or convert " +
-          "the file to .xlsx (e.g. with Excel, LibreOffice, or ssconvert)")
+      return Xls.read(spark, path)
     }
     val in = new ZipInputStream(raw)
     var shared: IndexedSeq[String] = IndexedSeq.empty

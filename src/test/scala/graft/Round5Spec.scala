@@ -139,14 +139,14 @@ class Round5Spec extends SparkSpec {
     assert(out.getSeq[String](1).nonEmpty)
   }
 
-  test("legacy .xls (OLE2/BIFF) gets an actionable error, not 'no worksheet'") {
+  test("corrupt .xls (OLE2 magic, garbage body) gets an actionable error, not 'no worksheet'") {
     val dir  = tmpDir()
     val path = s"$dir/legacy.xls"
     val out  = new java.io.FileOutputStream(path)
     out.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
     out.write(new Array[Byte](512))
     out.close()
-    val e = intercept[UnsupportedOperationException] {
+    val e = intercept[IllegalArgumentException] {
       graft.ops.LoadFile.toDataFrame(spark, graft.model.File(path))
     }
     assert(e.getMessage.contains("97-2003"))
