@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * Each `queries` entry exercises one operator from SURVEY.md §2 (or a
   * beyond-reference LLM-pipeline component) end-to-end through the public
-  * graft API, reading the driver's parquet fixtures from `dir`. 67 of 69
+  * graft API, reading the driver's parquet fixtures from `dir`. 73 of 75
   * entries carry a full DuckDB oracle in [[oracleSql]] — including the LSH
   * near-dup family, which runs in recall-exact banding so its verified
   * output equals the exact all-pairs answer (see Dedup.recallExactBands).
