@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * Each `queries` entry exercises one operator from SURVEY.md §2 (or a
   * beyond-reference LLM-pipeline component) end-to-end through the public
-  * graft API, reading the driver's parquet fixtures from `dir`. 73 of 75
+  * graft API, reading the driver's parquet fixtures from `dir`. 74 of 76
   * entries carry a full DuckDB oracle in [[oracleSql]] — including the LSH
   * near-dup family, which runs in recall-exact banding so its verified
   * output equals the exact all-pairs answer (see Dedup.recallExactBands).
@@ -1069,6 +1069,12 @@ object SparkEntry {
           maxDocFrac = 0.01, minDocs = 2)
         .select(col("doc_id"), col("__clean").as("clean_text"))
     }),
+
+    // corpus term statistics (the exact-integer TF-IDF / inverted-index
+    // core): per-(doc, term) tf joined with per-term document frequency —
+    // two partial-aggregated shuffles on the keys they group by
+    "q76_term_stats" -> ((s, dir) =>
+      TermStats.termStats(tbl(s, dir, "documents"), "doc_id", "text", minDf = 2)),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1666,11 +1672,21 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
         |       ELSE 'closing note ' || CAST(doc_id AS VARCHAR) END AS text FROM documents),
         |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
-        |freq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY line) q
+        |freq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS d FROM lines
+        |    WHERE trim(line) <> '' GROUP BY line) q
         |  WHERE d >= greatest(2, CAST(ceil(0.01 * (SELECT count(*) FROM corpus)) AS BIGINT))),
         |fl AS (SELECT coalesce(list(line), []) AS fls FROM freq)
         |SELECT c.doc_id, array_to_string(list_filter(string_split(c.text, chr(10)),
         |  x -> NOT list_contains(fl.fls, x)), chr(10)) AS clean_text
         |FROM corpus c CROSS JOIN fl""".stripMargin,
+
+    // mirrors TermStats.termStats(minDf=2): whitespace tokens (blank docs
+    // produce no terms, like TextFunctions.tokens), integer tf/df
+    "q76_term_stats" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term HAVING count(*) >= 2)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df FROM tf JOIN dfreq USING (term)""".stripMargin,
   )
 }

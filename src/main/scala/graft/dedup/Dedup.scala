@@ -288,7 +288,10 @@ object Dedup {
     * (nav bars, cookie banners, boilerplate footers), preserving the
     * remaining lines in original order. Documents whose every line is
     * boilerplate survive with empty text (dropping them is a separate
-    * quality-filter decision).
+    * quality-filter decision). Blank/whitespace-only lines are NEVER
+    * treated as boilerplate — they are document structure (paragraph
+    * breaks), not repeated content, and would otherwise cross the cutoff
+    * in any real corpus and get stripped everywhere.
     *
     * Scale shape: the line-frequency pass groups by the 128-bit md5 of the
     * line (16-byte shuffle keys, never line text); the frequent-line set —
@@ -313,7 +316,8 @@ object Dedup {
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))),
     ).toDF("__id", "__pos", "__line")
       .withColumn("__lh", md5(col("__line")))
-    val frequent = lines.groupBy(col("__lh"))
+    val frequent = lines.where(length(trim(col("__line"))) > 0)
+      .groupBy(col("__lh"))
       .agg(count_distinct(col("__id")).as("__docs"))
       .where(col("__docs") >= cutoff)
       .select(col("__lh"))

@@ -124,19 +124,30 @@ object TableIO {
   }
 
   /** Compact a fragmented managed table: rewrite it into
-    * `ceil(totalBytes / targetFileBytes)` files (per partition-directory
-    * when the table is hive-partitioned). Streaming appends, micro-batch
-    * loads, and high-parallelism writes leave thousands of small files
-    * behind; at warehouse scale every later scan then pays
-    * open/seek/footer overhead per file and the driver pays listing time —
-    * compaction is the standing maintenance op that keeps scan cost
-    * proportional to bytes, not file count (reference scope: the
-    * warehouses it delegates to run this internally; a Spark-native table
-    * needs it as an explicit op).
+    * `ceil(totalBytes / targetFileBytes)` files. For a hive-partitioned
+    * table the rewrite clusters by (partition columns, split key) where the
+    * split count is sized from the average bytes per partition directory —
+    * each directory ends with ≈ `dirBytes / targetFileBytes` files under an
+    * even value distribution; a heavily skewed partition value gets
+    * proportionally LARGER files (the split count is corpus-average-based),
+    * never a file explosion. Streaming appends, micro-batch loads, and
+    * high-parallelism writers leave thousands of small files behind; at
+    * warehouse scale every later scan then pays open/footer overhead per
+    * file and the driver pays listing time — compaction is the standing
+    * maintenance op that keeps scan cost proportional to bytes, not file
+    * count (the reference's warehouses run this internally; a Spark-native
+    * table needs it as an explicit op).
     *
-    * Returns (fileCountBefore, fileCountAfter). Rewrite goes through a
-    * staged swap ([[prepareCreate]] + saveAsTable on a rename), so a crash
-    * mid-compact leaves the original table intact, not half-rewritten.
+    * Returns (fileCountBefore, fileCountAfter). Swap discipline: the
+    * compacted copy is staged under a temp table; the original's directory
+    * is moved aside to a `<name>__precompact_*` path on the FILESYSTEM
+    * (deliberately not a catalog rename — dropping a renamed managed
+    * backup would chase its stale partition-location metadata into the
+    * new table's directories); the original's now-empty catalog entry is
+    * dropped, the staged copy takes the name, and only then is the backup
+    * path deleted. A crash at any step leaves at least one complete copy
+    * of the data on disk (worst case: recoverable under the
+    * `__precompact` path, which the `_tmp_` orphan sweep never touches).
     */
   def compact(
       spark: SparkSession,
@@ -144,8 +155,10 @@ object TableIO {
       targetFileBytes: Long = 128L * 1024 * 1024,
   ): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val catalogTable = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table.name))
+    val db = table.metadata.database.orElse(table.metadata.schema)
+    def meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table.name, db))
+    val catalogTable  = meta
     val partitionCols = catalogTable.partitionColumnNames
     val df  = spark.table(table.qualifiedName)
     val loc = new Path(catalogTable.location)
@@ -167,29 +180,47 @@ object TableIO {
     val targetFiles =
       math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
-    // Stage the compacted copy under a temp name, then swap. For a
-    // partitioned table, repartition BY the partition columns (with the
-    // file-count cap) so each output task writes into one directory
-    // instead of every task writing a sliver into every directory.
-    val staged = Table.temp()
+    // Stage the compacted copy under a temp name (same database — ALTER
+    // TABLE RENAME cannot cross databases). Partitioned tables
+    // cluster by (partition cols, deterministic split key): one split per
+    // ~targetFileBytes of the average directory, so each task writes whole
+    // files into one directory instead of a sliver into every directory.
+    val staged = Table.temp(table.metadata)
     prepareCreate(spark, staged)
     val repart =
-      if (partitionCols.nonEmpty)
-        df.repartition(targetFiles, partitionCols.map(df.col): _*)
-      else df.repartition(targetFiles)
+      if (partitionCols.isEmpty) df.repartition(targetFiles)
+      else {
+        val numDirs = math.max(1, before.map(_.getPath.getParent.toString).distinct.size)
+        val splitsPerDir = math.max(1,
+          math.ceil(totalBytes.toDouble / numDirs / targetFileBytes).toInt)
+        val dataCols = df.columns.filterNot(c => partitionCols.exists(_.equalsIgnoreCase(c)))
+        val splitKey =
+          if (splitsPerDir == 1 || dataCols.isEmpty) org.apache.spark.sql.functions.lit(0)
+          else org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(dataCols.map(df.col): _*),
+            org.apache.spark.sql.functions.lit(splitsPerDir))
+        df.repartition(targetFiles, partitionCols.map(df.col) :+ splitKey: _*)
+      }
     val w = repart.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .saveAsTable(staged.qualifiedName)
 
-    prepareCreate(spark, table)
+    // swap: move the original's data aside on the filesystem, drop its
+    // catalog entry (the managed-drop deletes are no-ops — the dirs are
+    // already moved), rename the staged copy in, then reclaim the backup
+    val backupLoc = new Path(loc.getParent,
+      table.name.toLowerCase + "__precompact_" +
+        java.util.UUID.randomUUID().toString.take(8))
+    require(fs.rename(loc, backupLoc), s"could not move $loc aside to $backupLoc")
+    spark.sql(s"DROP TABLE IF EXISTS ${table.qualifiedName}")
     spark.sql(s"ALTER TABLE ${staged.qualifiedName} RENAME TO ${table.qualifiedName}")
     // the rename moves the location but partition entries still point at the
     // staged directory — re-list them from the new location
     if (partitionCols.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE ${table.qualifiedName}")
     spark.catalog.refreshTable(table.qualifiedName)
-    val after = dataFiles(new Path(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table.name)).location))
+    fs.delete(backupLoc, true)
+    val after = dataFiles(new Path(meta.location))
     (before.size, after.size)
   }
 }

@@ -175,10 +175,14 @@ object Jdbc {
     * Strategies mirror `MergeConflict`: `update` = upsert, `ignore` =
     * insert-only-new, exception = fail when any source key already exists
     * in the target (checked with one in-database anti-join COUNT before a
-    * plain INSERT … SELECT).
-    *
-    * @param columns source→target column mapping; empty = match by name
-    *   against the stage frame's columns.
+    * plain INSERT … SELECT). The exception check-then-insert is NOT
+    * serializable against concurrent writers on the same target — like the
+    * reference, durable enforcement needs a unique constraint in the
+    * database (reference pre-creates one per dialect:
+    * python-sdk/src/astro/databases/base.py:201-209
+    * `get_merge_initialization_query`); pass `initUniqueIndex = true` for
+    * the same behavior here (idempotent: an already-existing index is
+    * left alone).
     */
   def merge(
       spark: SparkSession,
@@ -189,27 +193,45 @@ object Jdbc {
       strategy: MergeConflict,
       dialect: MergeDialect = AnsiMerge,
       options: Map[String, String] = Map.empty,
+      initUniqueIndex: Boolean = false,
   ): Unit = {
     require(conflictColumns.nonEmpty, "merge requires at least one conflict column")
     val cols: Seq[(String, String)] = source.columns.toSeq.map(c => c -> c)
     val missing = conflictColumns
       .filterNot(k => cols.exists(_._2.equalsIgnoreCase(k)))
     require(missing.isEmpty, s"conflict columns not in source: $missing")
+    // canonicalize caller-cased keys to the source frame's exact column
+    // names — quoted identifiers are case-sensitive in every dialect here
+    val keys = conflictColumns.map(k => source.columns.find(_.equalsIgnoreCase(k)).get)
 
     val stage = targetTable + "_stage_" +
       java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    write(spark, source, url, stage, IfExists.Replace, options)
+    try write(spark, source, url, stage, IfExists.Replace, options)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // a failed distributed write can leave a half-written stage behind
+        val c = java.sql.DriverManager.getConnection(url, props(options))
+        try c.createStatement().executeUpdate(s"DROP TABLE $stage")
+        catch { case _: java.sql.SQLException => () }
+        finally c.close()
+        throw e
+    }
 
     val conn = java.sql.DriverManager.getConnection(url, props(options))
     try {
       val st = conn.createStatement()
       try {
+        if (initUniqueIndex) {
+          // reference's get_merge_initialization_query analog: durable
+          // conflict enforcement lives in a unique index on the target
+          try st.executeUpdate(
+            s"CREATE UNIQUE INDEX ${targetTable}_graft_uidx ON $targetTable " +
+              s"(${keys.map(dialect.q).mkString(", ")})")
+          catch { case _: java.sql.SQLException => () } // already exists
+        }
         strategy match {
           case MergeConflict.Exception =>
-            val on = conflictColumns.map { k =>
-              val sc = cols.find(_._2.equalsIgnoreCase(k)).get._1
-              s"t.${dialect.q(k)} = s.${dialect.q(sc)}"
-            }.mkString(" AND ")
+            val on = keys.map(k => s"t.${dialect.q(k)} = s.${dialect.q(k)}").mkString(" AND ")
             val rs = st.executeQuery(
               s"SELECT COUNT(*) FROM $stage s INNER JOIN $targetTable t ON $on")
             rs.next()
@@ -222,10 +244,10 @@ object Jdbc {
                 s"SELECT ${cols.map(c => dialect.q(c._1)).mkString(", ")} FROM $stage")
           case MergeConflict.Update =>
             st.executeUpdate(dialect.upsertSql(targetTable, stage, cols,
-              conflictColumns, update = true))
+              keys, update = true))
           case MergeConflict.Ignore =>
             st.executeUpdate(dialect.upsertSql(targetTable, stage, cols,
-              conflictColumns, update = false))
+              keys, update = false))
         }
       } finally {
         try st.executeUpdate(s"DROP TABLE $stage")

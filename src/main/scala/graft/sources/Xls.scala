@@ -42,7 +42,7 @@ object Xls {
               s"workbook - re-save as .xlsx if the file opens in a spreadsheet " +
               s"application ($e)", e)
       }
-    toDataFrame(spark, cells, path)
+    SheetGrid.toDataFrame(spark, cells, path)
   }
 
   /** Parse the workbook into a dense row-major cell grid (None = blank). */
@@ -217,11 +217,15 @@ object Xls {
     * CONTINUE records — SST payloads regularly span several.
     */
   private final class RecCursor(b: Array[Byte], var pos: Int, var remaining: Int) {
-    def continueIfNeeded(): Unit =
+    def continueIfNeeded(): Unit = {
       while (remaining == 0 && pos + 4 <= b.length && u16(b, pos) == Rec.CONTINUE) {
         remaining = u16(b, pos + 2)
         pos += 4
       }
+      // exhausted with no CONTINUE next = truncated/corrupt input; failing
+      // here (caught and wrapped by read()) beats spinning forever
+      require(remaining > 0, "record data truncated (no CONTINUE record follows)")
+    }
     def atContinueBoundary: Boolean = remaining == 0
     def u8(): Int = { continueIfNeeded(); val v = b(pos) & 0xFF; pos += 1; remaining -= 1; v }
     def u16v(): Int = u8() | (u8() << 8)
@@ -233,17 +237,6 @@ object Xls {
         val take = math.min(left, remaining)
         pos += take; remaining -= take; left -= take
       }
-    }
-    def bytes(n: Int): Array[Byte] = {
-      val out = new Array[Byte](n)
-      var got = 0
-      while (got < n) {
-        continueIfNeeded()
-        val take = math.min(n - got, remaining)
-        System.arraycopy(b, pos, out, got, take)
-        pos += take; remaining -= take; got += take
-      }
-      out
     }
   }
 
@@ -362,10 +355,17 @@ object Xls {
             val d = ByteBuffer.wrap(res).order(ByteOrder.LITTLE_ENDIAN).getDouble
             put(row, col, numToString(d))
           } else res(0) match {
-            case 0 => // cached string: in the STRING record that follows
-              var p2 = pos + 4 + len
-              while (p2 + 4 <= wb.length && u16(wb, p2) != Rec.STRING) p2 += 4 + u16(wb, p2 + 2)
-              if (p2 + 4 <= wb.length) {
+            case 0 =>
+              // cached string: in the STRING record that follows, at most a
+              // couple of records ahead (SHRFMLA/ARRAY may sit between). A
+              // bounded scan that stops at EOF/BOF keeps a corrupt file from
+              // binding some far-away cell's string — blank beats wrong.
+              var p2   = pos + 4 + len
+              var hops = 0
+              while (hops < 4 && p2 + 4 <= wb.length &&
+                u16(wb, p2) != Rec.STRING && u16(wb, p2) != Rec.EOF &&
+                u16(wb, p2) != Rec.BOF) { p2 += 4 + u16(wb, p2 + 2); hops += 1 }
+              if (p2 + 4 <= wb.length && u16(wb, p2) == Rec.STRING) {
                 val c   = new RecCursor(wb, p2 + 4, u16(wb, p2 + 2))
                 val cch = c.u16v()
                 put(row, col, readUnicodeString(c, cch))
@@ -381,9 +381,16 @@ object Xls {
     (0 to maxRow).map(r => (0 to maxCol).map(cc => cells.get((r, cc))))
   }
 
-  // ---------- DataFrame assembly (same inference contract as Xlsx) ----------
+}
 
-  private def toDataFrame(
+/** Shared header+cells grid → DataFrame assembly for BOTH spreadsheet
+  * codecs ([[Xls]] and [[Xlsx]]): first row = header; column types inferred
+  * long/double/string over the non-blank values; blank → null. One
+  * implementation so the xls/xlsx inference contract cannot drift.
+  */
+private[sources] object SheetGrid {
+
+  def toDataFrame(
       spark: SparkSession, grid: Seq[Seq[Option[String]]], path: String): DataFrame = {
     require(grid.nonEmpty, s"empty worksheet in $path")
     val header = grid.head.map(_.getOrElse(""))

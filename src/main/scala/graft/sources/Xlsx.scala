@@ -73,31 +73,7 @@ object Xlsx {
         case (v, _) => v
       }
     }
-    require(resolved.nonEmpty, s"empty worksheet in $path")
-    val header = resolved.head.map(_.getOrElse(""))
-    val data   = resolved.tail
-    val width  = header.length
-
-    def colValues(i: Int) = data.map(r => if (i < r.length) r(i) else None)
-    val types: Seq[DataType] = (0 until width).map { i =>
-      val vs = colValues(i).flatten
-      if (vs.nonEmpty && vs.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
-      else if (vs.nonEmpty && vs.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
-      else StringType
-    }
-    val schema = StructType(header.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
-    val rows = data.map { r =>
-      Row.fromSeq((0 until width).map { i =>
-        val v = if (i < r.length) r(i) else None
-        (v, types(i)) match {
-          case (None, _)             => null
-          case (Some(s), LongType)   => s.toLong
-          case (Some(s), DoubleType) => s.toDouble
-          case (Some(s), _)          => s
-        }
-      })
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+    SheetGrid.toDataFrame(spark, resolved.map(_.toSeq), path)
   }
 
   private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {

@@ -64,6 +64,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(5L) == "only original content in this one")
   }
 
+  test("stripBoilerplateLines never strips blank lines (paragraph structure)") {
+    // the empty line occurs in ALL docs — far past the cutoff — yet must stay
+    val docs = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "intro\n\noutro"),
+      (3L, "a\n\nb"),
+      (4L, "x\n\ny"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text")
+      .select(col("doc_id"), col("__clean")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "para one\n\npara two")
+    assert(out(3L) == "a\n\nb")
+  }
+
+  test("termStats: blank documents contribute no phantom empty-string term") {
+    val docs = Seq((1L, "real words"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = graft.ops.TermStats.termStats(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set((1L, "real", 1L, 1L), (1L, "words", 1L, 1L)))
+  }
+
+  test("compact resolves tables in a non-current database") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_compact_db")
+    val t  = Table("graft_compact_dbq", graft.model.Metadata(database = Some("graft_compact_db")),
+      temp = false)
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    TableIO.overwrite(spark, df.repartition(16), t)
+    val (before, after) = TableIO.compact(spark, t, targetFileBytes = 512L * 1024 * 1024)
+    assert(before == 16 && after == 1, s"before=$before after=$after")
+    assert(spark.table(t.qualifiedName).count() == 1000)
+    // no backup directory lingers after a clean compact
+    val dbRoot = TableIO.managedLocation(spark, t).getParent
+    val fs     = dbRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(dbRoot).exists(_.getPath.getName.contains("__precompact")))
+  }
+
   test("stripBoilerplateLines counts documents, not occurrences") {
     // the repeated line appears 3 times but inside ONE document — below the
     // 2-distinct-docs cutoff, so it must survive
@@ -88,6 +124,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(back.inputFiles.length == 1)
     assert(back.count() == 10000)
     assert(back.agg(sum("id")).as[Long].head() == (0 until 10000).map(_.toLong).sum)
+  }
+
+  test("termStats: exact tf/df with hapax pruning and map-side partials in-plan") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "Apple  date"), // case + run-of-spaces normalization
+    ).toDF("doc_id", "text")
+    val all = graft.ops.TermStats.termStats(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(all == Set(
+      (1L, "apple", 2L, 2L), (1L, "banana", 1L, 2L),
+      (2L, "banana", 1L, 2L), (2L, "cherry", 1L, 1L),
+      (3L, "apple", 1L, 2L), (3L, "date", 1L, 1L)))
+    val pruned = graft.ops.TermStats.termStats(docs, "doc_id", "text", minDf = 2)
+    assert(pruned.select("term").distinct().as[String].collect().toSet == Set("apple", "banana"))
+    // both aggregations must run partial (map-side) before the exchange
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan)
   }
 
   test("compact preserves hive partitions and prunes after the rewrite") {

@@ -79,6 +79,18 @@ class JdbcSpec extends SparkSpec {
     assert(stale.collect()(0).get(0).toString == "0")
   }
 
+  test("merge canonicalizes caller-cased conflict columns; initUniqueIndex is idempotent") {
+    Jdbc.write(spark, Seq((1L, "a")).toDF("id", "name"), url, "t_merge_c", IfExists.Replace)
+    val src = Seq((1L, "a2"), (2L, "b")).toDF("id", "name")
+    // "ID" must resolve to the actual quoted column "id" before SQL gen
+    Jdbc.merge(spark, src, url, "t_merge_c", Seq("ID"), MergeConflict.Update,
+      initUniqueIndex = true)
+    Jdbc.merge(spark, Seq((3L, "c")).toDF("id", "name"), url, "t_merge_c", Seq("ID"),
+      MergeConflict.Update, initUniqueIndex = true) // index already exists -> no-op
+    val back = Jdbc.read(spark, url, "t_merge_c").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+
   test("dialect SQL: ON CONFLICT (postgres/sqlite/duckdb) and ON DUPLICATE KEY (mysql)") {
     val cols = Seq("id" -> "id", "name" -> "name", "score" -> "score")
     val up = Jdbc.OnConflict.upsertSql("t", "stg", cols, Seq("id"), update = true)

@@ -233,6 +233,18 @@ class XlsSpec extends SparkSpec {
     assert(Xls.decodeRk((((dBits >>> 32) & 0xFFFFFFFCL) | 1L).toInt) == 0.025)
   }
 
+  test("truncated SST (payload ends, no CONTINUE) errors instead of hanging") {
+    // claims a 12-char string but supplies 5 chars and no CONTINUE record
+    val sstPayload = le32(1) ++ le32(1) ++
+      le16(12) ++ Array[Byte](0) ++ "abcde".map(_.toByte).toArray
+    val sst   = rec(0x00FC, sstPayload)
+    val cells = labelSst(0, 0, 0)
+    val dir   = tmpDir()
+    val path  = writeFile(dir, "trunc.xls", cfbRegular(biff(sst, cells)))
+    val e = intercept[IllegalArgumentException] { Xls.read(spark, path) }
+    assert(e.getMessage.contains("97-2003"))
+  }
+
   test("load_file routes a real .xls through the BIFF reader end-to-end") {
     val dir  = tmpDir()
     val path = writeFile(dir, "via_loadfile.xls", cfbRegular(biff(standardSst, standardCells)))
