@@ -64,6 +64,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(5L) == "only original content in this one")
   }
 
+  test("stripBoilerplateLines plan: frequent-line set broadcasts; line shuffle keys are hashes") {
+    val docs = (1 to 50).map(i => (i.toLong, s"unique $i\nSUBSCRIBE")).toDF("doc_id", "text")
+    val out  = Dedup.stripBoilerplateLines(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    // the frequent set joins the exploded lines as a broadcast anti-join —
+    // the corpus-sized side must NOT shuffle for the membership test
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    // frequency aggregation groups by the md5 hash, not line text
+    assert(plan.contains("md5"), plan)
+  }
+
+  test("dedupNearKeepBest plan: ranking window partitions by component label, not the corpus") {
+    val out = Dedup.dedupNearKeepBest(dupCorpus, "id", "text",
+      orderBy = Seq(length(col("text")).desc),
+      threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the window's partition spec is the CC label — only rows that joined a
+    // component enter it; the pass-through side is a left-anti join
+    assert(plan.contains("windowspecdefinition(__cc_label"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("stripBoilerplateLines never strips blank lines (paragraph structure)") {
     // the empty line occurs in ALL docs — far past the cutoff — yet must stay
     val docs = Seq(
