@@ -397,6 +397,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign each embedding to its nearest coarse
+    * centroid, compare cosines ONLY within a cluster, and collapse every
+    * connected duplicate group onto its min-id representative. The
+    * cluster-then-dedup shape is the production alternative to multi-table
+    * LSH ([[nearDupPairsEmbedding]]) at the 100 TB scale: one centroid
+    * pass + one shuffle by cell, embarrassingly parallel per cluster, and
+    * the cell assignment can be persisted at ingest
+    * ([[graft.similarity.Ann.buildIvfIndex]] writes exactly this layout).
+    * Trade-off (inherent to the method, documented in the paper): pairs
+    * straddling a cluster boundary are missed — recall is centroid-
+    * dependent, so outputs are engine-specific (property-tested in
+    * CurationOpsSpec rather than oracle-checked; q14 is the recall-exact
+    * oracle-checked embedding dedup).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      numCentroids: Int = 256,
+      maxClusterCompare: Int = 2000,
+  ): DataFrame = {
+    val base  = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val cents = graft.similarity.Ann.coarseCentroids(base, "id", "vec", numCentroids)
+    val assigned = base.select(
+      col("id"),
+      col("vec"),
+      element_at(NativeFunctions.nearestCentroids(col("vec"), cents, 1), 1).as("cell"),
+    )
+    val capped = assigned.withColumn(
+      "__csz", count(lit(1)).over(Window.partitionBy(col("cell"))),
+    ).where(col("__csz") <= maxClusterCompare).drop("__csz")
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(NativeFunctions.cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup: SRP-LSH bucket join (multi-table for recall)
     * + exact cosine verify. Candidates only within equal buckets; vectors
     * re-join by id after the candidate pairs are known, so the `tables`×

@@ -194,6 +194,14 @@ object Ann {
     topKOf(scored, k)
   }
 
+  /** Public handle on the deterministic coarse-centroid sample — shared by
+    * the IVF paths here and [[graft.dedup.Dedup.semanticDedup]]'s
+    * cluster-then-dedup blocking.
+    */
+  def coarseCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, numCentroids: Int): Array[Array[Float]] =
+    sampleCentroids(corpus, idCol, vecCol, numCentroids)
+
   /** Deterministic centroid sample: `numCentroids` corpus vectors in
     * hash-of-id order — stable across reruns and partitionings. Bounded
     * driver state (C × dim floats), the one legitimate collect in the IVF

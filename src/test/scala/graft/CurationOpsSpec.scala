@@ -134,6 +134,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L) == "echo line\necho line\necho line")
   }
 
+  test("semanticDedup collapses planted duplicate embeddings, keeps distinct ones") {
+    // 3 exact-duplicate trios + 30 well-separated singleton vectors
+    def unit(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    val dups = (0 until 3).flatMap { g =>
+      val v = unit(100 + g)
+      Seq((g * 10L, v), (g * 10L + 1, v), (g * 10L + 2, v))
+    }
+    val singles = (0 until 30).map(i => (1000L + i, unit(i)))
+    val df = (dups ++ singles).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.99, numCentroids = 8)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    // every dup trio keeps exactly its min id; all singles survive
+    assert(kept.intersect(Set(0L, 1L, 2L, 10L, 11L, 12L, 20L, 21L, 22L)) == Set(0L, 10L, 20L))
+    assert(singles.map(_._1).toSet.subsetOf(kept))
+  }
+
   test("compact rewrites a fragmented table to the size-targeted file count, rows intact") {
     val t  = Table("graft_compact_t")
     val df = (0 until 10000).map(i => (i.toLong, s"value_$i")).toDF("id", "v")
