@@ -48,9 +48,12 @@ object ExportToFile {
     }
 
     if (ft == FileType.Xlsx) {
-      // xlsx is a driver-side single-file format (graft.sources.Xlsx);
-      // there is no distributed variant to choose.
-      graft.sources.Xlsx.write(spark, input, output.path)
+      // spreadsheets are driver-side single-file formats (graft.sources);
+      // there is no distributed variant to choose. The extension picks the
+      // container: .xls -> BIFF8/OLE2, anything else -> SpreadsheetML zip.
+      if (output.path.toLowerCase.endsWith(".xls"))
+        graft.sources.Xls.write(spark, input, output.path)
+      else graft.sources.Xlsx.write(spark, input, output.path)
       return output
     }
 

@@ -54,6 +54,146 @@ object Xls {
     parseBiff(wb)
   }
 
+  // ---------- write (BIFF8 in a regular-FAT CFB container) ----------
+
+  /** Write `df` as a single-sheet Excel 97-2003 workbook — the `.xls`
+    * counterpart of [[Xlsx.write]] (reference writes both via pandas
+    * `to_excel`: python-sdk/src/astro/files/types/excel.py:42-48). Strings
+    * become inline LABEL records (UTF-16, so any BMP text survives),
+    * numerics NUMBER records; null → blank. Same driver-side bounded-use
+    * contract as the xlsx writer.
+    */
+  def write(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val grid = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var rowIdx = 0
+    def addRow(values: Seq[Any]): Unit = {
+      values.zipWithIndex.foreach { case (v, c) =>
+        v match {
+          case null => ()
+          case n: Byte => grid += numberRec(rowIdx, c, n.toDouble)
+          case n: Short => grid += numberRec(rowIdx, c, n.toDouble)
+          case n: Int => grid += numberRec(rowIdx, c, n.toDouble)
+          case n: Long => grid += numberRec(rowIdx, c, n.toDouble)
+          case n: Float => grid += numberRec(rowIdx, c, n.toDouble)
+          case n: Double => grid += numberRec(rowIdx, c, n)
+          case n: java.math.BigDecimal => grid += numberRec(rowIdx, c, n.doubleValue)
+          case other => grid += labelRec(rowIdx, c, other.toString)
+        }
+      }
+      rowIdx += 1
+    }
+    addRow(df.columns.toSeq)
+    // driver-side single-file contract: bounded result sets only
+    df.toLocalIterator().forEachRemaining(r => addRow(r.toSeq))
+
+    val p   = new org.apache.hadoop.fs.Path(path)
+    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(cfbRegular(biffStream(grid.toSeq)))
+    finally out.close()
+  }
+
+  private def le16b(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32b(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def record(id: Int, payload: Array[Byte]): Array[Byte] = {
+    require(payload.length <= 8224, s"BIFF record too large (${payload.length} bytes)")
+    le16b(id) ++ le16b(payload.length) ++ payload
+  }
+
+  private def numberRec(row: Int, c: Int, d: Double): Array[Byte] =
+    record(Rec.NUMBER, le16b(row) ++ le16b(c) ++ le16b(0) ++
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
+
+  private def labelRec(row: Int, c: Int, s: String): Array[Byte] = {
+    // one record must hold the whole string (no CONTINUE on write): the
+    // BIFF record cap leaves ~4100 UTF-16 chars; .xls is a small-data
+    // on-ramp, so fail loudly rather than truncate silently
+    require(s.length <= 4000,
+      s"cell string of ${s.length} chars exceeds the .xls writer's single-record " +
+        "limit (4000) - export to csv/parquet/xlsx instead")
+    record(Rec.LABEL, le16b(row) ++ le16b(c) ++ le16b(0) ++ le16b(s.length) ++
+      Array[Byte](1) ++ s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+  }
+
+  /** Workbook globals (BOF, BOUNDSHEET with patched sheet offset, EOF) +
+    * one worksheet substream holding `cellRecords`.
+    */
+  private def biffStream(cellRecords: Seq[Array[Byte]]): Array[Byte] = {
+    val bofGlobals = record(Rec.BOF, le16b(0x0600) ++ le16b(0x0005) ++ new Array[Byte](12))
+    val bofSheet   = record(Rec.BOF, le16b(0x0600) ++ le16b(0x0010) ++ new Array[Byte](12))
+    val eof        = record(Rec.EOF, Array.empty)
+    val name       = "Sheet1"
+    val boundsheet = record(Rec.BOUNDSHEET, le32b(0) ++ le16b(0) ++
+      Array(name.length.toByte, 0.toByte) ++ name.map(_.toByte).toArray)
+    val globals = bofGlobals ++ boundsheet ++ eof
+    val sheet   = bofSheet ++ cellRecords.flatten.toArray ++ eof
+    val outBytes = globals ++ sheet
+    System.arraycopy(le32b(globals.length), 0, outBytes, bofGlobals.length + 4, 4)
+    outBytes
+  }
+
+  /** Minimal spec-conformant CFB: sectors 0..f-1 = FAT, f = directory,
+    * f+1.. = the workbook stream, zero-padded past the 4096-byte mini
+    * cutoff so the regular FAT chain is the correct (and only) location.
+    * FAT sector count is solved for the stream size (109 header-DIFAT
+    * slots bound the writer at ~7 GB — far past any sane .xls).
+    */
+  private def cfbRegular(stream: Array[Byte]): Array[Byte] = {
+    def pad(b: Array[Byte], to: Int): Array[Byte] =
+      if (b.length % to == 0 && b.length > 0) b
+      else b ++ new Array[Byte]((to - b.length % to) % to)
+    val padded = pad(stream ++ new Array[Byte](math.max(0, 4096 - stream.length)), 512)
+    val d      = padded.length / 512
+    // smallest f with 128·f entries covering f FAT + 1 dir + d data sectors
+    var f = 1
+    while (128 * f < f + 1 + d) f += 1
+    require(f <= 109, s".xls stream too large (${padded.length} bytes)")
+    val entries = Array.fill(128 * f)(FreeSect)
+    for (i <- 0 until f) entries(i) = 0xFFFFFFFD // FATSECT
+    entries(f) = EndOfChain // directory
+    for (j <- 0 until d) entries(f + 1 + j) = if (j == d - 1) EndOfChain else f + 2 + j
+    val fat = entries.flatMap(le32b)
+
+    def dirEntry(name: String, entryType: Int, start: Int, size: Int, child: Int): Array[Byte] = {
+      val e  = new Array[Byte](128)
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      System.arraycopy(nb, 0, e, 0, nb.length)
+      System.arraycopy(le16b(nb.length + 2), 0, e, 64, 2)
+      e(66) = entryType.toByte
+      e(67) = 1
+      System.arraycopy(le32b(-1), 0, e, 68, 4)
+      System.arraycopy(le32b(-1), 0, e, 72, 4)
+      System.arraycopy(le32b(child), 0, e, 76, 4)
+      System.arraycopy(le32b(start), 0, e, 116, 4)
+      System.arraycopy(le32b(size), 0, e, 120, 4)
+      e
+    }
+    val dir = pad(dirEntry("Root Entry", 5, EndOfChain, 0, child = 1) ++
+      dirEntry("Workbook", 2, f + 1, padded.length, child = -1), 512)
+    val header = {
+      val h = new Array[Byte](512)
+      val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+      System.arraycopy(magic, 0, h, 0, 8)
+      System.arraycopy(le16b(0x003E), 0, h, 24, 2)
+      System.arraycopy(le16b(0x0003), 0, h, 26, 2)
+      System.arraycopy(le16b(0xFFFE), 0, h, 28, 2)
+      System.arraycopy(le16b(9), 0, h, 30, 2)
+      System.arraycopy(le16b(6), 0, h, 32, 2)
+      System.arraycopy(le32b(f), 0, h, 44, 4)          // FAT sector count
+      System.arraycopy(le32b(f), 0, h, 48, 4)          // directory sector
+      System.arraycopy(le32b(4096), 0, h, 56, 4)       // mini cutoff
+      System.arraycopy(le32b(EndOfChain), 0, h, 60, 4) // no miniFAT
+      System.arraycopy(le32b(0), 0, h, 64, 4)
+      System.arraycopy(le32b(EndOfChain), 0, h, 68, 4) // no DIFAT chain
+      System.arraycopy(le32b(0), 0, h, 72, 4)
+      for (i <- 0 until 109)
+        System.arraycopy(le32b(if (i < f) i else FreeSect), 0, h, 76 + i * 4, 4)
+      h
+    }
+    header ++ fat ++ dir ++ padded
+  }
+
   // ---------- CFB container (MS-CFB) ----------
 
   private val EndOfChain = 0xFFFFFFFE

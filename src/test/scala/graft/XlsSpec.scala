@@ -245,6 +245,46 @@ class XlsSpec extends SparkSpec {
     assert(e.getMessage.contains("97-2003"))
   }
 
+  test("Xls.write round-trips through Xls.read (types, unicode, nulls)") {
+    val dir = tmpDir()
+    val df = Seq(
+      (1L, Some("héllo ± wörld"), Some(1.5)),
+      (2L, None: Option[String], Some(2.0)),
+      (3L, Some("plain"), None: Option[Double]),
+    ).toDF("id", "name", "score")
+    val path = s"$dir/rt.xls"
+    Xls.write(spark, df, path)
+    val back = Xls.read(spark, path)
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    assert(back.schema.map(_.dataType.typeName) == Seq("long", "string", "double"))
+    assert(back.as[(Long, Option[String], Option[Double])].collect().toSet ==
+      Set((1L, Some("héllo ± wörld"), Some(1.5)), (2L, None, Some(2.0)), (3L, Some("plain"), None)))
+  }
+
+  test("Xls.write spans multiple FAT sectors for larger workbooks") {
+    val dir = tmpDir()
+    val df = (0 until 3000).map(i => (i.toLong, s"row_value_number_$i")).toDF("id", "v")
+    val path = s"$dir/big.xls"
+    Xls.write(spark, df, path)
+    assert(new java.io.File(path).length() > 64 * 1024) // past one FAT sector's reach
+    val back = Xls.read(spark, path)
+    assert(back.count() == 3000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).as[Long].head() ==
+      (0 until 3000).map(_.toLong).sum)
+  }
+
+  test("export_to_file with a .xls path writes BIFF; load_file reads it back") {
+    val dir = tmpDir()
+    val df  = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    graft.ops.ExportToFile.df(spark, df, graft.model.File(s"$dir/out.xls"),
+      graft.model.IfExists.Replace, singleFile = true)
+    // the file on disk must genuinely be OLE2, not a renamed zip
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.xls")).take(4)
+    assert(head.map(_ & 0xFF).toSeq == Seq(0xD0, 0xCF, 0x11, 0xE0))
+    val back = graft.ops.LoadFile.toDataFrame(spark, graft.model.File(s"$dir/out.xls"))
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("load_file routes a real .xls through the BIFF reader end-to-end") {
     val dir  = tmpDir()
     val path = writeFile(dir, "via_loadfile.xls", cfbRegular(biff(standardSst, standardCells)))
