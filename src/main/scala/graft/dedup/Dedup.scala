@@ -202,8 +202,10 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // cache the DIRECTED pairs before mirroring: the union's two branches
     // would otherwise each recompute the full upstream plan (the LSH
-    // pipeline) when the edge cache materializes.
-    val fwd = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    // pipeline) when the edge cache materializes. Ids keep their native
+    // type — min-label propagation only needs an ordering, so string ids
+    // work as well as numeric ones.
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .cache()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -420,7 +422,8 @@ object Dedup {
       numCentroids: Int = 256,
       maxClusterCompare: Int = 2000,
   ): DataFrame = {
-    val base  = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (base.isEmpty) return df // nothing to cluster; match the other variants
     val cents = graft.similarity.Ann.coarseCentroids(base, "id", "vec", numCentroids)
     val assigned = base.select(
       col("id"),

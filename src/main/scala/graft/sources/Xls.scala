@@ -67,6 +67,11 @@ object Xls {
     val grid = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     var rowIdx = 0
     def addRow(values: Seq[Any]): Unit = {
+      // the format's own hard limits — exceeding them would silently wrap
+      // the 16-bit row / 8-bit-era column indices and corrupt earlier cells
+      require(rowIdx <= 65535,
+        ".xls holds at most 65536 rows (incl. header) - export to csv/parquet/xlsx instead")
+      require(values.length <= 256, ".xls holds at most 256 columns")
       values.zipWithIndex.foreach { case (v, c) =>
         v match {
           case null => ()
@@ -76,6 +81,9 @@ object Xls {
           case n: Long => grid += numberRec(rowIdx, c, n.toDouble)
           case n: Float => grid += numberRec(rowIdx, c, n.toDouble)
           case n: Double => grid += numberRec(rowIdx, c, n)
+          // IEEE double is BIFF's only numeric cell encoding (NUMBER/RK),
+          // so decimals beyond ~15 significant digits round here — the same
+          // conversion pandas/xlwt applies; use xlsx/parquet to keep digits
           case n: java.math.BigDecimal => grid += numberRec(rowIdx, c, n.doubleValue)
           case other => grid += labelRec(rowIdx, c, other.toString)
         }
@@ -106,12 +114,12 @@ object Xls {
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
 
   private def labelRec(row: Int, c: Int, s: String): Array[Byte] = {
-    // one record must hold the whole string (no CONTINUE on write): the
-    // BIFF record cap leaves ~4100 UTF-16 chars; .xls is a small-data
-    // on-ramp, so fail loudly rather than truncate silently
-    require(s.length <= 4000,
-      s"cell string of ${s.length} chars exceeds the .xls writer's single-record " +
-        "limit (4000) - export to csv/parquet/xlsx instead")
+    // MS-XLS bounds the Label record's string at 255 chars (longer strings
+    // require the SST/LABELSST + CONTINUE machinery); .xls is a small-data
+    // on-ramp, so fail loudly rather than emit an out-of-spec record
+    require(s.length <= 255,
+      s"cell string of ${s.length} chars exceeds the .xls Label record's " +
+        "255-char spec limit - export to csv/parquet/xlsx instead")
     record(Rec.LABEL, le16b(row) ++ le16b(c) ++ le16b(0) ++ le16b(s.length) ++
       Array[Byte](1) ++ s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
   }
@@ -133,11 +141,13 @@ object Xls {
     outBytes
   }
 
-  /** Minimal spec-conformant CFB: sectors 0..f-1 = FAT, f = directory,
-    * f+1.. = the workbook stream, zero-padded past the 4096-byte mini
-    * cutoff so the regular FAT chain is the correct (and only) location.
-    * FAT sector count is solved for the stream size (109 header-DIFAT
-    * slots bound the writer at ~7 GB — far past any sane .xls).
+  /** Minimal spec-conformant CFB: sectors 0..g-1 = DIFAT chain (only when
+    * the FAT outgrows the 109 header slots), g..g+f-1 = FAT, g+f =
+    * directory, g+f+1.. = the workbook stream, zero-padded past the
+    * 4096-byte mini cutoff so the regular FAT chain is the correct (and
+    * only) location. FAT and DIFAT sector counts are solved together for
+    * the stream size, so capacity is bounded by the format (65536 rows ×
+    * 256 cols), not the container.
     */
   private def cfbRegular(stream: Array[Byte]): Array[Byte] = {
     def pad(b: Array[Byte], to: Int): Array[Byte] =
@@ -145,15 +155,34 @@ object Xls {
       else b ++ new Array[Byte]((to - b.length % to) % to)
     val padded = pad(stream ++ new Array[Byte](math.max(0, 4096 - stream.length)), 512)
     val d      = padded.length / 512
-    // smallest f with 128·f entries covering f FAT + 1 dir + d data sectors
+    // smallest (f, g): 128·f FAT entries cover g DIFAT + f FAT + 1 dir + d
+    // data sectors, with DIFAT sectors (127 FAT ids + next pointer each)
+    // for every FAT sector past the 109 header slots
     var f = 1
-    while (128 * f < f + 1 + d) f += 1
-    require(f <= 109, s".xls stream too large (${padded.length} bytes)")
-    val entries = Array.fill(128 * f)(FreeSect)
-    for (i <- 0 until f) entries(i) = 0xFFFFFFFD // FATSECT
-    entries(f) = EndOfChain // directory
-    for (j <- 0 until d) entries(f + 1 + j) = if (j == d - 1) EndOfChain else f + 2 + j
+    var g = 0
+    var settled = false
+    while (!settled) {
+      g = math.max(0, math.ceil((f - 109) / 127.0).toInt)
+      if (128 * f < g + f + 1 + d) f += 1 else settled = true
+    }
+    val dirSect  = g + f
+    val dataSect = g + f + 1
+    val entries  = Array.fill(128 * f)(FreeSect)
+    for (i <- 0 until g) entries(i) = 0xFFFFFFFC // DIFSECT
+    for (i <- 0 until f) entries(g + i) = 0xFFFFFFFD // FATSECT
+    entries(dirSect) = EndOfChain
+    for (j <- 0 until d)
+      entries(dataSect + j) = if (j == d - 1) EndOfChain else dataSect + j + 1
     val fat = entries.flatMap(le32b)
+    val difat = (0 until g).toArray.flatMap { i =>
+      val s = new Array[Byte](512)
+      for (k <- 0 until 127) {
+        val fatIdx = 109 + i * 127 + k
+        System.arraycopy(le32b(if (fatIdx < f) g + fatIdx else FreeSect), 0, s, k * 4, 4)
+      }
+      System.arraycopy(le32b(if (i == g - 1) EndOfChain else i + 1), 0, s, 508, 4)
+      s
+    }
 
     def dirEntry(name: String, entryType: Int, start: Int, size: Int, child: Int): Array[Byte] = {
       val e  = new Array[Byte](128)
@@ -170,7 +199,7 @@ object Xls {
       e
     }
     val dir = pad(dirEntry("Root Entry", 5, EndOfChain, 0, child = 1) ++
-      dirEntry("Workbook", 2, f + 1, padded.length, child = -1), 512)
+      dirEntry("Workbook", 2, dataSect, padded.length, child = -1), 512)
     val header = {
       val h = new Array[Byte](512)
       val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
@@ -180,18 +209,18 @@ object Xls {
       System.arraycopy(le16b(0xFFFE), 0, h, 28, 2)
       System.arraycopy(le16b(9), 0, h, 30, 2)
       System.arraycopy(le16b(6), 0, h, 32, 2)
-      System.arraycopy(le32b(f), 0, h, 44, 4)          // FAT sector count
-      System.arraycopy(le32b(f), 0, h, 48, 4)          // directory sector
-      System.arraycopy(le32b(4096), 0, h, 56, 4)       // mini cutoff
+      System.arraycopy(le32b(f), 0, h, 44, 4)       // FAT sector count
+      System.arraycopy(le32b(dirSect), 0, h, 48, 4) // directory sector
+      System.arraycopy(le32b(4096), 0, h, 56, 4)    // mini cutoff
       System.arraycopy(le32b(EndOfChain), 0, h, 60, 4) // no miniFAT
       System.arraycopy(le32b(0), 0, h, 64, 4)
-      System.arraycopy(le32b(EndOfChain), 0, h, 68, 4) // no DIFAT chain
-      System.arraycopy(le32b(0), 0, h, 72, 4)
+      System.arraycopy(le32b(if (g == 0) EndOfChain else 0), 0, h, 68, 4)
+      System.arraycopy(le32b(g), 0, h, 72, 4)
       for (i <- 0 until 109)
-        System.arraycopy(le32b(if (i < f) i else FreeSect), 0, h, 76 + i * 4, 4)
+        System.arraycopy(le32b(if (i < f) g + i else FreeSect), 0, h, 76 + i * 4, 4)
       h
     }
-    header ++ fat ++ dir ++ padded
+    header ++ difat ++ fat ++ dir ++ padded
   }
 
   // ---------- CFB container (MS-CFB) ----------

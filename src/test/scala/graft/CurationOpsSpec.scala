@@ -156,6 +156,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(singles.map(_._1).toSet.subsetOf(kept))
   }
 
+  test("semanticDedup: empty input passes through; string ids dedup without a silent no-op") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(empty, "vec_id", "embedding").count() == 0)
+    val v = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val strIds = Seq(("doc-a", v), ("doc-b", v), ("doc-z", Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(strIds, "vec_id", "embedding",
+      threshold = 0.99, numCentroids = 2)
+      .select("vec_id").as[String].collect().toSet
+    assert(kept == Set("doc-a", "doc-z")) // min-id survivor among the dup pair
+  }
+
+  test("connectedComponents and transitive dedup work on string ids") {
+    val pairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("compact rewrites a fragmented table to the size-targeted file count, rows intact") {
     val t  = Table("graft_compact_t")
     val df = (0 until 10000).map(i => (i.toLong, s"value_$i")).toDF("id", "v")

@@ -273,6 +273,30 @@ class XlsSpec extends SparkSpec {
       (0 until 3000).map(_.toLong).sum)
   }
 
+  test("Xls.write chains DIFAT sectors past the 109-header-slot FAT limit") {
+    val dir  = tmpDir()
+    val blob = "x" * 200
+    val df   = (0 until 40000).map(i => (i.toLong, s"$blob$i")).toDF("id", "v")
+    val path = s"$dir/difat.xls"
+    Xls.write(spark, df, path)
+    // > 7.1 MB stream forces FAT sectors beyond the header DIFAT slots
+    assert(new java.io.File(path).length() > 110L * 128 * 512)
+    val back = Xls.read(spark, path)
+    assert(back.count() == 40000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).as[Long].head() ==
+      (0 until 40000).map(_.toLong).sum)
+  }
+
+  test("Xls.write enforces the format's row and string limits loudly") {
+    val dir = tmpDir()
+    val tooManyRows = (0 to 65536).map(i => Tuple1(i.toLong)).toDF("id")
+    val e1 = intercept[Exception] { Xls.write(spark, tooManyRows, s"$dir/rows.xls") }
+    assert(e1.getMessage.contains("65536 rows"))
+    val longString = Seq(Tuple1("y" * 256)).toDF("v")
+    val e2 = intercept[Exception] { Xls.write(spark, longString, s"$dir/str.xls") }
+    assert(e2.getMessage.contains("255"))
+  }
+
   test("export_to_file with a .xls path writes BIFF; load_file reads it back") {
     val dir = tmpDir()
     val df  = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
