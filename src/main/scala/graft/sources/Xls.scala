@@ -97,7 +97,7 @@ object Xls {
     val p   = new org.apache.hadoop.fs.Path(path)
     val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(cfbRegular(biffStream(grid.toSeq)))
+    try out.write(cfbRegular(biffStream(grid.toSeq, rowIdx, df.columns.length)))
     finally out.close()
   }
 
@@ -109,8 +109,13 @@ object Xls {
     le16b(id) ++ le16b(payload.length) ++ payload
   }
 
+  /** Default cell XF index — globals emit the customary 15 style XFs + 1
+    * cell XF (what xlwt does), and every cell references the cell XF.
+    */
+  private val CellXf = 15
+
   private def numberRec(row: Int, c: Int, d: Double): Array[Byte] =
-    record(Rec.NUMBER, le16b(row) ++ le16b(c) ++ le16b(0) ++
+    record(Rec.NUMBER, le16b(row) ++ le16b(c) ++ le16b(CellXf) ++
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
 
   private def labelRec(row: Int, c: Int, s: String): Array[Byte] = {
@@ -120,24 +125,43 @@ object Xls {
     require(s.length <= 255,
       s"cell string of ${s.length} chars exceeds the .xls Label record's " +
         "255-char spec limit - export to csv/parquet/xlsx instead")
-    record(Rec.LABEL, le16b(row) ++ le16b(c) ++ le16b(0) ++ le16b(s.length) ++
+    record(Rec.LABEL, le16b(row) ++ le16b(c) ++ le16b(CellXf) ++ le16b(s.length) ++
       Array[Byte](1) ++ s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
   }
 
-  /** Workbook globals (BOF, BOUNDSHEET with patched sheet offset, EOF) +
-    * one worksheet substream holding `cellRecords`.
+  /** Workbook globals (BOF, CODEPAGE, WINDOW1, FONT, the customary 16 XFs,
+    * BOUNDSHEET with patched sheet offset, EOF) + one worksheet substream
+    * (BOF, DIMENSION, WINDOW2, cells, EOF). The structural records match
+    * what minimal writers like xlwt emit so external consumers
+    * (Excel/xlrd/pandas) accept the file; this engine's reader skips them.
     */
-  private def biffStream(cellRecords: Seq[Array[Byte]]): Array[Byte] = {
+  private def biffStream(cellRecords: Seq[Array[Byte]], nRows: Int, nCols: Int): Array[Byte] = {
     val bofGlobals = record(Rec.BOF, le16b(0x0600) ++ le16b(0x0005) ++ new Array[Byte](12))
     val bofSheet   = record(Rec.BOF, le16b(0x0600) ++ le16b(0x0010) ++ new Array[Byte](12))
     val eof        = record(Rec.EOF, Array.empty)
+    val codepage   = record(0x0042, le16b(0x04B0)) // UTF-16
+    val window1    = record(0x003D, le16b(0) ++ le16b(0) ++ le16b(0x4000) ++ le16b(0x2000) ++
+      le16b(0x0038) ++ le16b(0) ++ le16b(0) ++ le16b(1) ++ le16b(600))
+    val fontName = "Arial"
+    val font = record(0x0031, le16b(200) ++ le16b(0) ++ le16b(0x7FFF) ++ le16b(400) ++
+      le16b(0) ++ Array[Byte](0, 0, 0, 0) ++
+      Array(fontName.length.toByte, 0.toByte) ++ fontName.map(_.toByte).toArray)
+    // 15 style XFs (parent 0xFFF | fStyle) + 1 default cell XF (index 15)
+    val xfs = (0 until 16).toArray.flatMap { i =>
+      val flags = if (i < CellXf) 0xFFF5 else 0x0001
+      record(0x00E0, le16b(0) ++ le16b(0) ++ le16b(flags) ++ new Array[Byte](14))
+    }
     val name       = "Sheet1"
     val boundsheet = record(Rec.BOUNDSHEET, le32b(0) ++ le16b(0) ++
       Array(name.length.toByte, 0.toByte) ++ name.map(_.toByte).toArray)
-    val globals = bofGlobals ++ boundsheet ++ eof
-    val sheet   = bofSheet ++ cellRecords.flatten.toArray ++ eof
+    val dimension = record(0x0200, le32b(0) ++ le32b(nRows) ++ le16b(0) ++ le16b(nCols) ++ le16b(0))
+    val window2 = record(0x023E, le16b(0x02B6) ++ le16b(0) ++ le16b(0) ++ le32b(0x40) ++
+      le16b(0) ++ le16b(0) ++ le32b(0))
+    val globals = bofGlobals ++ codepage ++ window1 ++ font ++ xfs ++ boundsheet ++ eof
+    val sheet   = bofSheet ++ dimension ++ window2 ++ cellRecords.flatten.toArray ++ eof
     val outBytes = globals ++ sheet
-    System.arraycopy(le32b(globals.length), 0, outBytes, bofGlobals.length + 4, 4)
+    val bsOffset = bofGlobals.length + codepage.length + window1.length + font.length + xfs.length
+    System.arraycopy(le32b(globals.length), 0, outBytes, bsOffset + 4, 4)
     outBytes
   }
 
