@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   *   and the driver got no numbers at all).
   * - Per-query progress streams to stderr as results land; stdout stays the
   *   single JSON line the driver parses.
+  * - Noise guard: the whole suite runs SPARK_GRAFT_BENCH_RUNS times (default
+  *   2) and each query reports its best (min) time. This host's hypervisor
+  *   shows minutes-long CPU-steal bursts that inflate arbitrary queries
+  *   10–30x (SCALE.md "Bench variance"); two sweeps spaced a full suite apart
+  *   rarely land the same query in the same burst, so min-of-sweeps reports
+  *   the plan's cost rather than the hypervisor's mood.
   */
 object Bench {
 
@@ -83,21 +89,27 @@ object Bench {
       sorted.foreach { case (name, fn) =>
         withBudget(spark, s"warmup-$name", budgetSec)(fn(spark, warmupDir).count())
       }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val r = withBudget(spark, name, budgetSec)(fn(spark, sfDir).count())
-      val sec = (System.nanoTime() - t0) / 1e9
-      r match {
-        case Right(_) =>
-          System.err.println(f"[bench] $name%-28s ${sec}%8.2f s")
-          name -> sec
-        case Left(err) =>
-          errors(name) = err
-          System.err.println(f"[bench] $name%-28s   FAILED  $err")
-          name -> -1.0
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (pass <- 1 to runs) {
+      sorted.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = withBudget(spark, s"$name-p$pass", budgetSec)(fn(spark, sfDir).count())
+        val sec = (System.nanoTime() - t0) / 1e9
+        r match {
+          case Right(_) =>
+            System.err.println(f"[bench] p$pass $name%-28s ${sec}%8.2f s")
+            // a success on any pass supersedes an earlier failure
+            if (best.getOrElse(name, -1.0) < 0 || sec < best(name)) best(name) = sec
+            errors.remove(name)
+          case Left(err) =>
+            System.err.println(f"[bench] p$pass $name%-28s   FAILED  $err")
+            if (!best.get(name).exists(_ >= 0)) { best(name) = -1.0; errors(name) = err }
+        }
       }
     }
+    val results = sorted.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1075,6 +1075,40 @@ object SparkEntry {
     // two partial-aggregated shuffles on the keys they group by
     "q76_term_stats" -> ((s, dir) =>
       TermStats.termStats(tbl(s, dir, "documents"), "doc_id", "text", minDf = 2)),
+
+    // PRODUCTION-DIAL twin of q29: same corpus, default r=4 banding
+    // (bands=32, the 100 TB setting) instead of the recall-exact r=2 the
+    // oracle run uses. At threshold 0.5 the r=4 S-curve midpoint is ~0.42,
+    // so recall is high-but-<1 by design and the survivor set is
+    // engine/parameter-specific — rows-only check (completeness is q29's
+    // job). Exists so the BENCH measures the candidate-volume regime a
+    // production corpus sees, not just the deliberately-flooded oracle one.
+    "q77_dedup_transitive_prod" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val b = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" chain link one two three")).as("text"))
+      val c = b.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" more drift four five six")).as("text"))
+      Dedup.dedupNearTransitive(d.unionByName(b).unionByName(c), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("doc_id"))
+    }),
+
+    // PRODUCTION-DIAL twin of q73 (keep-best survivor rule, r=4 banding) —
+    // same rationale as q77: rows-only, measures the 100 TB path.
+    "q78_dedup_keep_best_prod" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val b = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" chain link one two three")).as("text"))
+      val c = b.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" more drift four five six")).as("text"))
+      Dedup.dedupNearKeepBest(d.unionByName(b).unionByName(c), "doc_id", "text",
+          orderBy = Seq(length(col("text")).desc),
+          threshold = 0.5)
+        .select(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
