@@ -223,6 +223,139 @@ object TableIO {
     val after = dataFiles(new Path(meta.location))
     (before.size, after.size)
   }
+
+  // ===== Atomic publication via view indirection =====
+  //
+  // [[compact]] and merge-update swap a staged table into the target name via
+  // DROP + ALTER RENAME — correct data, but a concurrent reader resolving the
+  // name inside that two-statement window sees TABLE_NOT_FOUND. Warehouses
+  // with ACID tables (the reference delegates to them, e.g. Delta MERGE)
+  // don't expose that window; a Spark-catalog-native engine needs its own
+  // indirection. The pattern here: the PUBLISHED name is a catalog VIEW over
+  // a generation-numbered physical table (`name__gen<N>`). A rewrite writes
+  // `__gen<N+1>` and flips the view in ONE `CREATE OR REPLACE VIEW`
+  // statement — a single synchronized catalog mutation, so any reader
+  // resolves old-or-new, never absent. Old generations are reclaimed AFTER
+  // the flip; `keepGenerations` ≥ 2 leaves the previous generation's files
+  // on disk through the flip so a reader that resolved just before it can
+  // still finish its scan (the snapshot-retention idea, minus the log).
+
+  private val GenSuffix = "__gen"
+
+  /** Physical generation table name for `table`. */
+  private def genTable(table: Table, n: Int): Table =
+    Table(s"${table.name}$GenSuffix$n", table.metadata, temp = false)
+
+  /** Generation numbers currently in the catalog for `table`, ascending. */
+  private[graft] def generations(spark: SparkSession, table: Table): Seq[Int] = {
+    val db = table.metadata.database.orElse(table.metadata.schema)
+      .getOrElse(spark.catalog.currentDatabase)
+    val prefix = s"${table.name.toLowerCase}$GenSuffix"
+    spark.sessionState.catalog.listTables(db)
+      .map(_.table.toLowerCase)
+      .collect { case t if t.startsWith(prefix) && t.drop(prefix.length).forall(_.isDigit) =>
+        t.drop(prefix.length).toInt
+      }
+      .sorted
+  }
+
+  /** Atomically publish `df` under `table.qualifiedName`.
+    *
+    * Writes the next generation table, then flips the published VIEW in one
+    * `CREATE OR REPLACE VIEW` — concurrent readers of the name see the old
+    * or the new generation, never a missing table (AtomicSwapSpec hammers
+    * this with a racing reader). Generations older than `keepGenerations`
+    * are dropped after the flip.
+    *
+    * Migration: if a plain TABLE already occupies the name it is catalog-
+    * renamed to a generation slot first (metadata-only move). That rename +
+    * view-create pair is the one remaining non-atomic window, paid once per
+    * table at adoption time, never again on subsequent publishes.
+    */
+  def publish(
+      spark: SparkSession,
+      df: DataFrame,
+      table: Table,
+      keepGenerations: Int = 2,
+  ): Table = {
+    require(keepGenerations >= 1, "keepGenerations must be >= 1")
+    val cat   = spark.sessionState.catalog
+    val db    = table.metadata.database.orElse(table.metadata.schema)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.name, db)
+    val migrating = cat.tableExists(ident) &&
+      cat.getTableMetadata(ident).tableType !=
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+    val prior = generations(spark, table)
+    // on migration the occupying plain table moves into the lower slot so
+    // the freshly-written data stays the newest generation
+    val oldSlot = prior.lastOption.getOrElse(-1) + 1
+    val newSlot = if (migrating) oldSlot + 1 else oldSlot
+    val gen     = genTable(table, newSlot)
+    overwrite(spark, df, gen)
+    if (migrating)
+      // one-time: move the plain table aside (metadata-only rename) so the
+      // name frees up for the view; this rename + view-create pair is the
+      // single non-atomic window, paid only at adoption
+      spark.sql(s"ALTER TABLE ${table.qualifiedName} RENAME TO ${genTable(table, oldSlot).qualifiedName}")
+    spark.sql(
+      s"CREATE OR REPLACE VIEW ${table.qualifiedName} AS SELECT * FROM ${gen.qualifiedName}")
+    // reclaim: everything except the newest `keepGenerations` generations
+    generations(spark, table).dropRight(keepGenerations)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${genTable(table, n).qualifiedName}"))
+    table
+  }
+
+  /** Current physical generation behind a published name (for callers that
+    * need the table, e.g. [[compactPublished]]).
+    */
+  def publishedGeneration(spark: SparkSession, table: Table): Option[Table] =
+    generations(spark, table).lastOption.map(genTable(table, _))
+
+  /** [[compact]] for a PUBLISHED table: rewrites the current generation into
+    * size-targeted files as the next generation and flips the view — readers
+    * never see the name absent (vs the filesystem swap in [[compact]]).
+    * Returns (fileCountBefore, fileCountAfter).
+    */
+  def compactPublished(
+      spark: SparkSession,
+      table: Table,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      keepGenerations: Int = 2,
+  ): (Int, Int) = {
+    val cur = publishedGeneration(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"${table.qualifiedName} has no published generation — use publish() first"))
+    def files(t: Table): Int = {
+      val loc = new Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t.name,
+          t.metadata.database.orElse(t.metadata.schema))).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      var n  = 0
+      while (it.hasNext) {
+        val s = it.next().getPath.getName
+        if (!s.startsWith("_") && !s.startsWith(".")) n += 1
+      }
+      n
+    }
+    val beforeCount = files(cur)
+    val df         = spark.table(cur.qualifiedName)
+    val totalBytes = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(cur.name,
+        cur.metadata.database.orElse(cur.metadata.schema)))
+      .stats.map(_.sizeInBytes.toLong)
+      .getOrElse {
+        val loc = new Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(cur.name,
+            cur.metadata.database.orElse(cur.metadata.schema))).location)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(loc).getLength
+      }
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    publish(spark, df.repartition(targetFiles), table, keepGenerations)
+    val afterCount = files(publishedGeneration(spark, table).get)
+    (beforeCount, afterCount)
+  }
 }
 
 /** `drop_table` (reference: python-sdk/src/astro/sql/operators/drop.py:14-51;
