@@ -29,6 +29,7 @@ final case class LoadOptions(
     readerOptions: Map[String, String] = Map.empty,
     schema: Option[StructType] = None,
     partitionBy: Seq[String] = Nil,
+    sheet: graft.sources.SheetRef = graft.sources.SheetRef.First,
 )
 
 /** `load_file`: file(s)/pattern at any Hadoop-FS location → DataFrame or
@@ -139,7 +140,7 @@ object LoadFile {
       case FileType.Xlsx =>
         // Driver-side SpreadsheetML parse (no Spark xlsx source exists);
         // small-file format by nature — see graft.sources.Xlsx.
-        val df = graft.sources.Xlsx.read(spark, path)
+        val df = graft.sources.Xlsx.read(spark, path, opts.sheet)
         opts.schema.fold(df)(s =>
           df.select(s.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*))
     }

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * on-ramp, not a bulk path; the parsed rows become a normal distributed
   * DataFrame immediately.
   *
-  * Supported: first worksheet; SST/LABELSST shared strings (compressed +
+  * Supported: sheet selection by workbook (BOUNDSHEET) order index or by
+  * name, pandas `sheet_name` parity; SST/LABELSST shared strings (compressed +
   * UTF-16, CONTINUE-spanning), LABEL inline strings, NUMBER/RK/MULRK
   * numerics, BLANK/MULBLANK, FORMULA cached numeric/string/boolean
   * results. Mini-stream (< 4096-byte workbook) and regular FAT chains both
@@ -26,7 +27,7 @@ object Xls {
 
   // ---------- public API ----------
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, sheet: SheetRef = SheetRef.First): DataFrame = {
     val p    = new org.apache.hadoop.fs.Path(path)
     val fs   = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in   = fs.open(p)
@@ -34,8 +35,9 @@ object Xls {
       try in.readAllBytes()
       finally in.close()
     val cells =
-      try parseWorkbook(bytes, path)
+      try parseWorkbook(bytes, path, sheet)
       catch {
+        case e: SheetNotFoundException => throw e
         case scala.util.control.NonFatal(e) =>
           throw new IllegalArgumentException(
             s"$path: corrupt or unsupported legacy Excel 97-2003 (.xls/BIFF) " +
@@ -47,11 +49,12 @@ object Xls {
 
   /** Parse the workbook into a dense row-major cell grid (None = blank). */
   private[sources] def parseWorkbook(
-      bytes: Array[Byte], path: String): Seq[Seq[Option[String]]] = {
+      bytes: Array[Byte], path: String,
+      sheet: SheetRef = SheetRef.First): Seq[Seq[Option[String]]] = {
     val wb = extractStream(bytes, Set("Workbook", "Book"))
       .getOrElse(throw new IllegalArgumentException(
         s"$path: no Workbook/Book stream in OLE2 container - not an Excel file?"))
-    parseBiff(wb)
+    parseBiff(wb, sheet, path)
   }
 
   // ---------- write (BIFF8 in a regular-FAT CFB container) ----------
@@ -459,12 +462,16 @@ object Xls {
     sb.toString
   }
 
-  /** Parse the workbook stream: globals substream (SST, BOUNDSHEET) then the
-    * first worksheet substream's cell records into a dense grid.
+  /** Parse the workbook stream: globals substream (SST, BOUNDSHEETs in
+    * workbook order) then the SELECTED worksheet substream's cell records
+    * into a dense grid.
     */
-  private def parseBiff(wb: Array[Byte]): Seq[Seq[Option[String]]] = {
+  private def parseBiff(
+      wb: Array[Byte], sheet: SheetRef, path: String): Seq[Seq[Option[String]]] = {
     val sst = mutable.ArrayBuffer[String]()
-    var firstSheetOffset = -1
+    // BOUNDSHEET order IS the workbook sheet order (MS-XLS 2.4.28); each
+    // record carries the substream offset and the sheet name
+    val boundsheets = mutable.ArrayBuffer[(String, Int)]()
 
     // --- pass 1: workbook globals ---
     var pos = 0
@@ -484,20 +491,27 @@ object Xls {
             k += 1
           }
         case Rec.BOUNDSHEET =>
-          if (firstSheetOffset < 0) {
-            // first BOUNDSHEET = first sheet (visible ordering); dt at +4
-            firstSheetOffset = i32(wb, pos + 4)
-          }
+          // lbPlyPos(4) grbit(2) cch(1) flags(1) name[cch or 2*cch]
+          val off   = i32(wb, pos + 4)
+          val cch   = wb(pos + 10) & 0xFF
+          val flags = wb(pos + 11) & 0xFF
+          val name =
+            if ((flags & 1) != 0)
+              new String(wb, pos + 12, 2 * cch, java.nio.charset.StandardCharsets.UTF_16LE)
+            else new String(wb, pos + 12, cch, java.nio.charset.StandardCharsets.ISO_8859_1)
+          boundsheets += (name -> off)
         case Rec.EOF => done = true
         case 0 if len == 0 => done = true // zero padding past the stream end
         case _ => ()
       }
       pos += 4 + len
     }
-    require(firstSheetOffset >= 0 && firstSheetOffset < wb.length,
-      "no worksheet substream in workbook globals")
+    require(boundsheets.nonEmpty, "no worksheet substream in workbook globals")
+    val sheetOffset = SheetRef.select(boundsheets.toSeq, sheet, path)
+    require(sheetOffset >= 0 && sheetOffset < wb.length,
+      s"worksheet substream offset $sheetOffset out of bounds")
 
-    // --- pass 2: first worksheet substream ---
+    // --- pass 2: selected worksheet substream ---
     val cells = mutable.HashMap[(Int, Int), String]() // (row, col) -> value
     var maxRow = -1
     var maxCol = -1
@@ -507,7 +521,7 @@ object Xls {
       if (col > maxCol) maxCol = col
     }
 
-    pos = firstSheetOffset
+    pos = sheetOffset
     done = false
     var sawBof = false
     while (!done && pos + 4 <= wb.length) {

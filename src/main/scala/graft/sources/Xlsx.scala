@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * rows become a normal distributed DataFrame; at scale the data belongs in
   * parquet/csv the moment it enters the pipeline.
   *
-  * Supported: first worksheet, header row, shared + inline strings, numeric
-  * cells; column types inferred as long/double/string (blank → null).
+  * Supported: sheet selection by workbook-order index or name (pandas
+  * `sheet_name` parity; default = first sheet in `workbook.xml` order, with
+  * part names resolved through workbook.xml.rels — part FILENAMES are not
+  * ordering), header row, shared + inline strings, numeric cells; column
+  * types inferred as long/double/string (blank → null).
   */
 object Xlsx {
 
@@ -35,7 +38,7 @@ object Xlsx {
   private val Ole2Magic =
     Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, sheet: SheetRef = SheetRef.First): DataFrame = {
     val p   = new Path(path)
     val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val raw = new BufferedInputStream(fs.open(p))
@@ -44,25 +47,55 @@ object Xlsx {
     raw.reset()
     if (java.util.Arrays.equals(head, Ole2Magic)) {
       raw.close()
-      return Xls.read(spark, path)
+      return Xls.read(spark, path, sheet)
     }
     val in = new ZipInputStream(raw)
     var shared: IndexedSeq[String] = IndexedSeq.empty
     var sheetRows: Seq[Seq[Option[String]]] = Seq.empty
     var sheetIsString: Seq[Seq[Boolean]] = Seq.empty
     try {
+      // one pass over the archive, collecting every part sheet resolution
+      // can need — zip entry order is arbitrary, so selection happens after
+      var workbookXml: Option[Array[Byte]] = None
+      var relsXml: Option[Array[Byte]]     = None
+      val worksheetParts = mutable.HashMap[String, Array[Byte]]()
       var entry: ZipEntry = in.getNextEntry
-      var sheetBytes: Option[Array[Byte]] = None
       while (entry != null) {
         entry.getName match {
-          case "xl/sharedStrings.xml" => shared = parseSharedStrings(in.readAllBytes())
-          case n if n.matches("xl/worksheets/sheet1\\.xml") => sheetBytes = Some(in.readAllBytes())
+          case "xl/sharedStrings.xml"    => shared = parseSharedStrings(in.readAllBytes())
+          case "xl/workbook.xml"         => workbookXml = Some(in.readAllBytes())
+          case "xl/_rels/workbook.xml.rels" => relsXml = Some(in.readAllBytes())
+          case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+            worksheetParts(n) = in.readAllBytes()
           case _ => ()
         }
         entry = in.getNextEntry
       }
-      val bytes = sheetBytes.getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
-      val (rows, isStr) = parseSheet(bytes)
+      if (worksheetParts.isEmpty)
+        throw new IllegalArgumentException(s"no worksheet in $path")
+      // workbook.xml's <sheets> order is the authoritative sheet order; the
+      // r:id → part mapping lives in workbook.xml.rels. Part FILENAMES are
+      // not ordering (a workbook's first sheet need not be sheet1.xml).
+      val ordered: Seq[(String, String)] = (workbookXml, relsXml) match {
+        case (Some(wb), Some(rels)) =>
+          val targets = parseRels(rels)
+          parseWorkbookSheets(wb).flatMap { case (name, rid) =>
+            targets.get(rid).map { t =>
+              val part = if (t.startsWith("/")) t.drop(1) else "xl/" + t
+              name -> part
+            }
+          }
+        case _ =>
+          // degenerate archive (no workbook catalog): filename order is the
+          // only signal left
+          worksheetParts.keys.toSeq.sorted.map(n => n -> n)
+      }
+      val known = ordered.filter { case (_, part) => worksheetParts.contains(part) }
+      if (known.isEmpty)
+        throw new IllegalArgumentException(
+          s"$path: workbook.xml references no worksheet part present in the archive")
+      val partName = SheetRef.select(known, sheet, path)
+      val (rows, isStr) = parseSheet(worksheetParts(partName))
       sheetRows = rows; sheetIsString = isStr
     } finally in.close()
 
@@ -74,6 +107,41 @@ object Xlsx {
       }
     }
     SheetGrid.toDataFrame(spark, resolved.map(_.toSeq), path)
+  }
+
+  /** `<sheet name=... r:id=.../>` entries of workbook.xml, in order. */
+  private def parseWorkbookSheets(bytes: Array[Byte]): Seq[(String, String)] = {
+    val out = mutable.ArrayBuffer[(String, String)]()
+    val r   = xmlReader(bytes)
+    val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT if r.getLocalName == "sheet" =>
+          val name = Option(r.getAttributeValue(null, "name")).getOrElse("")
+          val rid  = Option(r.getAttributeValue(relNs, "id"))
+            .orElse(Option(r.getAttributeValue(null, "id")))
+          rid.foreach(id => out += (name -> id))
+        case _ => ()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Relationship Id → Target map of workbook.xml.rels. */
+  private def parseRels(bytes: Array[Byte]): Map[String, String] = {
+    val out = mutable.HashMap[String, String]()
+    val r   = xmlReader(bytes)
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT if r.getLocalName == "Relationship" =>
+          for {
+            id <- Option(r.getAttributeValue(null, "Id"))
+            t  <- Option(r.getAttributeValue(null, "Target"))
+          } out(id) = t
+        case _ => ()
+      }
+    }
+    out.toMap
   }
 
   private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {

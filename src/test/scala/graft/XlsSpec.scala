@@ -3,7 +3,7 @@ package graft
 import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
-import graft.sources.Xls
+import graft.sources.{SheetNotFoundException, SheetRef, Xls}
 
 /** BIFF8/.xls reader tests over handcrafted workbooks: the builder below
   * writes minimal-but-spec-conformant CFB containers (MS-CFB) holding BIFF8
@@ -315,5 +315,51 @@ class XlsSpec extends SparkSpec {
     val df   = graft.ops.LoadFile.toDataFrame(spark, graft.model.File(path))
     assert(df.count() == 3)
     assert(df.columns.toSeq == Seq("id", "n", "x"))
+  }
+
+  // ---------- multi-sheet selection (pandas sheet_name parity) ----------
+
+  /** Workbook stream with several named sheets, BOUNDSHEET offsets patched. */
+  private def biffMulti(sheets: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bofGlobals = rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ new Array[Byte](12))
+    val bofSheet   = rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ new Array[Byte](12))
+    val eof        = rec(0x000A, Array.empty)
+    def boundsheet(name: String) = rec(0x0085, le32(0) ++ le16(0) ++
+      Array(name.length.toByte, 0.toByte) ++ name.map(_.toByte).toArray)
+    val bss          = sheets.map { case (n, _) => boundsheet(n) }
+    val globals      = bofGlobals ++ bss.reduce(_ ++ _) ++ simpleSst(Nil) ++ eof
+    val sheetStreams = sheets.map { case (_, cells) => bofSheet ++ cells ++ eof }
+    val patched      = (globals ++ sheetStreams.reduce(_ ++ _)).clone()
+    var bsOff     = bofGlobals.length
+    var streamOff = globals.length
+    for (i <- sheets.indices) {
+      System.arraycopy(le32(streamOff), 0, patched, bsOff + 4, 4)
+      bsOff += bss(i).length
+      streamOff += sheetStreams(i).length
+    }
+    patched
+  }
+
+  private def label(row: Int, col: Int, s: String): Array[Byte] =
+    rec(0x0204, le16(row) ++ le16(col) ++ le16(0) ++ sstString(s))
+
+  test(".xls multi-sheet: default=first BOUNDSHEET; by-name / by-index select others") {
+    val dir = tmpDir()
+    val wb = biffMulti(Seq(
+      "Alpha" -> (label(0, 0, "a") ++ number(1, 0, 1.0)),
+      "Beta"  -> (label(0, 0, "b") ++ number(1, 0, 2.0))))
+    val path = writeFile(dir, "multi.xls", cfbRegular(wb))
+    val first = Xls.read(spark, path)
+    assert(first.columns.toSeq == Seq("a"))
+    assert(first.as[Long].collect().toSeq == Seq(1L))
+    val byName = Xls.read(spark, path, SheetRef.ByName("Beta"))
+    assert(byName.columns.toSeq == Seq("b"))
+    assert(byName.as[Long].collect().toSeq == Seq(2L))
+    val byIdx = Xls.read(spark, path, SheetRef.ByIndex(1))
+    assert(byIdx.columns.toSeq == Seq("b"))
+    val err = intercept[SheetNotFoundException](Xls.read(spark, path, SheetRef.ByName("Gamma")))
+    assert(err.getMessage.contains("Alpha") && err.getMessage.contains("Beta"))
+    val err2 = intercept[SheetNotFoundException](Xls.read(spark, path, SheetRef.ByIndex(5)))
+    assert(err2.getMessage.contains("2 sheet(s)"))
   }
 }
