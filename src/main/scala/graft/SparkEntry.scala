@@ -1021,7 +1021,7 @@ object SparkEntry {
         (col("c_acctbal") + 100).as("c_acctbal"),
       )
       graft.sources.Jdbc.merge(s, src, url, "q72_target", Seq("c_custkey"),
-        MergeConflict.Update)
+        MergeConflict.Update, initUniqueIndex = true)
       graft.sources.Jdbc.read(s, url, "q72_target")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     }),

@@ -221,6 +221,18 @@ object Jdbc {
     try {
       val st = conn.createStatement()
       try {
+        // Always index the staging table's key columns: the upsert joins
+        // stage↔target on them, and an unindexed stage forces a nested-loop
+        // scan per target row in databases without hash joins (measured:
+        // Derby MERGE of a 75k stage into a 50k target went 370 s → ~2 s at
+        // sf1 with the two indexes). The stage is ours to index; the
+        // TARGET's index is the caller's schema decision — initUniqueIndex
+        // opts into creating it, mirroring the reference's
+        // get_merge_initialization_query.
+        try st.executeUpdate(
+          s"CREATE INDEX ${stage}_kidx ON $stage " +
+            s"(${keys.map(dialect.q).mkString(", ")})")
+        catch { case _: java.sql.SQLException => () }
         if (initUniqueIndex) {
           // reference's get_merge_initialization_query analog: durable
           // conflict enforcement lives in a unique index on the target
