@@ -987,15 +987,38 @@ object SparkEntry {
     // digit runs with stable tokens — two codegen'd regexp_replaces, one
     // projection, no shuffle; patterns chosen Java-regex/RE2-identical so
     // the DuckDB oracle matches span for span
-    "q70_pii_mask" -> ((s, dir) =>
+    // The corpus text carries no PII shapes, so the query plants a
+    // deterministic doc_id-derived specimen of every kind — email, phone,
+    // IPv4, IPv6, SSN, and a card number from a fixed 4-cycle of two
+    // Luhn-VALID and two Luhn-INVALID numbers — then scrubs. The oracle
+    // builds the same text and states the expected masking by construction
+    // (it knows which cycle members are valid), so the native Luhn gate is
+    // hash-checked against an independently-derived answer: masking the
+    // invalid look-alikes, or missing the valid ones, breaks the compare.
+    "q70_pii_mask" -> ((s, dir) => {
+      val cc = element_at(
+        array(lit("4111 1111 1111 1111"), lit("5500-0000-0000-0004"),
+          lit("4111 1111 1111 1112"), lit("1234-5678-9012-3456")),
+        (col("doc_id") % 4).cast("int") + 1)
+      val planted = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" tel +1415555"), col("doc_id").cast("string"),
+        lit(" ip 10.0."), (col("doc_id") % 200).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" v6 2001:db8:85a3:1:2:8a2e:370:7334"),
+        lit(" ssn 123-45-"), (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" card "), cc)
       tbl(s, dir, "documents").select(
         col("doc_id"),
-        TextFunctions.maskPii(col("text")).as("masked"),
-        coalesce(regexp_count(col("text"), lit(TextFunctions.EmailPattern)), lit(0))
+        TextFunctions.maskPii(planted).as("masked"),
+        coalesce(regexp_count(planted, lit(TextFunctions.EmailPattern)), lit(0))
           .cast("long").as("n_emails"),
-        coalesce(regexp_count(col("text"), lit(TextFunctions.PhonePattern)), lit(0))
+        coalesce(regexp_count(planted, lit(TextFunctions.PhonePattern)), lit(0))
           .cast("long").as("n_phones"),
-      )),
+        graft.functions.NativeFunctions.luhnValid(cc).cast("long").as("n_cc_valid"),
+      )
+    }),
 
     // deterministic epoch shuffle: per-epoch permutation key + shard label
     // as a pure projection (NO Spark shuffle) — the training loader sorts
@@ -1645,14 +1668,46 @@ object SparkEntry {
 
     // mirrors TextFunctions.maskPii: email pass then phone pass, 'g' flag
     // for Spark's replace-all semantics
+    // Masking order mirrors TextFunctions.maskPii exactly: email, card
+    // (stated by construction from the known Luhn-valid cycle members —
+    // DuckDB regex can't express the Luhn gate, so the oracle derives the
+    // expected answer independently instead), IPv6, IPv4, SSN, phone.
     "q70_pii_mask" ->
-      """SELECT doc_id,
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '4111 1111 1111 1111'
+        |      WHEN 1 THEN '5500-0000-0000-0004'
+        |      WHEN 2 THEN '4111 1111 1111 1112'
+        |      ELSE '1234-5678-9012-3456' END AS cc,
+        |    (doc_id % 4) IN (0, 1) AS ccv
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, cc, ccv,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || ' tel +1415555' || CAST(doc_id AS VARCHAR)
+        |      || ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' v6 2001:db8:85a3:1:2:8a2e:370:7334'
+        |      || ' ssn 123-45-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |      || ' card ' || cc AS t
+        |  FROM c
+        |)
+        |SELECT doc_id,
         |regexp_replace(
-        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        CASE WHEN ccv
+        |          THEN replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), cc, '<CC>')
+        |          ELSE regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') END,
+        |        '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\b', '<IP>', 'g'),
+        |      '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9][0-9]|[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9][0-9]|[0-9])\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
         |  '\+?[0-9]{7,15}', '<PHONE>', 'g') AS masked,
-        |COALESCE(CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT), 0) AS n_emails,
-        |COALESCE(CAST(len(regexp_extract_all(text, '\+?[0-9]{7,15}')) AS BIGINT), 0) AS n_phones
-        |FROM documents""".stripMargin,
+        |COALESCE(CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT), 0) AS n_emails,
+        |COALESCE(CAST(len(regexp_extract_all(t, '\+?[0-9]{7,15}')) AS BIGINT), 0) AS n_phones,
+        |CAST(CASE WHEN ccv THEN 1 ELSE 0 END AS BIGINT) AS n_cc_valid
+        |FROM p""".stripMargin,
 
     // mirrors Sampling.epochShard(epoch=1, shardChars=2)
     "q71_epoch_shuffle" ->

@@ -489,4 +489,7 @@ object NativeFunctions {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     c(WinnowFingerprintsExpr(x(text), k, w))
   def wordShingles(text: Column, k: Int = 3): Column = c(WordShinglesExpr(x(text), k))
+  def luhnValid(s: Column): Column = c(LuhnValidExpr(x(s)))
+  def maskCreditCards(text: Column, token: String = "<CC>"): Column =
+    c(MaskLuhnExpr(x(text), token))
 }

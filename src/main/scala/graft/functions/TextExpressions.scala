@@ -264,6 +264,87 @@ object TextImpl {
     while (it.hasNext) { out(o) = hex8(it.next()); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** Luhn checksum (ISO/IEC 7812) over the digits of `s`, ignoring single
+    * space/dash group separators. False unless the digit count is a
+    * plausible PAN length (13–19).
+    */
+  def luhnValid(u: UTF8String): Boolean = {
+    val s      = u.toString
+    var sum    = 0
+    var digits = 0
+    // Luhn doubles every second digit FROM THE RIGHT, so scan right-to-left.
+    var i = s.length - 1
+    while (i >= 0) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var d = c - '0'
+        if ((digits & 1) == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        digits += 1
+      } else if (c != ' ' && c != '-') {
+        return false
+      }
+      i -= 1
+    }
+    digits >= 13 && digits <= 19 && sum % 10 == 0
+  }
+
+  /** Mask card-number-shaped spans that pass the Luhn check.
+    *
+    * A candidate is a maximal run of digit groups joined by single `' '` or
+    * `'-'` separators — `4111 1111 1111 1111`, `4111-1111-1111-1111`, or the
+    * contiguous `4111111111111111` — bounded by non-alphanumeric characters
+    * (the `\b`-for-digits rule: `x4111…` or `…1111y` is an identifier, not a
+    * PAN). A run whose total digit count is 13–19 AND whose Luhn checksum is
+    * 0 mod 10 is replaced by `token`; everything else is copied through
+    * untouched, so Luhn-invalid look-alikes survive for the downstream
+    * (regex) masks to judge.
+    *
+    * Single pass, no regex, no allocation unless a mask fires. A pure regex
+    * cannot express the Luhn gate — this is the native-expression case the
+    * survey's function-preference order reserves for semantics `functions._`
+    * can't reach.
+    */
+  def maskLuhn(u: UTF8String, token: UTF8String): UTF8String = {
+    val s = u.toString
+    var sb: java.lang.StringBuilder = null // lazily created on first mask
+    def isDigit(c: Char)            = c >= '0' && c <= '9'
+    def isAlnum(c: Char) =
+      isDigit(c) || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    var i    = 0 // scan position
+    var emit = 0 // start of the pending not-yet-copied region
+    while (i < s.length) {
+      val boundary = i == 0 || !isAlnum(s.charAt(i - 1))
+      if (boundary && isDigit(s.charAt(i))) {
+        // consume digits (sep digits)* greedily
+        val start = i
+        var digits = 0
+        while (i < s.length && isDigit(s.charAt(i))) { digits += 1; i += 1 }
+        while (i + 1 < s.length &&
+          (s.charAt(i) == ' ' || s.charAt(i) == '-') && isDigit(s.charAt(i + 1))) {
+          i += 1 // separator
+          while (i < s.length && isDigit(s.charAt(i))) { digits += 1; i += 1 }
+        }
+        val endBoundary = i >= s.length || !isAlnum(s.charAt(i))
+        if (endBoundary && digits >= 13 && digits <= 19 &&
+          luhnValid(UTF8String.fromString(s.substring(start, i)))) {
+          if (sb == null) sb = new java.lang.StringBuilder(s.length)
+          sb.append(s, emit, start).append(token.toString)
+          emit = i
+        }
+        // not a valid PAN: leave the span for later masks; scanning resumes
+        // after it (inner digits can't start a candidate anyway — no boundary)
+      } else {
+        i += 1
+      }
+    }
+    if (sb == null) u
+    else {
+      sb.append(s, emit, s.length)
+      UTF8String.fromString(sb.toString)
+    }
+  }
 }
 
 /** k-word shingles as a single codegen'd tree node — see
@@ -312,4 +393,35 @@ object TextStatsExpr {
     StructField("punct", IntegerType, nullable = false),
     StructField("tok_len_sum", LongType, nullable = false),
   ))
+}
+
+/** Luhn-checksum validity (13–19 digits, single space/dash separators) —
+  * see [[TextImpl.luhnValid]].
+  */
+case class LuhnValidExpr(child: Expression) extends GraftUnaryCodegen {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.luhnValid(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextImpl.luhnValid($c)"
+  override protected def withNewChildInternal(newChild: Expression): LuhnValidExpr =
+    copy(child = newChild)
+}
+
+/** Replace Luhn-valid card-number spans with `token` — one codegen'd pass;
+  * see [[TextImpl.maskLuhn]] for the candidate grammar.
+  */
+case class MaskLuhnExpr(child: Expression, token: String) extends GraftUnaryCodegen {
+  private val tokenUtf8 = UTF8String.fromString(token)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.maskLuhn(input.asInstanceOf[UTF8String], tokenUtf8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tok = ctx.addReferenceObj("maskToken", tokenUtf8, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.maskLuhn($c, $tok)")
+  }
+  override protected def staticCall(c: String): String =
+    throw new IllegalStateException("doGenCode overridden")
+  override protected def withNewChildInternal(newChild: Expression): MaskLuhnExpr =
+    copy(child = newChild)
 }

@@ -172,19 +172,57 @@ object TextFunctions {
     */
   val PhonePattern = "\\+?[0-9]{7,15}"
 
+  /** Dotted-quad IPv4 with strict 0–255 octets. Alternatives are ordered
+    * longest-first so Java's leftmost-first alternation and RE2's
+    * leftmost-longest (DuckDB) pick identical spans.
+    */
+  val Ipv4Pattern = {
+    val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9][0-9]|[0-9])"
+    s"\\b(?:$octet\\.){3}$octet\\b"
+  }
+
+  /** IPv6: the full 8-group form, or a single `::` compression with both a
+    * head and a tail (the bare-`::` and leading/trailing-`::` forms collide
+    * with timestamp-ish text and are left to a per-corpus dial). No
+    * lookaround — RE2 (DuckDB) and Java agree on every span.
+    */
+  val Ipv6Pattern =
+    "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\\b"
+
+  /** US SSN shape `ddd-dd-dddd`. `\b` keeps it out of longer digit runs and
+    * out of dashed card numbers (whose groups are 4 digits, so every 3-digit
+    * prefix inside one is preceded by a digit).
+    */
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
   /** PII scrub pass (the C4-style pre-training cleanup step): replace
-    * emails, then contiguous phone-length digit runs, with stable tokens.
-    * Two codegen'd `regexp_replace`s — one projection, no shuffle, no UDF;
+    * emails, Luhn-valid card numbers, IPv6/IPv4 literals, SSN-shaped ids,
+    * then contiguous phone-length digit runs, with stable tokens.
+    *
+    * Order matters and is fixed: email first (its local part may contain
+    * digit runs), the Luhn mask second (a contiguous 16-digit PAN would
+    * otherwise lose its first 15 digits to the phone pattern), IPs before
+    * SSN/phone (dotted/coloned groups must not be judged as digit runs).
+    * Everything is a codegen'd projection — five `regexp_replace`s plus the
+    * native [[graft.functions.MaskLuhnExpr]] pass, no shuffle, no UDF;
     * composes with scan pushdown like any other narrow transform.
     */
   def maskPii(
       c: Column,
       emailToken: String = "<EMAIL>",
       phoneToken: String = "<PHONE>",
-  ): Column =
-    regexp_replace(
-      regexp_replace(c, EmailPattern, emailToken),
-      PhonePattern, phoneToken)
+      ccToken: String = "<CC>",
+      ipToken: String = "<IP>",
+      ssnToken: String = "<SSN>",
+  ): Column = {
+    val e  = regexp_replace(c, EmailPattern, emailToken)
+    val cc = NativeFunctions.maskCreditCards(e, ccToken)
+    val i6 = regexp_replace(cc, Ipv6Pattern, ipToken)
+    val i4 = regexp_replace(i6, Ipv4Pattern, ipToken)
+    val ss = regexp_replace(i4, SsnPattern, ssnToken)
+    regexp_replace(ss, PhonePattern, phoneToken)
+  }
 
   /** Exact Jaccard similarity of two pre-hashed sets. */
   def jaccard(a: Column, b: Column): Column = {

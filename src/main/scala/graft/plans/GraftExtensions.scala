@@ -42,6 +42,12 @@ object GraftFunctions {
 
   private def intArg(name: String, e: Expression): Int = longArg(name, e).toInt
 
+  private def strArg(name: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$name must be a string literal, got: $other")
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
@@ -116,6 +122,15 @@ object GraftFunctions {
       case Seq(t, k)    => WinnowFingerprintsExpr(t, intArg("k", k), 4)
       case Seq(t, k, w) => WinnowFingerprintsExpr(t, intArg("k", k), intArg("w", w))
       case args         => throw new IllegalArgumentException(s"expects 1-3 args, got ${args.length}")
+    },
+    fn("graft_luhn_valid", "graft_luhn_valid(s) - Luhn checksum validity (13-19 digits)") {
+      case Seq(s) => LuhnValidExpr(s)
+      case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
+    },
+    fn("graft_mask_cc", "graft_mask_cc(text[, token]) - mask Luhn-valid card-number spans") {
+      case Seq(t)      => MaskLuhnExpr(t, "<CC>")
+      case Seq(t, tok) => MaskLuhnExpr(t, strArg("token", tok))
+      case args        => throw new IllegalArgumentException(s"expects 1-2 args, got ${args.length}")
     },
   )
 
