@@ -46,21 +46,24 @@ object LoadFile {
     * output_table is given).
     */
   def toDataFrame(spark: SparkSession, file: File, opts: LoadOptions = LoadOptions()): DataFrame = {
-    // Unsupported remote schemes fail fast with the reason (Hadoop's FTP/
-    // SFTP FileSystems exist but their runtime deps — commons-net/jsch —
-    // are not bundled here; GDrive needs Google API credentials).
+    // Unsupported remote schemes fail fast with the reason (Hadoop's SFTP
+    // FileSystem exists but its runtime dep — jsch — is not bundled here;
+    // GDrive needs Google API credentials).
     val lower = file.path.toLowerCase
-    Seq("ftp://", "sftp://", "gdrive://").find(lower.startsWith).foreach { scheme =>
+    Seq("sftp://", "gdrive://").find(lower.startsWith).foreach { scheme =>
       throw new UnsupportedOperationException(
         s"$scheme locations are not supported in this build " +
-          "(reference parity gap: needs commons-net/jsch or Google API on the classpath); " +
-          "stage the file to local/s3a/gs/http(s) instead")
+          "(reference parity gap: needs jsch or Google API on the classpath); " +
+          "stage the file to local/s3a/gs/http(s)/ftp instead")
     }
-    // HTTP(S) location (reference files/locations/http.py): driver-side
-    // staged fetch, then the normal distributed read over the local copy.
+    // HTTP(S)/FTP locations (reference files/locations/{http,ftp}.py):
+    // driver-side staged fetch, then the normal distributed read over the
+    // local copy.
     val resolved =
       if (graft.sources.Remote.isRemoteUrl(file.path))
         file.copy(path = graft.sources.Remote.fetchToScratch(spark, file.path))
+      else if (graft.sources.Ftp.isFtpUrl(file.path))
+        file.copy(path = graft.sources.Ftp.fetchToScratch(spark, file.path))
       else file
     val path = resolvePath(spark, resolved)
     val ft = resolved.resolvedType.getOrElse(
@@ -200,6 +203,8 @@ object LoadFile {
   */
 object GetFileList {
   def apply(spark: SparkSession, pathPattern: String): Seq[String] = {
+    if (graft.sources.Ftp.isFtpUrl(pathPattern))
+      return graft.sources.Ftp.list(pathPattern)
     val p  = new Path(pathPattern)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val glob =
