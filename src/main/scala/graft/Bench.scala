@@ -69,6 +69,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ops.TableIO.quietKnownLogNoise()
     ops.TableIO.sweepOrphanTemps(spark)
     // escape backslash, quote, and ALL control chars (<0x20) — an exception
     // message carrying a stray \f or ESC byte must not make the one stdout

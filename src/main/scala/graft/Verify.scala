@@ -20,6 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ops.TableIO.quietKnownLogNoise()
     ops.TableIO.sweepOrphanTemps(spark)
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -93,6 +93,20 @@ object TableIO {
     orphans.size
   }
 
+  /** Silence the two benign log lines that recur in clean runs: reading a
+    * legitimately-empty table emits `WARN DataSource: All paths were
+    * ignored` (the dir holds only `_SUCCESS`), and each fixture stream
+    * re-warns that AQE is off for stateful workloads. Both loggers drop to
+    * ERROR; everything else keeps the session's WARN level.
+    */
+  def quietKnownLogNoise(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel("org.apache.spark.sql.execution.datasources.DataSource", Level.ERROR)
+    Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.ResolveWriteToStream", Level.ERROR)
+  }
+
   /** Rerunnable bucketed-table create: rows hash-partition into `numBuckets`
     * files per partition on `bucketCols` (optionally sorted within buckets).
     * Two tables bucketed on the same keys with the same bucket count join

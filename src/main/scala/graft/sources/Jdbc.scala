@@ -25,6 +25,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Jdbc {
 
+  // Embedded Derby (the test/bench backend) writes `derby.log` into the
+  // process CWD by default; route it to scratch unless the caller already
+  // chose a destination. Must be set before the driver class loads.
+  if (!sys.props.contains("derby.stream.error.file"))
+    System.setProperty("derby.stream.error.file",
+      sys.props("java.io.tmpdir") + "/graft-derby.log")
+
   private def props(options: Map[String, String]): Properties = {
     val p = new Properties()
     options.foreach { case (k, v) => p.setProperty(k, v) }
