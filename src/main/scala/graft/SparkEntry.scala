@@ -1132,6 +1132,25 @@ object SparkEntry {
           threshold = 0.5)
         .select(col("doc_id"))
     }),
+
+    // Atomic publication (round 6): publish v1 under a view-backed name,
+    // publish an updated v2 (one CREATE OR REPLACE VIEW flip — readers
+    // never see the name absent; AtomicSwapSpec races this), then compact
+    // the published table. The read goes THROUGH the published view; the
+    // oracle is the v2 transform on the source — any generation mix-up,
+    // stale view, or compaction row damage breaks the hash.
+    "q79_publish" -> ((s, dir) => {
+      val t  = Table("graft_q79_cust")
+      val v1 = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      TableIO.publish(s, v1, t)
+      val v2 = v1.withColumn("c_acctbal", col("c_acctbal") + 10)
+      TableIO.publish(s, v2, t)
+      TableIO.compactPublished(s, t, targetFileBytes = 512L * 1024 * 1024)
+      s.table(t.qualifiedName)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1777,5 +1796,10 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term HAVING count(*) >= 2)
         |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df FROM tf JOIN dfreq USING (term)""".stripMargin,
+
+    // the v2 publish payload: +10 on acctbal, rounded as the Spark side is
+    "q79_publish" ->
+      """SELECT c_custkey, c_name, round(c_acctbal + 10, 2) AS c_acctbal
+        |FROM customer""".stripMargin,
   )
 }
