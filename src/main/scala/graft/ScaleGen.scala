@@ -85,24 +85,46 @@ object ScaleGen {
         d.select(off("event_id", M, r), col("ts"), off("user_id", K, r),
           col("event_type"), col("value"), col("props"))),
       "documents" -> replicate(read("documents"))((d, r) => {
+        // Seeded per-replica PERMUTATION of the letters (not a Caesar
+        // rotation — rotations repeat mod 26, so replicas 26 apart would be
+        // verbatim twins and dup density would drift above 26 replicas; two
+        // independent random permutations agree on ~1 letter, so the map
+        // family stays collision-free at any replica count).
         val lower = "abcdefghijklmnopqrstuvwxyz"
         val upper = lower.toUpperCase
-        val rot   = r % 26
         val text =
-          if (rot == 0) col("text")
-          else translate(col("text"), lower + upper,
-            lower.drop(rot) + lower.take(rot) + upper.drop(rot) + upper.take(rot))
+          if (r == 0) col("text")
+          else {
+            val p = lower.toCharArray
+            val rng = new java.util.Random(0x5ca1ab1eL + r)
+            var i = p.length - 1
+            while (i > 0) { val j = rng.nextInt(i + 1); val t = p(i); p(i) = p(j); p(j) = t; i -= 1 }
+            val perm = new String(p)
+            translate(col("text"), lower + upper, perm + perm.toUpperCase)
+          }
         d.select(off("doc_id", K, r), text.as("text"), col("lang"),
           col("source"), col("n_chars"))
       }),
       "embeddings" -> {
         val dim = read("embeddings").select(size(col("embedding"))).first().getInt(0)
         replicate(read("embeddings"))((d, r) => {
+        // Orthogonal per-replica transform: circular rotation composed with
+        // seeded sign flips. Rotation alone repeats mod `dim` (replicas dim
+        // apart would carry exact-twin vectors); the ±1 diagonal keeps the
+        // transform orthogonal — intra-replica cosines EXACT — while making
+        // the family collision-free (2^-dim agreement odds).
         val rot = r % dim
-        val emb =
+        val rotated =
           if (rot == 0) col("embedding")
           else concat(slice(col("embedding"), rot + 1, dim - rot),
             slice(col("embedding"), 1, rot))
+        val emb =
+          if (r == 0) rotated
+          else {
+            val rng   = new java.util.Random(0xdecafbadL + r)
+            val signs = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+            zip_with(rotated, lit(signs), (a, b) => a * b)
+          }
         d.select(off("vec_id", K, r), emb.as("embedding"), col("label"))
       })},
     )
