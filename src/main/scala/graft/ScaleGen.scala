@@ -36,6 +36,37 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleGen [replicas] [srcDir] [outDir]
   */
 object ScaleGen {
+
+  /** Per-replica bijective letter map: (from, to) for `translate`. Replica 0
+    * is identity; others are a seeded Fisher-Yates permutation of a–z applied
+    * to both cases — NOT a Caesar rotation, which repeats mod 26 and would
+    * make replicas 26 apart verbatim twins. Bijective ⇒ intra-replica
+    * similarity structure (shingles, char-grams, lines, lengths) is exactly
+    * isomorphic to the source; two independent permutations agree on ~1
+    * letter ⇒ cross-replica overlap stays noise at any replica count.
+    */
+  def letterMap(r: Int): (String, String) = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    if (r == 0) (lower + lower.toUpperCase, lower + lower.toUpperCase)
+    else {
+      val p   = lower.toCharArray
+      val rng = new java.util.Random(0x5ca1ab1eL + r)
+      var i   = p.length - 1
+      while (i > 0) { val j = rng.nextInt(i + 1); val t = p(i); p(i) = p(j); p(j) = t; i -= 1 }
+      val perm = new String(p)
+      (lower + lower.toUpperCase, perm + perm.toUpperCase)
+    }
+  }
+
+  /** Per-replica ±1 diagonal for the embedding transform (composed with a
+    * circular rotation: orthogonal ⇒ intra-replica cosines exact; the signs
+    * keep the family collision-free past `dim` replicas).
+    */
+  def signVector(r: Int, dim: Int): Array[Float] = {
+    val rng = new java.util.Random(0xdecafbadL + r)
+    Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+  }
+
   def main(args: Array[String]): Unit = {
     val replicas = if (args.length > 0) args(0).toInt else 10
     val src      = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -85,23 +116,8 @@ object ScaleGen {
         d.select(off("event_id", M, r), col("ts"), off("user_id", K, r),
           col("event_type"), col("value"), col("props"))),
       "documents" -> replicate(read("documents"))((d, r) => {
-        // Seeded per-replica PERMUTATION of the letters (not a Caesar
-        // rotation — rotations repeat mod 26, so replicas 26 apart would be
-        // verbatim twins and dup density would drift above 26 replicas; two
-        // independent random permutations agree on ~1 letter, so the map
-        // family stays collision-free at any replica count).
-        val lower = "abcdefghijklmnopqrstuvwxyz"
-        val upper = lower.toUpperCase
-        val text =
-          if (r == 0) col("text")
-          else {
-            val p = lower.toCharArray
-            val rng = new java.util.Random(0x5ca1ab1eL + r)
-            var i = p.length - 1
-            while (i > 0) { val j = rng.nextInt(i + 1); val t = p(i); p(i) = p(j); p(j) = t; i -= 1 }
-            val perm = new String(p)
-            translate(col("text"), lower + upper, perm + perm.toUpperCase)
-          }
+        val (from, to) = letterMap(r)
+        val text = if (r == 0) col("text") else translate(col("text"), from, to)
         d.select(off("doc_id", K, r), text.as("text"), col("lang"),
           col("source"), col("n_chars"))
       }),
@@ -109,10 +125,10 @@ object ScaleGen {
         val dim = read("embeddings").select(size(col("embedding"))).first().getInt(0)
         replicate(read("embeddings"))((d, r) => {
         // Orthogonal per-replica transform: circular rotation composed with
-        // seeded sign flips. Rotation alone repeats mod `dim` (replicas dim
-        // apart would carry exact-twin vectors); the ±1 diagonal keeps the
-        // transform orthogonal — intra-replica cosines EXACT — while making
-        // the family collision-free (2^-dim agreement odds).
+        // seeded sign flips ([[signVector]]). Rotation alone repeats mod
+        // `dim` (replicas dim apart would carry exact-twin vectors); the ±1
+        // diagonal keeps the transform orthogonal — intra-replica cosines
+        // EXACT — while making the family collision-free (2^-dim odds).
         val rot = r % dim
         val rotated =
           if (rot == 0) col("embedding")
@@ -120,11 +136,7 @@ object ScaleGen {
             slice(col("embedding"), 1, rot))
         val emb =
           if (r == 0) rotated
-          else {
-            val rng   = new java.util.Random(0xdecafbadL + r)
-            val signs = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
-            zip_with(rotated, lit(signs), (a, b) => a * b)
-          }
+          else zip_with(rotated, lit(signVector(r, dim)), (a, b) => a * b)
         d.select(off("vec_id", K, r), emb.as("embedding"), col("label"))
       })},
     )

@@ -104,7 +104,7 @@ object TableIO {
     import org.apache.logging.log4j.core.config.Configurator
     Configurator.setLevel("org.apache.spark.sql.execution.datasources.DataSource", Level.ERROR)
     Configurator.setLevel(
-      "org.apache.spark.sql.catalyst.analysis.ResolveWriteToStream", Level.ERROR)
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream", Level.ERROR)
   }
 
   /** Rerunnable bucketed-table create: rows hash-partition into `numBuckets`
