@@ -78,14 +78,16 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("unsupported remote schemes fail fast with the reason") {
-    val e = intercept[UnsupportedOperationException] {
-      LoadFile.toDataFrame(spark, File("ftp://host/data.csv"))
-    }
-    assert(e.getMessage.contains("ftp://") && e.getMessage.contains("commons-net"))
+    // ftp:// is supported (FtpSpec); sftp/gdrive need runtime deps we can't
+    // vendor, so they reject with the reason and a workaround.
     val e2 = intercept[UnsupportedOperationException] {
       LoadFile.toDataFrame(spark, File("sftp://host/data.csv"))
     }
     assert(e2.getMessage.contains("sftp://"))
+    val e3 = intercept[UnsupportedOperationException] {
+      LoadFile.toDataFrame(spark, File("gdrive://folder/data.csv"))
+    }
+    assert(e3.getMessage.contains("gdrive://"))
   }
 
   test("DataframeOp bridges tables through a user function into a table") {
