@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, IncrementalDedup}
 import graft.functions.TextFunctions
 import graft.model._
 import graft.ops._
@@ -1151,6 +1151,74 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"),
           round(col("c_acctbal"), 2).as("c_acctbal"))
     }),
+
+    // ORC round-trip: the other Spark-native columnar format (beyond the
+    // reference's five file types) — distributed write, schema'd read-back
+    "q80_export_orc_roundtrip" -> ((s, dir) => {
+      val f = File(s"$scratch/orders_export_orc", Some(FileType.Orc))
+      ExportToFile.df(s,
+        tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")),
+        f, IfExists.Replace, singleFile = false)
+      LoadFile.toDataFrame(s, f)
+        .where(col("o_totalprice") > 1000)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // incremental exact dedup: batch vs a persisted fingerprint store —
+    // corpus state at rest, only the batch hashed; store streams once
+    "q81_dedup_exact_incremental" -> ((s, dir) => {
+      val d      = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 3 =!= 0)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 6 === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val store = Table("graft_q81_store")
+      IncrementalDedup.buildFingerprintStore(s, corpus, "text", store)
+      IncrementalDedup.dedupExactIncremental(s, batch, "text", "doc_id", store)
+        .select(col("doc_id"))
+    }),
+
+    // incremental near-dup: batch vs a persisted LSH band index at the
+    // recall-exact dial, so the result equals the full exact-Jaccard filter
+    "q82_dedup_near_incremental" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val near = d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra trailing token")).as("text"))
+      val fresh = d.where(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", reverse(split(trim(lower(col("text"))), "\\s+"))).as("text"))
+      val index = Table("graft_q82_index")
+      val bands = Dedup.recallExactBands(0.6)
+      IncrementalDedup.buildLshIndex(s, d, "doc_id", "text", index, bands = bands)
+      IncrementalDedup.dedupNearIncremental(s, near.unionByName(fresh), d,
+          "doc_id", "text", index, threshold = 0.6, bands = bands)
+        .select(col("doc_id"))
+    }),
+
+    // Bloom-prefiltered decontamination: same exact result as q65, with the
+    // eval side reduced to a fixed-size filter before the verify join
+    "q83_decontaminate_bloom" -> ((s, dir) => {
+      val d  = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ev = d.filter(col("doc_id") % 5 === 0)
+      Dedup.contaminatedBloom(d, ev, "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"))
+    }),
+
+    // time-travel read: generationsBack=1 over a twice-published table
+    // returns the previous publish's payload
+    "q84_time_travel" -> ((s, dir) => {
+      val t  = Table("graft_q84_cust")
+      val v1 = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      TableIO.publish(s, v1, t)
+      TableIO.publish(s, v1.withColumn("c_acctbal", col("c_acctbal") + 10), t)
+      TableIO.readGeneration(s, t, generationsBack = 1)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1800,6 +1868,65 @@ object SparkEntry {
     // the v2 publish payload: +10 on acctbal, rounded as the Spark side is
     "q79_publish" ->
       """SELECT c_custkey, c_name, round(c_acctbal + 10, 2) AS c_acctbal
+        |FROM customer""".stripMargin,
+
+    "q80_export_orc_roundtrip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus""".stripMargin,
+
+    // survivors = min-id per normalized text within the batch, minus
+    // anything whose normalized text is already in the corpus split
+    "q81_dedup_exact_incremental" ->
+      """WITH corpus AS (SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 6 = 1),
+        |bn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM batch),
+        |firsts AS (SELECT min(doc_id) AS doc_id, norm FROM bn GROUP BY norm)
+        |SELECT f.doc_id FROM firsts f
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm = f.norm)""".stripMargin,
+
+    // survivors = batch docs with NO corpus doc at exact Jaccard >= 0.6
+    // (recall-exact banding makes the LSH path equal the full filter)
+    "q82_dedup_near_incremental" ->
+      """WITH base AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    regexp_split_to_array(trim(lower(text || ' extra trailing token')), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |cs AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM base),
+        |bs AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM batch),
+        |dup AS (SELECT DISTINCT b.doc_id FROM bs b JOIN cs c ON
+        |  CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+        |    (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.6)
+        |SELECT doc_id FROM bs
+        |WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = bs.doc_id)""".stripMargin,
+
+    // identical contract to q65 — the bloom is a prefilter, not a semantic
+    "q83_decontaminate_bloom" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) END AS gs FROM t),
+        |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 5 = 0),
+        |tg AS (SELECT doc_id, unnest(gs) AS gram FROM g)
+        |SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)""".stripMargin,
+
+    // the generation BEHIND the live one: the v1 payload, no +10
+    "q84_time_travel" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
         |FROM customer""".stripMargin,
   )
 }

@@ -121,7 +121,7 @@ object Dedup {
   }
 
   /** (id, band, bucket) rows — NO payload columns ride the 32× explode. */
-  private def banded(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
+  private[dedup] def banded(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
     sets.select(
       col("id"),
       posexplode(NativeFunctions.bandBuckets(
@@ -353,6 +353,44 @@ object Dedup {
     val eg = eval.select(explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
       .select(md5(col("gram")).as("gh")).distinct()
     tg.join(broadcast(eg), Seq("gh")).select(col("id")).distinct()
+  }
+
+  /** [[contaminated]] for eval corpora too large to broadcast as an exact
+    * gram set (a full benchmark-suite union runs to hundreds of millions of
+    * grams). A fixed-size Bloom filter over the eval gram hashes is built
+    * once and embedded in the plan ([[graft.functions.BloomMightContainExpr]]
+    * — codegen'd, no UDF); the corpus-side gram stream drops ~(1-fpp) of
+    * its rows BEFORE the exchange, and only the filter survivors enter the
+    * exact shuffle join against the eval grams. Bloom false positives are
+    * killed by that verify join; false negatives are impossible — the
+    * result is bit-identical to [[contaminated]] (md5 gram keys both ways),
+    * with the broadcast requirement reduced from O(|eval grams|) to the
+    * filter's fixed bits.
+    *
+    * `expectedGrams` sizes the filter; pass an estimate to skip the count
+    * pass (oversizing only wastes bits).
+    */
+  def contaminatedBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      expectedGrams: Long = 0L,
+      fpp: Double = 0.01,
+  ): DataFrame = {
+    import graft.functions.BloomFunctions
+    val eg = eval.select(explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+      .select(md5(col("gram")).as("gh"), xxhash64(col("gram")).as("gh64"))
+      .distinct()
+    val n     = if (expectedGrams > 0) expectedGrams else eg.count()
+    val bloom = eg.stat.bloomFilter("gh64", math.max(n, 1L), fpp)
+    val bytes = BloomFunctions.serialize(bloom)
+    val tg = train.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+      .select(col("id"), md5(col("gram")).as("gh"), xxhash64(col("gram")).as("gh64"))
+      .where(BloomFunctions.mightContainLong(col("gh64"), bytes))
+    tg.join(eg.select(col("gh")), Seq("gh")).select(col("id")).distinct()
   }
 
   /** 64-bit SimHash over tokens — native one-pass expression

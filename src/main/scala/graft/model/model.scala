@@ -80,8 +80,11 @@ object FileType {
   case object Ndjson  extends FileType("ndjson", Seq("ndjson", "jsonl"))
   case object Parquet extends FileType("parquet", Seq("parquet", "pq"))
   case object Xlsx    extends FileType("xlsx", Seq("xlsx", "xls"))
+  // Beyond the reference's five types: ORC is the other columnar format
+  // Spark ships natively; a Spark-first engine gets it for free.
+  case object Orc     extends FileType("orc", Seq("orc"))
 
-  val all: Seq[FileType] = Seq(Csv, Json, Ndjson, Parquet, Xlsx)
+  val all: Seq[FileType] = Seq(Csv, Json, Ndjson, Parquet, Xlsx, Orc)
 
   /** Extension-dispatched type detection
     * (reference: python-sdk/src/astro/files/types/__init__.py:52-78).

@@ -83,6 +83,7 @@ object ExportToFile {
     case FileType.Ndjson  => df.write.mode(mode).json(path) // Spark's json writer IS ndjson
     case FileType.Json    => df.write.mode(mode).json(path) // wrapped into an array post-hoc (single-file mode)
     case FileType.Parquet => df.write.mode(mode).parquet(path)
+    case FileType.Orc     => df.write.mode(mode).orc(path)
     case FileType.Xlsx =>
       throw new IllegalStateException("xlsx handled before the distributed writer") // see df()
   }

@@ -140,6 +140,8 @@ object LoadFile {
         opts.schema.fold(rdr.json(path))(s => rdr.schema(s).json(path))
       case FileType.Parquet =>
         opts.schema.fold(base.parquet(path))(s => base.schema(s).parquet(path))
+      case FileType.Orc =>
+        opts.schema.fold(base.orc(path))(s => base.schema(s).orc(path))
       case FileType.Xlsx =>
         // Driver-side SpreadsheetML parse (no Spark xlsx source exists);
         // small-file format by nature — see graft.sources.Xlsx.

@@ -325,6 +325,26 @@ object TableIO {
   def publishedGeneration(spark: SparkSession, table: Table): Option[Table] =
     generations(spark, table).lastOption.map(genTable(table, _))
 
+  /** Time-travel read over a published table's retained generations:
+    * `generationsBack = 0` is the live generation (what the view serves),
+    * `1` is the previous publish, and so on up to `keepGenerations - 1`.
+    * Retention is what [[publish]]'s `keepGenerations` left in the catalog —
+    * this is snapshot-read over that window, free with the generation
+    * scheme (the older physical tables are already there).
+    */
+  def readGeneration(
+      spark: SparkSession,
+      table: Table,
+      generationsBack: Int = 0,
+  ): org.apache.spark.sql.DataFrame = {
+    val gens = generations(spark, table)
+    require(gens.nonEmpty, s"${table.qualifiedName} has no published generations")
+    require(generationsBack >= 0 && generationsBack < gens.size,
+      s"generationsBack=$generationsBack out of range: " +
+        s"${gens.size} generation(s) retained for ${table.qualifiedName}")
+    spark.table(genTable(table, gens(gens.size - 1 - generationsBack)).qualifiedName)
+  }
+
   /** [[compact]] for a PUBLISHED table: rewrites the current generation into
     * size-targeted files as the next generation and flips the view — readers
     * never see the name absent (vs the filesystem swap in [[compact]]).

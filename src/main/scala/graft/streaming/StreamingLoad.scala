@@ -46,6 +46,7 @@ object StreamingLoad {
       case FileType.Csv     => reader.option("header", "true").csv(sourceDir)
       case FileType.Ndjson  => reader.json(sourceDir)
       case FileType.Parquet => reader.parquet(sourceDir)
+      case FileType.Orc     => reader.orc(sourceDir)
       case other            => throw new UnsupportedOperationException(s"streaming load for $other")
     }
     // A previous session's warehouse directory without a catalog entry would

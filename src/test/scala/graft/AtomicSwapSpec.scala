@@ -34,6 +34,25 @@ class AtomicSwapSpec extends SparkSpec {
     assert(spark.table(t.qualifiedName).count() == 25)
   }
 
+  test("readGeneration time-travels over retained generations") {
+    val t = Table("graft_pub_tt")
+    TableIO.publish(spark, Seq((1, "v1")).toDF("k", "payload"), t)
+    TableIO.publish(spark, Seq((1, "v2")).toDF("k", "payload"), t)
+    assert(TableIO.readGeneration(spark, t).select("payload").as[String].head() == "v2")
+    assert(TableIO.readGeneration(spark, t, generationsBack = 1)
+      .select("payload").as[String].head() == "v1")
+    // out of retention -> actionable error
+    val e = intercept[IllegalArgumentException] {
+      TableIO.readGeneration(spark, t, generationsBack = 2)
+    }
+    assert(e.getMessage.contains("out of range"))
+    // unpublished name -> actionable error
+    val e2 = intercept[IllegalArgumentException] {
+      TableIO.readGeneration(spark, Table("graft_never_published"))
+    }
+    assert(e2.getMessage.contains("no published generations"))
+  }
+
   test("a reader racing repeated publishes sees old-or-new, never absent") {
     val t = Table("graft_pub_race")
     TableIO.publish(spark, (1 to 1000).map(i => (i, "g0")).toDF("v", "g"), t)

@@ -1,0 +1,117 @@
+package graft
+
+import graft.dedup.{Dedup, IncrementalDedup}
+import graft.model.Table
+import org.apache.spark.sql.functions._
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "Completely different content about training data pipelines at scale with spark"),
+    (3L, "Another unrelated document mentioning embeddings and similarity search methods"),
+  ).toDF("doc_id", "text")
+
+  test("exact incremental: drops store hits and batch-internal dups, keeps new docs") {
+    val store = Table("graft_test_inc_store")
+    IncrementalDedup.buildFingerprintStore(spark, corpus, "text", store)
+    val batch = Seq(
+      (10L, "the  QUICK brown fox jumps over the lazy dog near the river bank today"), // = corpus 1 normalized
+      (11L, "A genuinely new document that the corpus has never seen before"),
+      (12L, "A genuinely new DOCUMENT that the corpus has never seen   before"), // batch dup of 11
+      (13L, "Another new body of text arriving in this batch"),
+    ).toDF("doc_id", "text")
+    val out = IncrementalDedup.dedupExactIncremental(spark, batch, "text", "doc_id", store)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(11L, 13L))
+    assert(out.columns.toSeq == Seq("doc_id", "text")) // helper columns dropped
+  }
+
+  test("exact incremental: store update makes the next batch see prior survivors") {
+    val store = Table("graft_test_inc_store2")
+    IncrementalDedup.buildFingerprintStore(spark, corpus, "text", store)
+    val batch1 = Seq((10L, "First wave document body unique to batch one")).toDF("doc_id", "text")
+    val out1   = IncrementalDedup.dedupExactIncremental(spark, batch1, "text", "doc_id", store)
+    assert(out1.count() == 1)
+    // same body arrives again in batch 2 -> dropped against the UPDATED store
+    val batch2 = Seq(
+      (20L, "first wave DOCUMENT body unique to batch one"),
+      (21L, "Second wave document body never seen anywhere"),
+    ).toDF("doc_id", "text")
+    val out2 = IncrementalDedup.dedupExactIncremental(spark, batch2, "text", "doc_id", store)
+    assert(out2.select("doc_id").as[Long].collect().toSet == Set(21L))
+  }
+
+  test("exact incremental: updateStore=false leaves the store untouched") {
+    val store = Table("graft_test_inc_store3")
+    IncrementalDedup.buildFingerprintStore(spark, corpus, "text", store)
+    val before = spark.table(store.qualifiedName).count()
+    val batch  = Seq((10L, "Ephemeral probe document not to be remembered")).toDF("doc_id", "text")
+    val out = IncrementalDedup.dedupExactIncremental(
+      spark, batch, "text", "doc_id", store, updateStore = false)
+    assert(out.count() == 1)
+    assert(spark.table(store.qualifiedName).count() == before)
+  }
+
+  test("near incremental: near-dups of indexed corpus drop, fresh docs survive") {
+    val index = Table("graft_test_inc_lsh")
+    val bands = Dedup.recallExactBands(0.6)
+    IncrementalDedup.buildLshIndex(spark, corpus, "doc_id", "text", index, bands = bands)
+    val batch = Seq(
+      // near-dup of corpus 1 (one word appended)
+      (10L, "The quick brown fox jumps over the lazy dog near the river bank today indeed"),
+      // genuinely fresh
+      (11L, "Entirely novel subject matter with no lexical overlap whatsoever here"),
+    ).toDF("doc_id", "text")
+    val out = IncrementalDedup.dedupNearIncremental(
+      spark, batch, corpus, "doc_id", "text", index, threshold = 0.6, bands = bands)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(11L))
+  }
+
+  test("near incremental: index update makes the next batch dedup against admitted docs") {
+    val index = Table("graft_test_inc_lsh2")
+    val bands = Dedup.recallExactBands(0.6)
+    IncrementalDedup.buildLshIndex(spark, corpus, "doc_id", "text", index, bands = bands)
+    val batch1 = Seq(
+      (10L, "Fresh arrival about orchestrating large distributed dataflow graphs efficiently"),
+    ).toDF("doc_id", "text")
+    val corpusPlus = corpus.unionByName(batch1) // caller's ingest step
+    val out1 = IncrementalDedup.dedupNearIncremental(
+      spark, batch1, corpus, "doc_id", "text", index, threshold = 0.6, bands = bands)
+    assert(out1.count() == 1)
+    // batch 2 carries a near-dup of batch 1's survivor -> dropped via the appended index
+    val batch2 = Seq(
+      (20L, "Fresh arrival about orchestrating large distributed dataflow graphs efficiently today"),
+      (21L, "Wholly distinct text concerning cryptographic hash families and banding"),
+    ).toDF("doc_id", "text")
+    val out2 = IncrementalDedup.dedupNearIncremental(
+      spark, batch2, corpusPlus, "doc_id", "text", index, threshold = 0.6, bands = bands)
+    assert(out2.select("doc_id").as[Long].collect().toSet == Set(21L))
+  }
+
+  test("bloom decontamination equals exact decontamination") {
+    val docs = (1L to 60L).map { i =>
+      val body =
+        if (i % 7 == 0) s"shared evaluation passage number ${i % 3} repeated verbatim across documents one two three four five six"
+        else s"unique training document $i with its own content padding tokens alpha beta gamma delta epsilon zeta"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val ev      = docs.filter(col("doc_id") % 14 === 0)
+    val exact   = Dedup.contaminated(docs, ev, "doc_id", "text", k = 8)
+    val bloomed = Dedup.contaminatedBloom(docs, ev, "doc_id", "text", k = 8)
+    assert(bloomed.as[Long].collect().toSet == exact.as[Long].collect().toSet)
+    assert(bloomed.count() > 0) // the planted shared passages are caught
+  }
+
+  test("bloom prefilter keeps plan codegen-compatible and drops non-eval grams") {
+    // unrelated docs: every gram should be bloom-negative at fpp=0.01, so
+    // the verify-join input is (almost) empty — spot the filter in the plan
+    val docs = Seq(
+      (1L, "completely distinct first body of running text for the filter check"),
+      (2L, "second unrelated body with different vocabulary entirely for testing"),
+    ).toDF("doc_id", "text")
+    val ev  = Seq((9L, "an eval passage sharing nothing with the training docs at all ok")).toDF("doc_id", "text")
+    val out = Dedup.contaminatedBloom(docs, ev, "doc_id", "text", k = 8)
+    assert(out.count() == 0)
+  }
+}

@@ -37,6 +37,23 @@ class LoadExportSpec extends SparkSpec {
     assert(back.select("id", "name").as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("orc round-trip: distributed write, schema'd read-back, filter pushdown") {
+    val dir = tmpDir()
+    val df  = Seq((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0))
+      .toDF("id", "name", "score")
+    val f = File(s"$dir/sample_orc", Some(FileType.Orc))
+    ExportToFile.df(spark, df, f, IfExists.Replace, singleFile = false)
+    val back = LoadFile.toDataFrame(spark, f)
+    assert(back.schema.fields.map(_.name).toSeq == Seq("id", "name", "score"))
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0)))
+    // predicate reaches the ORC scan (PushedFilters), as with parquet
+    val plan = back.where(col("id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"))
+    // extension dispatch: .orc files resolve without an explicit filetype
+    assert(FileType.fromPath("part-00000.orc").contains(FileType.Orc))
+  }
+
   test("export if_exists=exception fails when target exists; replace overwrites") {
     val dir = tmpDir()
     val df  = Seq((1, "x")).toDF("id", "v")
