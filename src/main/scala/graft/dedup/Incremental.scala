@@ -149,8 +149,13 @@ object IncrementalDedup {
       .dropDuplicates("batch_id", "corpus_id")
       .localCheckpoint(true)
     val candIds = candidates.select(col("corpus_id")).distinct()
-    val cSets = sets(corpus, "corpus_id")
-      .join(broadcast(candIds), Seq("corpus_id"), "left_semi")
+    // semi-join the RAW corpus first so the shingle projection runs only
+    // over candidate rows (the optimizer won't push a join below the
+    // projection for us; shingling 100 TB to then drop 99.9% of it would
+    // be the hidden cost here)
+    val cSets = sets(
+      corpus.join(broadcast(candIds), col(idCol) === col("corpus_id"), "left_semi"),
+      "corpus_id")
     val dup = candidates
       .join(bSets, Seq("batch_id"))
       .join(cSets, Seq("corpus_id"))
