@@ -1219,6 +1219,12 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"),
           round(col("c_acctbal"), 2).as("c_acctbal"))
     }),
+
+    // cross-doc long-substring dup pairs (Lee et al. 2021 signal) at the
+    // verification dial: every 40-char normalized window joins, so the
+    // result is exactly the shared-substring pair set
+    "q85_substring_dup" -> ((s, dir) =>
+      Dedup.substringDupPairs(tbl(s, dir, "documents"), "doc_id", "text", minLen = 40)),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1928,5 +1934,14 @@ object SparkEntry {
     "q84_time_travel" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
         |FROM customer""".stripMargin,
+
+    // pairs sharing any 40-char window of normalized text (whole-text
+    // window for docs shorter than 40 normalized chars, as the Spark side)
+    "q85_substring_dup" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |w AS (SELECT doc_id, unnest(list_distinct(CASE WHEN length(norm) <= 40 THEN [norm]
+        |  ELSE list_transform(generate_series(1, length(norm) - 39), i -> substr(norm, i, 40)) END)) AS win FROM t)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id""".stripMargin,
   )
 }

@@ -393,6 +393,66 @@ object Dedup {
     tg.join(eg.select(col("gh")), Seq("gh")).select(col("id")).distinct()
   }
 
+  /** Cross-document long-substring duplicate pairs: (id_a, id_b) for
+    * documents sharing at least one `minLen`-codepoint window of NORMALIZED
+    * text — the exact-substring duplication signal of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), whose suffix-array construction this re-expresses
+    * as a window-hash join (distributable; no global suffix array).
+    *
+    * Dials, same pattern as the LSH banding dial:
+    *  - `winnowWindow = 1` (verification dial): EVERY window's 64-bit hash
+    *    joins — result is exactly the shared-`minLen`-substring pair set
+    *    (modulo ~2⁻⁶⁴ hash collisions). O(chars) explode rows per doc.
+    *  - `winnowWindow = w > 1` (production dial): winnowing fingerprints
+    *    (~2/(w+1) density, [[TextImpl.winnowFingerprints]]) generate
+    *    candidates — the winnowing guarantee catches every shared run of
+    *    ≥ minLen+w-1 chars — then candidate pairs verify EXACTLY against
+    *    the full window-hash sets of candidate docs only (broadcast
+    *    semi-join; the non-colliding corpus majority is never re-hashed).
+    *    Output: all pairs sharing ≥ minLen+w-1 chars, plus any
+    *    winnow-caught pairs sharing ≥ minLen.
+    *
+    * `maxBucketSize` caps docs per window key so corpus-wide boilerplate
+    * (license headers) can't go quadratic — the same bound as the LSH
+    * bucket cap.
+    */
+  def substringDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40,
+      winnowWindow: Int = 1,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(winnowWindow >= 1, "winnowWindow must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val keys =
+      if (winnowWindow == 1) NativeFunctions.windowHashes64(col("__text"), minLen)
+      else NativeFunctions.winnowFingerprints(col("__text"), minLen, winnowWindow)
+    val fps = base.select(col("id"), explode(keys).as("wh"))
+    val capped = fps.withColumn(
+      "__bsz", count(lit(1)).over(Window.partitionBy(col("wh"))),
+    ).where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val cands = capped.select(col("wh"), col("id").as("id_a"))
+      .join(capped.select(col("wh"), col("id").as("id_b")), Seq("wh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    if (winnowWindow == 1) cands
+    else {
+      val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val sets = base.join(broadcast(candIds), Seq("id"), "left_semi")
+        .select(col("id"), NativeFunctions.windowHashes64(col("__text"), minLen).as("ws"))
+      cands
+        .join(sets.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+        .where(arrays_overlap(col("ws_a"), col("ws_b")))
+        .select(col("id_a"), col("id_b"))
+    }
+  }
+
   /** 64-bit SimHash over tokens — native one-pass expression
     * ([[graft.functions.HashImpl.simHash64]]); bit i is the sign of the
     * token-hash-bit vote.

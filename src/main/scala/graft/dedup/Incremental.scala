@@ -74,9 +74,15 @@ object IncrementalDedup {
     val survivors = firsts
       .join(broadcast(hits), col("__fp") === col("fp"), "left_anti")
       .localCheckpoint(true)
-    if (updateStore)
+    if (updateStore) {
       survivors.select(col("__fp").as("fp"))
         .write.mode(SaveMode.Append).saveAsTable(store.qualifiedName)
+      // The append runs in `batch`'s session — inside foreachBatch that is a
+      // CLONE of `spark`, and the write invalidates only the clone's relation
+      // cache. Refresh `spark`'s entry so its next read of the store lists
+      // the appended files instead of a stale cached snapshot.
+      spark.catalog.refreshTable(store.qualifiedName)
+    }
     survivors.drop("__fp")
   }
 
@@ -170,6 +176,9 @@ object IncrementalDedup {
         NativeFunctions.shingleHashes(col(textCol), shingleK).as("sh"))
       Dedup.banded(sSets, numHashes, bands)
         .write.mode(SaveMode.Append).saveAsTable(index.qualifiedName)
+      // see dedupExactIncremental: the write may run in a cloned session
+      // (foreachBatch) whose cache invalidation doesn't reach `spark`
+      spark.catalog.refreshTable(index.qualifiedName)
     }
     survivors
   }

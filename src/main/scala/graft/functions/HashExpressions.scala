@@ -488,6 +488,7 @@ object NativeFunctions {
   def textStats(text: Column): Column             = c(TextStatsExpr(x(text)))
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     c(WinnowFingerprintsExpr(x(text), k, w))
+  def windowHashes64(text: Column, k: Int): Column = c(WindowHashes64Expr(x(text), k))
   def wordShingles(text: Column, k: Int = 3): Column = c(WordShinglesExpr(x(text), k))
   def luhnValid(s: Column): Column = c(LuhnValidExpr(x(s)))
   def maskCreditCards(text: Column, token: String = "<CC>"): Column =

@@ -265,6 +265,52 @@ object TextImpl {
     new GenericArrayData(out)
   }
 
+  /** Distinct XXH64 hashes of every k-codepoint window of the NORMALIZED
+    * text (the whole normalized text when shorter) — the exact-dial
+    * counterpart of [[winnowFingerprints]]: window density 1 instead of
+    * ~2/(w+1), and 64-bit keys so a corpus-scale self-join on them is
+    * collision-safe. Shared hash ⟺ shared `k`-char normalized substring
+    * (modulo ~2⁻⁶⁴), which is what [[graft.dedup.Dedup.substringDupPairs]]
+    * joins on. Same normalization and code-point windowing as the
+    * winnowing path, so winnow candidates verify exactly against these.
+    */
+  def windowHashes64(u: UTF8String, k: Int): ArrayData = {
+    val norm  = normalize(u)
+    val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    val byteOff = new Array[Int](norm.length + 1)
+    var cp = 0
+    var b  = 0
+    var ci = 0
+    while (ci < norm.length) {
+      byteOff(cp) = b
+      val code = norm.codePointAt(ci)
+      b += (if (code < 0x80) 1 else if (code < 0x800) 2 else if (code < 0x10000) 3 else 4)
+      ci += Character.charCount(code)
+      cp += 1
+    }
+    byteOff(cp) = bytes.length
+
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (cp <= k) {
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromBytes(bytes, 0, bytes.length), 42L))
+    } else {
+      var i = 0
+      while (i + k <= cp) {
+        val off = byteOff(i)
+        seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(UTF8String.fromBytes(bytes, off, byteOff(i + k) - off), 42L))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size())
+    val it  = seen.iterator()
+    var o   = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Luhn checksum (ISO/IEC 7812) over the digits of `s`, ignoring single
     * space/dash group separators. False unless the digit count is a
     * plausible PAN length (13–19).
@@ -372,6 +418,20 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int) extends Gra
   override protected def staticCall(c: String): String =
     s"graft.functions.TextImpl.winnowFingerprints($c, $k, $w)"
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}
+
+/** All k-window 64-bit hashes as a single codegen'd tree node — see
+  * [[TextImpl.windowHashes64]].
+  */
+case class WindowHashes64Expr(child: Expression, k: Int) extends GraftUnaryCodegen {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.windowHashes64(input.asInstanceOf[UTF8String], k)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextImpl.windowHashes64($c, $k)"
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes64Expr =
     copy(child = newChild)
 }
 

@@ -89,6 +89,37 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(21L))
   }
 
+  test("substringDupPairs: exact dial finds planted shared runs, nothing else") {
+    val shared = "this exact forty-plus character passage is copied verbatim between documents"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix one"),
+      (2L, s"totally different opening here $shared and another ending"),
+      (3L, "no overlap at all in this document body which talks about other things entirely"),
+      (4L, "short doc"),
+      (5L, "short doc"), // whole-text window match for sub-minLen docs
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupPairs(docs, "doc_id", "text", minLen = 40)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("substringDupPairs: winnow dial catches guaranteed-length runs and verifies exactly") {
+    val long = "a sufficiently long shared passage that comfortably exceeds the guarantee " +
+      "threshold of minLen plus window minus one characters in normalized form"
+    val docs = Seq(
+      (1L, s"alpha $long omega"),
+      (2L, s"beta $long psi"),
+      (3L, "entirely unrelated content with no repeated windows of any meaningful length here"),
+    ).toDF("doc_id", "text")
+    val exact  = Dedup.substringDupPairs(docs, "doc_id", "text", minLen = 40)
+      .as[(Long, Long)].collect().toSet
+    val winnow = Dedup.substringDupPairs(docs, "doc_id", "text", minLen = 40, winnowWindow = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)))
+    assert(winnow.contains((1L, 2L))) // run >= minLen+w-1: guaranteed caught
+    assert(winnow.subsetOf(exact))    // verify step admits no false pairs
+  }
+
   test("bloom decontamination equals exact decontamination") {
     val docs = (1L to 60L).map { i =>
       val body =

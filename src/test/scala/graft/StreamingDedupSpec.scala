@@ -1,0 +1,44 @@
+package graft
+
+import graft.model.Table
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.types._
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("dedup-on-ingest: target accumulates only first-seen docs across waves") {
+    val dir  = tmpDir()
+    val src  = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    new java.io.File(src).mkdirs()
+    val target = Table("graft_stream_dedup_t")
+    val store  = Table("graft_stream_dedup_s")
+
+    // wave 1: one batch-internal dup (normalization collapses case/ws)
+    Seq((1L, "first document body"), (2L, "second document body"),
+      (3L, "first  DOCUMENT body")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    StreamingDedup.exactIncrementalSink(spark,
+      spark.readStream.schema(schema).parquet(src),
+      "text", "doc_id", target, store, ckpt)
+    assert(spark.table(target.qualifiedName).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+
+    // wave 2: a cross-wave dup of doc 1 and a genuinely new doc; the same
+    // checkpoint resumes, only the new file is processed
+    Seq((10L, "FIRST document body"), (11L, "third document body"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamingDedup.exactIncrementalSink(spark,
+      spark.readStream.schema(schema).parquet(src),
+      "text", "doc_id", target, store, ckpt)
+    assert(spark.table(target.qualifiedName).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 11L))
+
+    // the store holds exactly the admitted fingerprints (3 distinct bodies)
+    assert(spark.table(store.qualifiedName).distinct().count() == 3)
+  }
+}
