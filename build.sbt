@@ -3,6 +3,10 @@ ThisBuild / version := "0.1.0"
 name := "astrosdkspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Vendored (unmanaged) jars checked into lib/: jsch (BSD, the maintained
+// com.github.mwiede fork of JCraft JSch) for sftp:// locations. Vendored
+// rather than resolved — the environment is offline by design.
+Compile / unmanagedJars ++= (baseDirectory.value / "lib" * "*.jar").classpath
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -46,24 +46,24 @@ object LoadFile {
     * output_table is given).
     */
   def toDataFrame(spark: SparkSession, file: File, opts: LoadOptions = LoadOptions()): DataFrame = {
-    // Unsupported remote schemes fail fast with the reason (Hadoop's SFTP
-    // FileSystem exists but its runtime dep — jsch — is not bundled here;
-    // GDrive needs Google API credentials).
+    // The one remaining unsupported remote scheme fails fast with the
+    // reason (GDrive needs real Google API credentials).
     val lower = file.path.toLowerCase
-    Seq("sftp://", "gdrive://").find(lower.startsWith).foreach { scheme =>
+    if (lower.startsWith("gdrive://"))
       throw new UnsupportedOperationException(
-        s"$scheme locations are not supported in this build " +
-          "(reference parity gap: needs jsch or Google API on the classpath); " +
-          "stage the file to local/s3a/gs/http(s)/ftp instead")
-    }
-    // HTTP(S)/FTP locations (reference files/locations/{http,ftp}.py):
-    // driver-side staged fetch, then the normal distributed read over the
-    // local copy.
+        "gdrive:// locations are not supported in this build " +
+          "(reference parity gap: needs Google API credentials); " +
+          "stage the file to local/s3a/gs/http(s)/ftp/sftp instead")
+    // HTTP(S)/FTP/SFTP locations (reference files/locations/{http,ftp,sftp}
+    // .py): driver-side staged fetch, then the normal distributed read over
+    // the local copy.
     val resolved =
       if (graft.sources.Remote.isRemoteUrl(file.path))
         file.copy(path = graft.sources.Remote.fetchToScratch(spark, file.path))
       else if (graft.sources.Ftp.isFtpUrl(file.path))
         file.copy(path = graft.sources.Ftp.fetchToScratch(spark, file.path))
+      else if (graft.sources.Sftp.isSftpUrl(file.path))
+        file.copy(path = graft.sources.Sftp.fetchToScratch(spark, file.path))
       else file
     val path = resolvePath(spark, resolved)
     val ft = resolved.resolvedType.getOrElse(
@@ -207,6 +207,8 @@ object GetFileList {
   def apply(spark: SparkSession, pathPattern: String): Seq[String] = {
     if (graft.sources.Ftp.isFtpUrl(pathPattern))
       return graft.sources.Ftp.list(pathPattern)
+    if (graft.sources.Sftp.isSftpUrl(pathPattern))
+      return graft.sources.Sftp.list(pathPattern)
     val p  = new Path(pathPattern)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val glob =

@@ -167,10 +167,10 @@ class FtpSpec extends SparkSpec {
     }
   }
 
-  test("sftp:// still fails fast with an actionable message") {
+  test("gdrive:// still fails fast with an actionable message") {
     val e = intercept[UnsupportedOperationException] {
-      LoadFile.toDataFrame(spark, GFile("sftp://host/x.csv"))
+      LoadFile.toDataFrame(spark, GFile("gdrive://folder/x.csv"))
     }
-    assert(e.getMessage.contains("sftp://"))
+    assert(e.getMessage.contains("gdrive://"))
   }
 }

@@ -78,12 +78,8 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("unsupported remote schemes fail fast with the reason") {
-    // ftp:// is supported (FtpSpec); sftp/gdrive need runtime deps we can't
-    // vendor, so they reject with the reason and a workaround.
-    val e2 = intercept[UnsupportedOperationException] {
-      LoadFile.toDataFrame(spark, File("sftp://host/data.csv"))
-    }
-    assert(e2.getMessage.contains("sftp://"))
+    // ftp:// (FtpSpec) and sftp:// (SftpSpec) are supported; gdrive needs
+    // real credentials, so it rejects with the reason and a workaround.
     val e3 = intercept[UnsupportedOperationException] {
       LoadFile.toDataFrame(spark, File("gdrive://folder/data.csv"))
     }
