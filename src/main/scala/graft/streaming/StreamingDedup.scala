@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.dedup.IncrementalDedup
+import graft.dedup.{Dedup, IncrementalDedup}
 import graft.model.Table
 import graft.ops.TableIO
 
@@ -74,6 +74,75 @@ object StreamingDedup {
         // `survivors` rides the micro-batch's CLONED session; its append
         // invalidates only that clone's relation cache — refresh the outer
         // session so readers see the appended files, not a stale listing.
+        spark.catalog.refreshTable(target.qualifiedName)
+        ()
+      }
+      .start()
+    if (await) query.awaitTermination()
+    query
+  }
+
+  /** Start draining `stream` into `target` with per-batch NEAR dedup:
+    * batch-internal near-dups collapse first ([[Dedup.dedupNear]]), then the
+    * remainder checks against the persisted LSH band index
+    * ([[IncrementalDedup.dedupNearIncremental]]) of everything admitted so
+    * far; survivors append to target and their bands to the index.
+    *
+    * Retry semantics (foreachBatch is at-least-once): the index appends
+    * BEFORE the target append. A replay whose first attempt fully landed is
+    * suppressed by self-similarity (the doc verifies J=1.0 against its own
+    * corpus row). A replay whose first attempt died between index and
+    * target append re-admits the doc: its stale index rows point at ids
+    * absent from the corpus, so the exact-Jaccard verify — which re-reads
+    * shingles from the CORPUS, not the index — finds no row and clears it.
+    * Stale band rows are harmless (they can only create candidates that
+    * verification then drops) — so the near sink converges to
+    * exactly-once TARGET contents under crash-replay, with only dead index
+    * rows as residue. Banding dial: same trade as
+    * [[Dedup.recallExactBands]]; r=4 at production thresholds.
+    */
+  def nearIncrementalSink(
+      spark: SparkSession,
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      target: Table,
+      index: Table,
+      checkpointDir: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleK: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow(),
+      await: Boolean = true,
+  ): StreamingQuery = {
+    if (!spark.catalog.tableExists(index.qualifiedName)) {
+      val seed =
+        if (spark.catalog.tableExists(target.qualifiedName)) spark.table(target.qualifiedName)
+        else stream.sparkSession.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+      IncrementalDedup.buildLshIndex(spark, seed, idCol, textCol, index,
+        numHashes = numHashes, bands = bands, shingleK = shingleK)
+    }
+    TableIO.clearOrphanLocation(spark, target)
+    val query = stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withinBatch = Dedup.dedupNear(batch, idCol, textCol, threshold, bands)
+        val corpus =
+          if (spark.catalog.tableExists(target.qualifiedName)) spark.table(target.qualifiedName)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val survivors = IncrementalDedup.dedupNearIncremental(
+          spark, withinBatch, corpus, idCol, textCol, index,
+          threshold, numHashes, bands, shingleK)
+        if (!spark.catalog.tableExists(target.qualifiedName))
+          TableIO.overwrite(spark, survivors, target)
+        else
+          survivors.write.mode("append").saveAsTable(target.qualifiedName)
+        // cloned-session cache invalidation doesn't reach `spark` — refresh
+        // so the next micro-batch's corpus read lists the appended files
         spark.catalog.refreshTable(target.qualifiedName)
         ()
       }

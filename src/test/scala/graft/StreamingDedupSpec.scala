@@ -1,5 +1,6 @@
 package graft
 
+import graft.dedup.Dedup
 import graft.model.Table
 import graft.streaming.StreamingDedup
 import org.apache.spark.sql.types._
@@ -40,5 +41,44 @@ class StreamingDedupSpec extends SparkSpec {
 
     // the store holds exactly the admitted fingerprints (3 distinct bodies)
     assert(spark.table(store.qualifiedName).distinct().count() == 3)
+  }
+
+  test("near-dedup-on-ingest: batch-internal and cross-wave near-dups collapse") {
+    val dir  = tmpDir()
+    val src  = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    new java.io.File(src).mkdirs()
+    val target = Table("graft_stream_near_t")
+    val index  = Table("graft_stream_near_i")
+    val base = "the quick brown fox jumps over the lazy dog and then naps in " +
+      "the warm afternoon sun beside the quiet porch"
+
+    def sink(): Unit = StreamingDedup.nearIncrementalSink(spark,
+      spark.readStream.schema(schema).parquet(src),
+      "text", "doc_id", target, index, ckpt,
+      threshold = 0.6, bands = Dedup.recallExactBands(0.6))
+
+    // wave 1: docs 1/2 are near-dups of each other (one word changed),
+    // doc 3 unrelated — batch-internal near dedup keeps min-id 1
+    Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely different content about distributed query engines " +
+        "and shuffle-free aggregation strategies at scale"),
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    sink()
+    assert(spark.table(target.qualifiedName).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+
+    // wave 2: doc 10 is a near-dup of admitted doc 1 (cross-wave, via the
+    // persisted index); doc 11 is genuinely new
+    Seq(
+      (10L, base.replace("dog", "hound")),
+      (11L, "a third topic entirely, discussing winnowing fingerprints and " +
+        "content-defined chunking for long documents"),
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    sink()
+    assert(spark.table(target.qualifiedName).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 11L))
   }
 }
