@@ -1225,6 +1225,35 @@ object SparkEntry {
     // result is exactly the shared-substring pair set
     "q85_substring_dup" -> ((s, dir) =>
       Dedup.substringDupPairs(tbl(s, dir, "documents"), "doc_id", "text", minLen = 40)),
+
+    // token-budget mixture: admit docs per language, in stable hash order,
+    // until the running token sum hits the language's budget — the
+    // "fill the mix to N tokens per source" op (targets in tokens, where
+    // q67's are fractions and q38's are row counts)
+    "q86_token_budget" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBudget(d, "lang_id", "doc_id", "n_tokens",
+        Map("en" -> 2000L, "und" -> 500L), defaultBudget = 1000L)
+    }),
+
+    // threshold decontamination: flagged only at >= 2 shared 8-grams AND
+    // >= 1% of the doc's own grams, with the evidence columns
+    "q87_decontaminate_threshold" -> ((s, dir) => {
+      val d  = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ev = d.filter(col("doc_id") % 5 === 0)
+      Dedup.contaminatedThreshold(d, ev, "doc_id", "text",
+        k = 8, minShared = 2, minFraction = 0.01)
+        .select(col("id").as("doc_id"), col("n_shared"),
+          col("n_grams").cast("long").as("n_grams"))
+    }),
+
+    // long-substring span REMOVAL (Lee et al. 2021, the cut itself) at the
+    // verification dial: every shared 40-char normalized window is removed
+    // from every document carrying it
+    "q88_remove_substrings" -> ((s, dir) =>
+      Dedup.removeSharedSubstrings(tbl(s, dir, "documents"), "doc_id", "text", minLen = 40)),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -1943,5 +1972,64 @@ object SparkEntry {
         |  ELSE list_transform(generate_series(1, length(norm) - 39), i -> substr(norm, i, 40)) END)) AS win FROM t)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id""".stripMargin,
+
+    // q67's lang CTE + q15's token count + a running-sum window in the same
+    // (md5-bucket, doc_id) order as Sampling.tokenBudget
+    "q86_token_budget" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |len(list_filter(toks, x -> list_contains(['the','and','of','to','is','with'], x))) AS s_en,
+        |len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une'], x))) AS s_fr,
+        |len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ein'], x))) AS s_de,
+        |len(list_filter(toks, x -> list_contains(['el','los','las','una','por','que'], x))) AS s_es
+        |FROM t),
+        |l AS (SELECT doc_id, CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+        |WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |ELSE 'es' END AS lang_id FROM s),
+        |d AS (SELECT l.doc_id, l.lang_id,
+        |  CAST(len(regexp_split_to_array(trim(t.text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM l JOIN t USING (doc_id)),
+        |c AS (SELECT doc_id, lang_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang_id
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang_id, n_tokens FROM c
+        |WHERE cum <= CASE lang_id WHEN 'en' THEN 2000 WHEN 'und' THEN 500 ELSE 1000 END""".stripMargin,
+
+    // q65's 8-gram CTE with per-doc totals; HAVING encodes the
+    // (minShared=2, minFraction=0.01) dial
+    "q87_decontaminate_threshold" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) END AS gs FROM t),
+        |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 5 = 0),
+        |tg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM g)
+        |SELECT doc_id, count(*) AS n_shared, CAST(n_grams AS BIGINT) AS n_grams
+        |FROM tg JOIN eg USING (gram)
+        |GROUP BY doc_id, n_grams
+        |HAVING count(*) >= 2 AND count(*) >= n_grams * 0.01""".stripMargin,
+
+    // windows shared across docs -> covered char positions -> residual
+    // string rebuilt char-by-char in position order; docs shorter than 40
+    // normalized chars carry no windows and pass through uncut
+    "q88_remove_substrings" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |p AS (SELECT doc_id, unnest(CASE WHEN length(norm) >= 40
+        |  THEN generate_series(1, length(norm) - 39) ELSE []::BIGINT[] END) AS pos FROM t),
+        |w AS (SELECT p.doc_id, p.pos, substr(t.norm, CAST(p.pos AS INT), 40) AS win
+        |  FROM p JOIN t USING (doc_id)),
+        |d AS (SELECT win FROM (SELECT win, count(DISTINCT doc_id) AS n FROM w GROUP BY win) WHERE n > 1),
+        |cov AS (SELECT DISTINCT w.doc_id, w.pos FROM w JOIN d USING (win)),
+        |cc AS (SELECT DISTINCT doc_id, pos + unnest(generate_series(0, 39)) AS cpos FROM cov),
+        |ch AS (SELECT doc_id, unnest(generate_series(1, length(norm))) AS cpos FROM t),
+        |keep AS (SELECT ch.doc_id, ch.cpos FROM ch ANTI JOIN cc USING (doc_id, cpos)),
+        |r AS (SELECT k.doc_id, string_agg(substr(t.norm, CAST(k.cpos AS INT), 1), '' ORDER BY k.cpos) AS clean_text
+        |  FROM keep k JOIN t USING (doc_id) GROUP BY k.doc_id)
+        |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
   )
 }

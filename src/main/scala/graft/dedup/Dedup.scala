@@ -355,6 +355,47 @@ object Dedup {
     tg.join(broadcast(eg), Seq("gh")).select(col("id")).distinct()
   }
 
+  /** [[contaminated]] with an overlap threshold instead of any-hit: a train
+    * document is contaminated when it shares at least `minShared` distinct
+    * k-grams with the eval corpus AND those cover at least `minFraction`
+    * of its own distinct grams — the dial real decontamination runs at
+    * (single-gram hits on 8-word shingles are near-certain matches, but
+    * shorter grams or OCR-noisy corpora need "several hits / a real
+    * fraction of the doc" before discarding training data).
+    *
+    * Output: (id, n_shared, n_grams) for every flagged doc — the evidence
+    * columns an audit of dropped documents wants.
+    *
+    * Scale shape: identical to [[contaminated]] (eval grams broadcast,
+    * corpus streams once); the per-doc gram total is computed inline
+    * before the explode, so no second aggregation pass over the corpus.
+    */
+  def contaminatedThreshold(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minShared: Int = 1,
+      minFraction: Double = 0.0,
+  ): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(minFraction >= 0.0 && minFraction <= 1.0, s"minFraction out of range: $minFraction")
+    val base = train.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), k)).as("__gs"))
+    val tg = base.select(col("id"), size(col("__gs")).as("n_grams"),
+      explode(col("__gs")).as("gram"))
+      .select(col("id"), col("n_grams"), md5(col("gram")).as("gh"))
+    val eg = eval.select(explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+      .select(md5(col("gram")).as("gh")).distinct()
+    tg.join(broadcast(eg), Seq("gh"))
+      .groupBy(col("id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared &&
+        col("n_shared") >= col("n_grams") * minFraction)
+      .select(col("id"), col("n_shared"), col("n_grams"))
+  }
+
   /** [[contaminated]] for eval corpora too large to broadcast as an exact
     * gram set (a full benchmark-suite union runs to hundreds of millions of
     * grams). A fixed-size Bloom filter over the eval gram hashes is built
@@ -451,6 +492,68 @@ object Dedup {
         .where(arrays_overlap(col("ws_a"), col("ws_b")))
         .select(col("id_a"), col("id_b"))
     }
+  }
+
+  /** Cross-document long-substring REMOVAL — the other half of the Lee
+    * et al. 2021 semantics ([[substringDupPairs]] finds the pairs; this
+    * cuts the spans): every `minLen`-codepoint window of NORMALIZED text
+    * that occurs in more than one document is removed from ALL documents
+    * carrying it (C4-style "cut the boilerplate everywhere" stance — a
+    * keep-one-copy variant is a policy layer over the same covered-position
+    * set). Output: (idCol, clean_text) for EVERY input document,
+    * clean_text = the normalized text minus the union of shared windows
+    * (unchanged normalized text when nothing is shared).
+    *
+    * Dials, mirroring [[substringDupPairs]]:
+    *  - `winnowWindow = 1` (verification dial): every window's position
+    *    hash joins — exact covered set, O(chars) explode rows per doc.
+    *  - `winnowWindow = w > 1` (production dial): winnowing fingerprints
+    *    (~2/(w+1) density) first find the DOCUMENTS that could share a run
+    *    of ≥ minLen+w-1 chars (the winnowing guarantee); only those docs
+    *    explode full positional windows. Runs in [minLen, minLen+w-2] can
+    *    be missed — the standard winnowing trade, stated here.
+    *
+    * Scale shape: unlike the pairs op this needs NO pair join at all —
+    * shared-window detection is a count-distinct-docs per window key, so
+    * corpus-wide boilerplate (the worst skew case for pairs) costs one
+    * hot-but-bounded aggregation key, not a quadratic bucket. Per-doc
+    * covered positions come back as a `collect_list` bounded by document
+    * length (positions are ints; a 1 MB doc is ≤ 4 MB of positions in the
+    * degenerate all-covered case). Payload text never rides the explode.
+    */
+  def removeSharedSubstrings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40,
+      winnowWindow: Int = 1,
+  ): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(winnowWindow >= 1, "winnowWindow must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val candidates =
+      if (winnowWindow == 1) base
+      else {
+        val fps = base.select(col("id"),
+          explode(NativeFunctions.winnowFingerprints(col("__text"), minLen, winnowWindow))
+            .as("fp")).distinct()
+        val dupFp = fps.groupBy("fp").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select(col("fp"))
+        val candIds = fps.join(dupFp, Seq("fp"), "left_semi").select(col("id")).distinct()
+        base.join(candIds, Seq("id"), "left_semi")
+      }
+    val wh = candidates
+      .select(col("id"), posexplode(NativeFunctions.windowHashSeq(col("__text"), minLen)))
+      .withColumnRenamed("col", "wh")
+    val dup = wh.select(col("id"), col("wh")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).select(col("wh"))
+    val covered = wh.join(dup, Seq("wh"), "left_semi")
+      .groupBy(col("id")).agg(collect_list(col("pos")).as("__ps"))
+    base.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        NativeFunctions.cutWindows(col("__text"),
+          coalesce(col("__ps"), array().cast("array<int>")), minLen).as("clean_text"))
   }
 
   /** 64-bit SimHash over tokens — native one-pass expression

@@ -489,6 +489,9 @@ object NativeFunctions {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     c(WinnowFingerprintsExpr(x(text), k, w))
   def windowHashes64(text: Column, k: Int): Column = c(WindowHashes64Expr(x(text), k))
+  def windowHashSeq(text: Column, k: Int): Column  = c(WindowHashSeqExpr(x(text), k))
+  def cutWindows(text: Column, positions: Column, k: Int): Column =
+    c(CutWindowsExpr(x(text), x(positions), k))
   def wordShingles(text: Column, k: Int = 3): Column = c(WordShinglesExpr(x(text), k))
   def luhnValid(s: Column): Column = c(LuhnValidExpr(x(s)))
   def maskCreditCards(text: Column, token: String = "<CC>"): Column =

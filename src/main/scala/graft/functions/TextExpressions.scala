@@ -3,7 +3,7 @@ package graft.functions
 import java.util.Locale
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -311,6 +311,75 @@ object TextImpl {
     new GenericArrayData(out)
   }
 
+  /** XXH64 hash of EVERY k-codepoint window of the NORMALIZED text, by
+    * start position (index i = window starting at codepoint i; empty when
+    * the text is shorter than k — sub-minLen docs carry no cuttable
+    * span). The positional, non-deduplicated counterpart of
+    * [[windowHashes64]], for [[graft.dedup.Dedup.removeSharedSubstrings]]
+    * which needs to know WHERE a shared window sits, not just that one
+    * exists.
+    */
+  def windowHashSeq(u: UTF8String, k: Int): ArrayData = {
+    val norm  = normalize(u)
+    val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val byteOff = new Array[Int](norm.length + 1)
+    var cp = 0
+    var b  = 0
+    var ci = 0
+    while (ci < norm.length) {
+      byteOff(cp) = b
+      val code = norm.codePointAt(ci)
+      b += (if (code < 0x80) 1 else if (code < 0x800) 2 else if (code < 0x10000) 3 else 4)
+      ci += Character.charCount(code)
+      cp += 1
+    }
+    byteOff(cp) = bytes.length
+    if (cp < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cp - k + 1)
+    var i = 0
+    while (i + k <= cp) {
+      val off = byteOff(i)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromBytes(bytes, off, byteOff(i + k) - off), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The NORMALIZED text with the union of [p, p+k-1] codepoint intervals
+    * removed, for each start position p in `positions` (unsorted, possibly
+    * overlapping — coverage is computed with a difference array, O(chars +
+    * positions)). Empty `positions` returns the normalized text unchanged,
+    * so the same projection serves cut and uncut documents.
+    */
+  def cutWindows(u: UTF8String, positions: ArrayData, k: Int): UTF8String = {
+    val norm = normalize(u)
+    if (norm.isEmpty) return UTF8String.fromString("")
+    val cps = norm.codePoints().toArray
+    val cp  = cps.length
+    val n   = positions.numElements()
+    if (n == 0) return UTF8String.fromString(norm)
+    val diff = new Array[Int](cp + 1)
+    var i = 0
+    while (i < n) {
+      val p = positions.getInt(i)
+      if (p >= 0 && p < cp) {
+        diff(p) += 1
+        diff(math.min(p + k, cp)) -= 1
+      }
+      i += 1
+    }
+    val sb  = new java.lang.StringBuilder(cp)
+    var cov = 0
+    var j   = 0
+    while (j < cp) {
+      cov += diff(j)
+      if (cov == 0) sb.appendCodePoint(cps(j))
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Luhn checksum (ISO/IEC 7812) over the digits of `s`, ignoring single
     * space/dash group separators. False unless the digit count is a
     * plausible PAN length (13–19).
@@ -433,6 +502,32 @@ case class WindowHashes64Expr(child: Expression, k: Int) extends GraftUnaryCodeg
     s"graft.functions.TextImpl.windowHashes64($c, $k)"
   override protected def withNewChildInternal(newChild: Expression): WindowHashes64Expr =
     copy(child = newChild)
+}
+
+/** Positional window hashes — see [[TextImpl.windowHashSeq]]. */
+case class WindowHashSeqExpr(child: Expression, k: Int) extends GraftUnaryCodegen {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.windowHashSeq(input.asInstanceOf[UTF8String], k)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextImpl.windowHashSeq($c, $k)"
+  override protected def withNewChildInternal(newChild: Expression): WindowHashSeqExpr =
+    copy(child = newChild)
+}
+
+/** Normalized text minus covered windows — see [[TextImpl.cutWindows]]. */
+case class CutWindowsExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(text: Any, positions: Any): Any =
+    TextImpl.cutWindows(text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.functions.TextImpl.cutWindows($t, $p, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutWindowsExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class TextStatsExpr(child: Expression) extends GraftUnaryCodegen {

@@ -116,4 +116,39 @@ object Sampling {
     }
     df.where(hashBucket(col(keyCol)) < cut)
   }
+
+  /** Deterministic token-budget mixture: admit rows per group, in stable
+    * hash order, while the running token sum (including the current row)
+    * stays within the group's budget — the "fill a 50 B-token mix with
+    * X tokens of code, Y of encyclopedia, …" op of a training pipeline,
+    * where targets are token counts, not fractions ([[mixture]]) or row
+    * counts ([[sampleByGroup]]). Groups absent from the map get
+    * `defaultBudget` (unlimited by default).
+    *
+    * Scale shape: one shuffle on the group key plus a running-sum window.
+    * Order payload-free projections into the window (id, group, tokens)
+    * and semi-join survivors back if rows are wide; a mega-group's window
+    * is a single-task sort — the same per-group skew bound as every
+    * grouped window here, acceptable because groups are SOURCES (dozens
+    * to thousands), not keys. Admission is a pure function of
+    * (key, group, token column), so re-runs and engine swaps reproduce
+    * the exact member set.
+    */
+  def tokenBudget(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue,
+  ): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol)), col(keyCol))
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

@@ -120,6 +120,66 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(winnow.subsetOf(exact))    // verify step admits no false pairs
   }
 
+  test("removeSharedSubstrings cuts the shared span from all carriers, only that") {
+    val shared = "this exact forty-plus character passage is copied verbatim between documents"
+    val docs = Seq(
+      (1L, s"Prefix One $shared suffix one"),
+      (2L, s"opening two $shared Closing Two"),
+      (3L, "no overlap at all in this document body which talks about other things entirely"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSubstrings(docs, "doc_id", "text", minLen = 40)
+      .as[(Long, String)].collect().toMap
+    // every doc present; the unshared doc passes through normalized-uncut
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(3L) == "no overlap at all in this document body which talks about other things entirely")
+    // the shared passage is gone from both carriers, their unique flanks remain
+    for (id <- Seq(1L, 2L)) {
+      assert(!out(id).contains("copied verbatim"), s"doc $id kept shared text")
+    }
+    assert(out(1L).startsWith("prefix one") && out(1L).endsWith("suffix one"))
+    assert(out(2L).startsWith("opening two") && out(2L).endsWith("closing two"))
+  }
+
+  test("removeSharedSubstrings winnow dial: guaranteed-length runs still fully cut") {
+    val long = "a sufficiently long shared passage that comfortably exceeds the guarantee " +
+      "threshold of minLen plus window minus one characters in normalized form"
+    val docs = Seq(
+      (1L, s"alpha $long omega"),
+      (2L, s"beta $long psi"),
+      (3L, "entirely unrelated content with no repeated windows of any meaningful length here"),
+    ).toDF("doc_id", "text")
+    val exact = Dedup.removeSharedSubstrings(docs, "doc_id", "text", minLen = 40)
+      .as[(Long, String)].collect().toMap
+    val winnow = Dedup.removeSharedSubstrings(docs, "doc_id", "text", minLen = 40,
+      winnowWindow = 4).as[(Long, String)].collect().toMap
+    // the run is >= minLen+w-1, so the winnow prefilter must find both
+    // carriers and the cut equals the exact dial's cut
+    assert(winnow(1L) == exact(1L) && winnow(2L) == exact(2L))
+    assert(!winnow(1L).contains("guarantee"))
+    assert(winnow(3L) == exact(3L))
+  }
+
+  test("contaminatedThreshold applies both the count and fraction dials") {
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, evalText), // one eval doc (id % 5 == 0 convention not used here)
+      // shares >= 2 grams with eval (long overlap)
+      (2L, s"$evalText and some extra trailing words beyond the overlap region"),
+      // exactly one shared 8-gram: below minShared=2
+      (3L, "alpha beta gamma delta epsilon zeta eta theta completely different tail " +
+        "of words that never appeared in the evaluation corpus at all whatsoever"),
+      (4L, "nothing in common with the benchmark text in any of its sliding windows"),
+    ).toDF("doc_id", "text")
+    val ev = docs.where($"doc_id" === 1L)
+    val flagged = Dedup.contaminatedThreshold(docs, ev, "doc_id", "text",
+      k = 8, minShared = 2).select("id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L))
+    // a high fraction dial clears the long doc whose overlap is proportionally small
+    val strict = Dedup.contaminatedThreshold(docs, ev, "doc_id", "text",
+      k = 8, minShared = 2, minFraction = 0.9).select("id").as[Long].collect().toSet
+    assert(strict == Set(1L))
+  }
+
   test("bloom decontamination equals exact decontamination") {
     val docs = (1L to 60L).map { i =>
       val body =

@@ -44,6 +44,29 @@ class SamplingSpec extends SparkSpec {
     assert(s.orderBy("g", "id").collect().sameElements(again.orderBy("g", "id").collect()))
   }
 
+  test("tokenBudget admits per-group prefixes within budget, deterministically") {
+    val df = Seq.tabulate(60)(i => (s"g${i % 2}", i.toLong, 10L + i % 7))
+      .toDF("g", "id", "toks")
+    val s = Sampling.tokenBudget(df, "g", "id", "toks", Map("g0" -> 100L), defaultBudget = 55L)
+    val sums = s.groupBy("g").sum("toks").as[(String, Long)].collect().toMap
+    assert(sums("g0") <= 100L && sums("g1") <= 55L)
+    // the admitted set is a PREFIX of the hash order: adding the next doc
+    // in that order must overflow the budget
+    val ordered = df.withColumn("b", Sampling.hashBucket($"id"))
+      .orderBy($"g", $"b", $"id").as[(String, Long, Long, String)].collect()
+    for ((g, budget) <- Seq(("g0", 100L), ("g1", 55L))) {
+      val inOrder = ordered.filter(_._1 == g).map(r => (r._2, r._3))
+      val kept    = s.where($"g" === g).select("id").as[Long].collect().toSet
+      val prefix  = inOrder.scanLeft(0L)(_ + _._2).tail.zip(inOrder)
+        .takeWhile(_._1 <= budget).map(_._2._1).toSet
+      assert(kept == prefix, s"group $g")
+    }
+    // partitioning-independent
+    val again = Sampling.tokenBudget(df.repartition(13), "g", "id", "toks",
+      Map("g0" -> 100L), defaultBudget = 55L)
+    assert(s.orderBy("g", "id").collect().sameElements(again.orderBy("g", "id").collect()))
+  }
+
   test("hexCut formats the fraction boundary as 8 lowercase hex chars") {
     assert(Sampling.hexCut(0.8) == "cccccccc")
     assert(Sampling.hexCut(0.9) == "e6666666")
