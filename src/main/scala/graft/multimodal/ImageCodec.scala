@@ -1,0 +1,239 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
+
+/** REAL image codec on the JDK's `javax.imageio` (java.desktop module —
+  * PNG/JPEG/GIF/BMP/TIFF/WBMP readers and writers ship with the JVM, no
+  * external codec libraries needed). This replaces the round-3 deterministic
+  * decode stub ([[Multimodal.stubDecode]], kept for its contract tests) with
+  * actual byte→pixel decoding, so the multimodal column pipeline is now real
+  * end to end: reference scope is file ingestion (astro-sdk
+  * `files/types/image` does not exist — media columns are beyond-reference
+  * builder's-brief scope).
+  *
+  * Scale notes:
+  *  - [[decodeMeta]] reads ONLY the header: `ImageReader.getWidth/getHeight`
+  *    and the raw image type are available without materializing pixels, so
+  *    a metadata pass over 100 TB of JPEG payloads does no pixel decode.
+  *  - Everything here is a pure function of the payload bytes — safe inside
+  *    batched `mapPartitions` with no shared state; ImageIO's plugin
+  *    registry is JVM-global and thread-safe for lookup.
+  *  - `ImageIO.setUseCache(false)`: decode through heap streams, never the
+  *    default temp-FILE cache (an executor decoding thousands of images must
+  *    not fsync scratch files per image).
+  */
+object ImageCodec {
+
+  // executors have no display; headless must be set before any AWT class
+  // initializes. Harmless if already set by the session owner.
+  if (System.getProperty("java.awt.headless") == null)
+    System.setProperty("java.awt.headless", "true")
+  ImageIO.setUseCache(false)
+
+  /** Decoded header metadata: (width, height, bands, format). `format` is
+    * the reader's canonical name lowercased ("png", "jpeg", "gif", "bmp",
+    * "tiff", "wbmp"). Returns None for bytes no installed reader claims.
+    * Pixels are NOT decoded — header-only, O(header) per payload.
+    */
+  def decodeMeta(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis, true, true)
+        val w = r.getWidth(0)
+        val h = r.getHeight(0)
+        // band count from the declared image type — still header-only
+        val bands =
+          try r.getImageTypes(0).next().getNumBands
+          catch { case _: Exception => 3 }
+        Some((w, h, bands, r.getFormatName.toLowerCase))
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** Full pixel decode. None if undecodable. */
+  def decode(bytes: Array[Byte]): Option[BufferedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+  }
+
+  /** Encode with any installed writer ("png", "jpeg", "bmp", "gif"). */
+  def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    // JPEG writers reject images with alpha; flatten to RGB first
+    val src =
+      if (format.equalsIgnoreCase("jpeg") || format.equalsIgnoreCase("jpg")) {
+        if (img.getColorModel.hasAlpha) {
+          val rgb = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_3BYTE_BGR)
+          val g   = rgb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose(); rgb
+        } else img
+      } else img
+    require(ImageIO.write(src, format, bos), s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = encode(img, "png")
+
+  /** Real resample: decode → bilinear scale to (w, h) → re-encode. The
+    * output image type follows the source's band structure (gray stays
+    * gray). Returns None if the payload is undecodable.
+    */
+  def resize(bytes: Array[Byte], w: Int, h: Int, format: String = "png"): Option[Array[Byte]] =
+    decode(bytes).map { src =>
+      val outType =
+        if (src.getColorModel.getNumComponents == 1) BufferedImage.TYPE_BYTE_GRAY
+        else BufferedImage.TYPE_3BYTE_BGR
+      val dst = new BufferedImage(w, h, outType)
+      val g   = dst.createGraphics()
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION, RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+      g.dispose()
+      encode(dst, format)
+    }
+
+  /** Deterministic grayscale box-filter downsample to exactly (w, h),
+    * implemented by hand (not Graphics2D) so the result is bit-stable
+    * across JVMs — the substrate for [[dHash64]]. Grayscale conversion is
+    * the integer ITU-R 601 luma ((77 R + 150 G + 29 B) >> 8); single-band
+    * images use the raw sample. Each output cell is the floor-average of
+    * its source box.
+    */
+  private[multimodal] def grayBox(img: BufferedImage, w: Int, h: Int): Array[Int] = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val singleBand = img.getColorModel.getNumComponents == 1
+    val raster = img.getRaster
+    val out = new Array[Int](w * h)
+    var cy = 0
+    while (cy < h) {
+      val y0 = cy * sh / h
+      val y1 = math.max(y0 + 1, (cy + 1) * sh / h)
+      var cx = 0
+      while (cx < w) {
+        val x0 = cx * sw / w
+        val x1 = math.max(x0 + 1, (cx + 1) * sw / w)
+        var sum = 0L
+        var n   = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val g =
+              if (singleBand) raster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) + 29 * (rgb & 0xFF)) >> 8
+              }
+            sum += g
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * w + cx) = (sum / n).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash): downsample to 9×8 grayscale, emit one
+    * bit per horizontally-adjacent pixel pair (left < right). Standard
+    * perceptual near-dup primitive for image corpora (Krawetz 2013, public
+    * algorithm): invariant to uniform brightness shift (strict-< order
+    * preserved), stable under resize (box averages change little), and two
+    * unrelated images agree on ~32/64 bits. Returns None for undecodable
+    * payloads.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map { img =>
+      val g = grayBox(img, 9, 8)
+      var hash = 0L
+      var bit  = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y * 9 + x) < g(y * 9 + x + 1)) hash |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+
+  /** Add `delta` to every sample of every band, clamped to [0, 255], and
+    * re-encode (losslessly, PNG). A real photometric perturbation used by
+    * the perceptual-dedup tests: dHash is exactly invariant to it while
+    * cryptographic/exact hashes are not.
+    */
+  def brighten(bytes: Array[Byte], delta: Int): Option[Array[Byte]] =
+    decode(bytes).map { img =>
+      val out =
+        if (img.getColorModel.getNumComponents == 1) {
+          val o = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_BYTE_GRAY)
+          val sr = img.getRaster; val or = o.getRaster
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              or.setSample(x, y, 0, math.min(255, math.max(0, sr.getSample(x, y, 0) + delta)))
+              x += 1
+            }
+            y += 1
+          }
+          o
+        } else {
+          val o = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              def c(v: Int) = math.min(255, math.max(0, v + delta))
+              o.setRGB(x, y, (c((rgb >> 16) & 0xFF) << 16) | (c((rgb >> 8) & 0xFF) << 8) | c(rgb & 0xFF))
+              x += 1
+            }
+            y += 1
+          }
+          o
+        }
+      encodePng(out)
+    }
+
+  /** Deterministic single-band test image: gray(x, y) = splitmix64(seed, x,
+    * y) mapped into [lo, hi]. Pure fixture generator (the queries build
+    * their image payloads from row data with it so the DuckDB oracle can
+    * predict the decoded dimensions); NOT part of the codec surface.
+    */
+  def renderGrayPng(seed: Long, w: Int, h: Int, lo: Int = 30, hi: Int = 200): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val r   = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = seed + x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        r.setSample(x, y, 0, lo + (((z >>> 11) % (hi - lo + 1)).toInt + (hi - lo + 1)) % (hi - lo + 1))
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+}
