@@ -114,8 +114,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // also persist the complete per-query table into the repo: the driver
+    // captures stdout with a bounded tail, which truncated round 6's table
+    // below q64 — a committed file makes every round comparable query-by-query
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCHFULL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCHFULL.json: $e") }
     spark.stop()
     // non-daemon Spark threads (e.g. an interrupted streaming query) must not
     // keep the JVM alive past the report — the round-4 failure mode was an

@@ -36,12 +36,38 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     LoadFile.toDataFrame(s, File(s"$dir/$name.parquet"))
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; read it as long (the queries below don't consume ts).
+  /** Older fixture generations wrote events.ts as TIMESTAMP(NANOS), which
+    * Spark's parquet reader rejects by default; this conf reads it as long.
+    * Newer generations write timestamp[us] (TIMESTAMP_NTZ), where the conf is
+    * a no-op. Kept so BOTH fixture vintages load.
     */
   private def allowNanos(s: SparkSession): Unit =
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
+
+  /** Schema-adaptive epoch extraction for events.ts — the fixture's physical
+    * type has drifted across driver regenerations (TIMESTAMP(NANOS) read as
+    * long nanos under allowNanos; then timestamp[us] read as TIMESTAMP_NTZ),
+    * so epoch math must dispatch on the type actually read, not on an
+    * assumed vintage. Session timezone is UTC in every entrypoint, so
+    * NTZ→TZ cast preserves the naive value and matches DuckDB's
+    * `epoch_ns(ts)` on the same file.
+    */
+  private def epochSec(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_seconds(col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_seconds(col(c))
+    }
+
+  private def epochMicros(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col(c))
+    }
 
   /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered: a
     * stateful stream pays one state-store commit (+fsync) per partition per
@@ -543,8 +569,8 @@ object SparkEntry {
     "q32_streaming_sessionize" -> ((s, dir) => {
       allowNanos(s)
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000000000").as("sec"))
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev  = ev0.select(col("user_id"), epochSec(ev0, "ts").as("sec"))
       val maxSec = ev.agg(max("sec")).collect()(0).getLong(0)
       val streamDir = stageTwoBatches("q32",
         ev.select(col("user_id").cast("long"), col("sec").cast("timestamp").as("ts")),
@@ -589,8 +615,8 @@ object SparkEntry {
     "q34_streaming_window" -> ((s, dir) => {
       allowNanos(s)
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("event_type"), expr("ts div 1000000000").as("sec"))
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev  = ev0.select(col("event_type"), epochSec(ev0, "ts").as("sec"))
       val maxSec = ev.agg(max("sec")).collect()(0).getLong(0)
       val streamDir = stageTwoBatches("q34",
         ev.select(col("event_type"), col("sec").cast("timestamp").as("ts")),
@@ -747,19 +773,19 @@ object SparkEntry {
 
     // as-of join: latest click at-or-before each purchase per user — one
     // union + window pass, never the per-key cross product (AsofJoin doc).
-    // Micros granularity on both sides (events.ts is TIMESTAMP(NANOS);
-    // DuckDB truncates to micros, Spark `div 1000` floors identically).
+    // Micros granularity on both sides (epochMicros adapts to the fixture's
+    // ts vintage; DuckDB's epoch_ns // 1000 floors identically).
     "q54_asof_join" -> ((s, dir) => {
       allowNanos(s)
       val ev = tbl(s, dir, "events")
       val buys = ev.where(col("event_type") === "purchase").select(
         col("user_id"),
         col("event_id").as("buy_id"),
-        expr("ts div 1000").as("buy_us"),
+        epochMicros(ev, "ts").as("buy_us"),
       )
       val clicks = ev.where(col("event_type") === "click").select(
         col("user_id"),
-        expr("ts div 1000").as("click_us"),
+        epochMicros(ev, "ts").as("click_us"),
         col("event_id").as("click_id"),
         col("value").as("click_value"),
       )
@@ -890,9 +916,9 @@ object SparkEntry {
     // real lateness bound so state stays O(lag window) per key
     "q63_stream_stream_join" -> ((s, dir) => {
       allowNanos(s)
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000000000").as("sec"))
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev = ev0.select(col("user_id"), col("event_id"), col("event_type"),
+        epochSec(ev0, "ts").as("sec"))
       val streamDir = stageTwoBatches("q63",
         ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 =!= 0))
       val schema = s.read.parquet(streamDir).schema
@@ -1254,6 +1280,67 @@ object SparkEntry {
     // from every document carrying it
     "q88_remove_substrings" -> ((s, dir) =>
       Dedup.removeSharedSubstrings(tbl(s, dir, "documents"), "doc_id", "text", minLen = 40)),
+
+    // ---- round 7: REAL image codec in the multimodal pipeline ----
+
+    // REAL image header decode (javax.imageio, no stub) with a full oracle:
+    // payloads are deterministic gray PNGs rendered from row data
+    // (synthGrayImages), so the decoded metadata is a pure function of
+    // doc_id that DuckDB can predict
+    "q89_image_meta" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val imgs = graft.multimodal.Multimodal.synthGrayImages(d,
+        seed = col("doc_id"), width = col("doc_id") % 17 + 8, height = col("doc_id") % 13 + 8)
+      graft.multimodal.Multimodal.decodeImageMeta(imgs, "img_bytes")
+        .select(col("doc_id"), col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"), col("meta.format"))
+    }),
+
+    // perceptual image near-dup: dHash64 + pigeonhole hamming blocking.
+    // Docs sharing doc_id % 40 render the SAME base image, brightened by a
+    // per-doc saturation-free delta — dHash is exactly invariant to that,
+    // so the pair set (hamming 0) is the same-seed pair set, SQL-exact.
+    // Cross-seed images sit ~32 hamming bits apart (floor asserted in
+    // ImageCodecSpec), far above maxHamming=4.
+    "q90_image_neardup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val imgs = graft.multimodal.Multimodal.synthGrayImages(d,
+        seed = col("doc_id") % 40, width = lit(32), height = lit(24),
+        brightenDelta = (col("doc_id") % 3) * 10)
+      val hashed = graft.multimodal.Multimodal.imageDHash(imgs, "img_bytes")
+      Dedup.nearDupPairsHash64(hashed, "doc_id", "dhash",
+          maxHamming = 4, maxBucketSize = 100000)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // REAL resample: decode → bilinear 16×12 → re-encode → decode again;
+    // the round-tripped header metadata is SQL-constant
+    "q91_image_resize" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val imgs = graft.multimodal.Multimodal.synthGrayImages(d,
+        seed = col("doc_id"), width = col("doc_id") % 17 + 8, height = col("doc_id") % 13 + 8)
+      val resized = graft.multimodal.Multimodal.resizeTo(imgs, "img_bytes", "resized", 16, 12)
+      graft.multimodal.Multimodal.decodeImageMeta(resized.drop("img_bytes"), "resized")
+        .select(col("doc_id"), col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"), col("meta.format"))
+    }),
+
+    // ---- round 7: production-dial twins for the substring family ----
+    // (mirror of q77/q78's rationale: q85/q88 bench the winnowWindow=1
+    // verification dial — O(every char) window keys; these bench the
+    // winnowed dial the 100 TB path runs, whose sampled fingerprints are
+    // engine-specific → rows-only by design; candidate-volume ratio is
+    // asserted in SubstringDupSpec)
+
+    "q92_substring_dup_prod" -> ((s, dir) =>
+      Dedup.substringDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        minLen = 40, winnowWindow = 4)),
+
+    "q93_remove_substrings_prod" -> ((s, dir) =>
+      Dedup.removeSharedSubstrings(tbl(s, dir, "documents"), "doc_id", "text",
+        minLen = 40, winnowWindow = 4)),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2031,5 +2118,25 @@ object SparkEntry {
         |  FROM keep k JOIN t USING (doc_id) GROUP BY k.doc_id)
         |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // synthGrayImages renders a (doc_id%17+8) × (doc_id%13+8) single-band
+    // PNG per row; the REAL javax.imageio header decode must read exactly
+    // that back
+    "q89_image_meta" ->
+      """SELECT doc_id, doc_id % 17 + 8 AS width, doc_id % 13 + 8 AS height,
+        |CAST(1 AS BIGINT) AS channels, 'png' AS format FROM documents""".stripMargin,
+
+    // same-base pairs (doc_id % 40) — dHash is brightness-shift invariant
+    // (saturation-free deltas), so same-base hashes are identical and no
+    // cross-base pair comes within hamming 4
+    "q90_image_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id""".stripMargin,
+
+    // decode → bilinear 16×12 → re-encode round trip: constant output header
+    "q91_image_resize" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |CAST(1 AS BIGINT) AS channels, 'png' AS format FROM documents""".stripMargin,
   )
 }

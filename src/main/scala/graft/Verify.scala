@@ -10,7 +10,14 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir  = args(0)
+    val outDir = args(1)
+    // optional third arg: comma-separated name-prefix filter (dev use only;
+    // the driver always runs the full set)
+    val filter: String => Boolean = if (args.length > 2) {
+      val prefixes = args(2).split(",").toSeq
+      name => prefixes.exists(name.startsWith)
+    } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,7 +43,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(p => filter(p._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -574,10 +574,32 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
+  ): DataFrame =
+    nearDupPairsHash64(
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")),
+      "id", "sim", maxHamming, maxBucketSize)
+
+  /** Generic pigeonhole near-dup over ANY precomputed 64-bit hash column —
+    * the blocking engine behind [[nearDupPairsSimHash]] (text) and
+    * [[graft.multimodal.Multimodal.imageDHash]] (perceptual image dedup):
+    * split the hash into `maxHamming + 1` chunks; any pair within
+    * `maxHamming` bits shares at least one exact chunk, so candidates come
+    * from chunk-equality joins (never all-pairs), then verify
+    * popcount(xor) ≤ maxHamming. The 64-bit hash value rides the explode
+    * (it IS the payload — 8 bytes). Null hashes (undecodable payloads) are
+    * dropped up front.
+    */
+  def nearDupPairsHash64(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
   ): DataFrame = {
     val chunks = maxHamming + 1
     val width  = 64 / chunks
-    val withSim = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val withSim = df.select(col(idCol).as("id"), col(hashCol).as("sim"))
+      .where(col("sim").isNotNull)
     val blocked = withSim.select(
       col("id"), col("sim"),
       posexplode(array((0 until chunks).map { j =>

@@ -38,6 +38,10 @@ object ImageCodec {
     * the reader's canonical name lowercased ("png", "jpeg", "gif", "bmp",
     * "tiff", "wbmp"). Returns None for bytes no installed reader claims.
     * Pixels are NOT decoded — header-only, O(header) per payload.
+    *
+    * Band count comes from `getRawImageType` (the file's true layout) when
+    * the reader exposes it, else the first declared image type; when neither
+    * is available the count is -1 (unknown), never a plausible guess.
     */
   def decodeMeta(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
     if (bytes == null || bytes.isEmpty) return None
@@ -50,10 +54,16 @@ object ImageCodec {
         r.setInput(iis, true, true)
         val w = r.getWidth(0)
         val h = r.getHeight(0)
-        // band count from the declared image type — still header-only
+        // band count, still header-only: raw type first (what's in the
+        // file), declared types second, -1 sentinel if the plugin offers
+        // neither — a wrong-but-plausible 3 would silently misreport
+        // grayscale/CMYK payloads.
         val bands =
-          try r.getImageTypes(0).next().getNumBands
-          catch { case _: Exception => 3 }
+          (try Option(r.getRawImageType(0)) catch { case _: Exception => None })
+            .orElse(try { val it = r.getImageTypes(0); if (it.hasNext) Some(it.next()) else None }
+                    catch { case _: Exception => None })
+            .map(_.getNumBands)
+            .getOrElse(-1)
         Some((w, h, bands, r.getFormatName.toLowerCase))
       } finally r.dispose()
     } catch { case _: Exception => None }
@@ -75,7 +85,13 @@ object ImageCodec {
       if (format.equalsIgnoreCase("jpeg") || format.equalsIgnoreCase("jpg")) {
         if (img.getColorModel.hasAlpha) {
           val rgb = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_3BYTE_BGR)
-          val g   = rgb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose(); rgb
+          val g   = rgb.createGraphics()
+          // flatten alpha onto white, not the raster's uninitialized black —
+          // semi-transparent pixels must lighten, matching every mainstream
+          // alpha-flatten convention
+          g.setColor(java.awt.Color.WHITE)
+          g.fillRect(0, 0, img.getWidth, img.getHeight)
+          g.drawImage(img, 0, 0, null); g.dispose(); rgb
         } else img
       } else img
     require(ImageIO.write(src, format, bos), s"no ImageIO writer for format '$format'")
@@ -85,13 +101,15 @@ object ImageCodec {
   def encodePng(img: BufferedImage): Array[Byte] = encode(img, "png")
 
   /** Real resample: decode → bilinear scale to (w, h) → re-encode. The
-    * output image type follows the source's band structure (gray stays
-    * gray). Returns None if the payload is undecodable.
+    * output image type follows the source's COLOR band structure (gray and
+    * gray+alpha sources stay single-band gray; alpha itself is dropped, as
+    * with any opaque output type). Returns None if the payload is
+    * undecodable.
     */
   def resize(bytes: Array[Byte], w: Int, h: Int, format: String = "png"): Option[Array[Byte]] =
     decode(bytes).map { src =>
       val outType =
-        if (src.getColorModel.getNumComponents == 1) BufferedImage.TYPE_BYTE_GRAY
+        if (src.getColorModel.getNumColorComponents == 1) BufferedImage.TYPE_BYTE_GRAY
         else BufferedImage.TYPE_3BYTE_BGR
       val dst = new BufferedImage(w, h, outType)
       val g   = dst.createGraphics()
@@ -176,8 +194,11 @@ object ImageCodec {
 
   /** Add `delta` to every sample of every band, clamped to [0, 255], and
     * re-encode (losslessly, PNG). A real photometric perturbation used by
-    * the perceptual-dedup tests: dHash is exactly invariant to it while
-    * cryptographic/exact hashes are not.
+    * the perceptual-dedup tests: dHash is exactly invariant to it PROVIDED
+    * no sample clamps — i.e. every source sample stays within
+    * [-delta, 255 - delta]; clamping flattens local gradients and can flip
+    * comparison bits. [[renderGrayPng]]'s default [30, 200] range keeps
+    * deltas in [-30, 55] saturation-free.
     */
   def brighten(bytes: Array[Byte], delta: Int): Option[Array[Byte]] =
     decode(bytes).map { img =>

@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
   * `mapInPandas`, with the same plumbing contract (explicit output schema,
   * bounded batch shape, no driver collect).
   *
-  * DECODE IS A STUB: the image/audio codec libraries are not present in
-  * this container, so the byte→pixels/samples step is a deterministic fake
-  * (pure function of the bytes) clearly marked `STUB` below. Everything
-  * around it — schema evolution, encoders, batching, partition sizing — is
-  * real, tested, and is exactly where a real codec drops in.
+  * IMAGE decode/resize is REAL ([[ImageCodec]], on the JDK's javax.imageio
+  * — PNG/JPEG/GIF/BMP readers ship with the JVM): [[decodeImageMeta]] and
+  * [[resizeTo]] run actual byte→pixel work, and [[imageDHash]] computes the
+  * standard perceptual near-dup hash. Payloads no installed reader claims
+  * fall back to the original deterministic `STUB` functions (documented per
+  * method) — that keeps the metadata columns total and the text-payload
+  * fixture oracles SQL-expressible. AUDIO/VIDEO feature extraction and
+  * frame sampling remain stubs (no codec in the JVM); their batching,
+  * schema, and partition-sizing plumbing is the real contract.
   *
   * Scale notes (100 TB of media):
   *  - binary payloads dominate row size; [[repartitionForPayload]] sizes
@@ -49,6 +53,12 @@ object Multimodal {
     * `batchSize` rows at a time inside each partition (the mapInPandas
     * batch-shape contract: bounded memory per batch, schema known up
     * front).
+    *
+    * REAL header decode via [[ImageCodec.decodeMeta]] (no pixel
+    * materialization — O(header) per payload, the right cost for a
+    * metadata pass over 100 TB of media); payloads no installed ImageIO
+    * reader claims fall back to [[stubDecode]] so the column stays total
+    * (and the text-payload fixture oracle stays SQL-predictable).
     */
   def decodeImageMeta(
       df: DataFrame,
@@ -60,14 +70,90 @@ object Multimodal {
     val idx       = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // batch-at-a-time: a real codec would decode the whole batch in one
-        // native call; the STUB just maps rows.
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](idx)
-          val (w, h, c, f) = stubDecode(bytes)
+          val (w, h, c, f) =
+            ImageCodec.decodeMeta(bytes).getOrElse(stubDecode(bytes))
           Row.fromSeq(row.toSeq :+ Row(w, h, c, f))
         }
       }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image resize: decode → bilinear resample to (w, h) → re-encode
+    * via [[ImageCodec.resize]], batched per partition. Undecodable payloads
+    * yield null (they have no pixels to resample — a pipeline filters or
+    * routes them; inventing bytes would hide corruption).
+    */
+  def resizeTo(
+      df: DataFrame,
+      bytesCol: String,
+      outCol: String,
+      width: Int,
+      height: Int,
+      format: String = "png",
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val out = ImageCodec.resize(row.getAs[Array[Byte]](idx), width, height, format).orNull
+        Row.fromSeq(row.toSeq :+ out)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Perceptual 64-bit difference hash per payload ([[ImageCodec.dHash64]]);
+    * null for undecodable bytes. Feed the result to
+    * [[graft.dedup.Dedup.nearDupPairsHash64]] for image near-dup at scale —
+    * the hash is 8 bytes, so the dedup shuffle never carries pixels.
+    */
+  def imageDHash(
+      df: DataFrame,
+      bytesCol: String,
+      outCol: String = "dhash",
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val h = ImageCodec.dHash64(row.getAs[Array[Byte]](idx))
+        Row.fromSeq(row.toSeq :+ h.map(Long.box).orNull)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic gray-PNG payload per row ([[ImageCodec.renderGrayPng]] of
+    * row-derived seed/size, optionally brightened) — the image-fixture
+    * generator for specs and q-entries: real encoded PNGs whose decoded
+    * metadata is a pure function of the driving columns, so DuckDB oracle
+    * SQL can predict it. NOT part of the production surface.
+    */
+  def synthGrayImages(
+      df: DataFrame,
+      seed: org.apache.spark.sql.Column,
+      width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column,
+      outCol: String = "img_bytes",
+      brightenDelta: org.apache.spark.sql.Column = lit(0),
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val tagged = df
+      .withColumn("__seed", seed.cast(LongType))
+      .withColumn("__w", width.cast(IntegerType))
+      .withColumn("__h", height.cast(IntegerType))
+      .withColumn("__d", brightenDelta.cast(IntegerType))
+    val n         = df.schema.size
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    tagged.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val base = ImageCodec.renderGrayPng(row.getLong(n), row.getInt(n + 1), row.getInt(n + 2))
+        val d    = row.getInt(n + 3)
+        val out  = if (d == 0) base else ImageCodec.brighten(base, d).get
+        Row.fromSeq(row.toSeq.take(n) :+ out)
+      })
     }(Encoders.row(outSchema))
   }
 

@@ -37,7 +37,7 @@ object ExportToFile {
       throw new IllegalArgumentException(s"cannot determine filetype for ${output.path}"))
     val conf = spark.sparkContext.hadoopConfiguration
     val outPath = new Path(output.path)
-    val fs = outPath.getFileSystem(conf)
+    val fs = graft.sources.Locations.fileSystemFor(conf, outPath)
 
     ifExists match {
       case IfExists.Exception if fs.exists(outPath) =>

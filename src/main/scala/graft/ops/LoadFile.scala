@@ -46,14 +46,9 @@ object LoadFile {
     * output_table is given).
     */
   def toDataFrame(spark: SparkSession, file: File, opts: LoadOptions = LoadOptions()): DataFrame = {
-    // The one remaining unsupported remote scheme fails fast with the
-    // reason (GDrive needs real Google API credentials).
-    val lower = file.path.toLowerCase
-    if (lower.startsWith("gdrive://"))
-      throw new UnsupportedOperationException(
-        "gdrive:// locations are not supported in this build " +
-          "(reference parity gap: needs Google API credentials); " +
-          "stage the file to local/s3a/gs/http(s)/ftp/sftp instead")
+    // Unsupported locations fail fast with a typed, actionable error
+    // (gdrive://, or any scheme with no registered FileSystem).
+    graft.sources.Locations.requireSupported(file.path)
     // HTTP(S)/FTP/SFTP locations (reference files/locations/{http,ftp,sftp}
     // .py): driver-side staged fetch, then the normal distributed read over
     // the local copy.
@@ -159,14 +154,14 @@ object LoadFile {
     if (!file.isPattern) return file.path
     if (file.path.exists("*?[{".contains(_))) return file.path
     val p  = new Path(file.path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.sources.Locations.fileSystemFor(spark.sparkContext.hadoopConfiguration, p)
     if (fs.exists(p) && fs.getFileStatus(p).isDirectory) file.path
     else file.path + "*"
   }
 
   private def firstFileType(spark: SparkSession, path: String): Option[FileType] = {
     val p   = new Path(path)
-    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs  = graft.sources.Locations.fileSystemFor(spark.sparkContext.hadoopConfiguration, p)
     val hit = Option(fs.globStatus(p)).getOrElse(Array.empty).flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory) else Array(st)
     }.map(_.getPath.getName).flatMap(FileType.fromPath)
@@ -210,7 +205,7 @@ object GetFileList {
     if (graft.sources.Sftp.isSftpUrl(pathPattern))
       return graft.sources.Sftp.list(pathPattern)
     val p  = new Path(pathPattern)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.sources.Locations.fileSystemFor(spark.sparkContext.hadoopConfiguration, p)
     val glob =
       if (pathPattern.exists("*?[{".contains(_))) p
       else if (fs.exists(p) && fs.getFileStatus(p).isDirectory) new Path(pathPattern.stripSuffix("/") + "/*")

@@ -159,6 +159,22 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(winnow(3L) == exact(3L))
   }
 
+  test("production dial candidate volume: winnowed keys a small fraction of every-window keys") {
+    // the q92/q93 rationale made measurable: on the real documents fixture,
+    // the winnowWindow=4 dial must emit ~2/(w+1) ≈ 40% of the verification
+    // dial's exploded window keys (winnowing's expected density) — that
+    // ratio IS the 100 TB candidate-volume saving
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.functions.NativeFunctions
+    val every = docs.select(sum(size(NativeFunctions.windowHashes64(col("text"), 40))))
+      .first().getLong(0)
+    val winnowed = docs.select(sum(size(NativeFunctions.winnowFingerprints(col("text"), 40, 4))))
+      .first().getLong(0)
+    assert(every > 0 && winnowed > 0)
+    val ratio = winnowed.toDouble / every
+    assert(ratio < 0.5, f"winnowed/every = $ratio%.3f — production dial isn't thinning candidates")
+  }
+
   test("contaminatedThreshold applies both the count and fraction dials") {
     val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
