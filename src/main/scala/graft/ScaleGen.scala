@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   *    while cross-replica cosine decorrelates.
   *  - events: ids/users offset per replica; timestamps unchanged (the
   *    event-time distribution is the workload shape; 10× density per window
-  *    is what a 10× corpus means). ts is read with nanosAsLong and written
-  *    back as INT64 nanos, which every consumer already handles.
+  *    is what a 10× corpus means). ts passes through in whatever physical
+  *    type the fixture carries (INT64 nanos under the legacy conf below, or
+  *    timestamp[us] from newer generations) — every consumer dispatches on
+  *    the type it reads (SparkEntry.epochSec/epochMicros).
   *
   * Usage: runMain graft.ScaleGen [replicas] [srcDir] [outDir]
   */

@@ -1341,6 +1341,35 @@ object SparkEntry {
     "q93_remove_substrings_prod" -> ((s, dir) =>
       Dedup.removeSharedSubstrings(tbl(s, dir, "documents"), "doc_id", "text",
         minLen = 40, winnowWindow = 4)),
+
+    // ---- round 7: REAL audio codec (javax.sound.sampled) ----
+
+    // REAL WAV header decode with a full oracle: payloads are deterministic
+    // square-wave WAVs rendered from row data (synthSquareWavs), so the
+    // decoded header is a pure function of doc_id
+    "q94_audio_meta" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val wavs = graft.multimodal.Multimodal.synthSquareWavs(d,
+        period = col("doc_id") % 9 + 2, frames = col("doc_id") % 500 + 100)
+      graft.multimodal.Multimodal.decodeAudioMeta(wavs, "wav_bytes")
+        .select(col("doc_id"),
+          col("meta.sample_rate").cast("long").as("sample_rate"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.bits").cast("long").as("bits"),
+          col("meta.frames").as("frames"), col("meta.format"))
+    }),
+
+    // REAL PCM decode + signal features with a full oracle: the square
+    // wave's rms is exactly 0.5 (amplitude 16384/32768) and its strict
+    // sign-change count is floor((frames-1)/period) — both closed-form
+    "q95_audio_features" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val wavs = graft.multimodal.Multimodal.synthSquareWavs(d,
+        period = col("doc_id") % 9 + 2, frames = col("doc_id") % 500 + 100)
+      graft.multimodal.Multimodal.audioFeatures(wavs, "wav_bytes")
+        .select(col("doc_id"), round(col("audio.rms"), 6).as("rms"),
+          col("audio.zero_crossings"), col("audio.frames"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2138,5 +2167,19 @@ object SparkEntry {
     "q91_image_resize" ->
       """SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
         |CAST(1 AS BIGINT) AS channels, 'png' AS format FROM documents""".stripMargin,
+
+    // synthSquareWavs writes 16-bit mono 8 kHz WAV with doc_id%500+100
+    // frames; the REAL javax.sound header decode must read exactly that back
+    "q94_audio_meta" ->
+      """SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |CAST(16 AS BIGINT) AS bits, doc_id % 500 + 100 AS frames, 'wav' AS format
+        |FROM documents""".stripMargin,
+
+    // square wave closed forms: rms = 16384/32768 = 0.5 exactly;
+    // strict sign-change count = floor((frames-1)/period)
+    "q95_audio_features" ->
+      """SELECT doc_id, CAST(0.5 AS DOUBLE) AS rms,
+        |(doc_id % 500 + 100 - 1) // (doc_id % 9 + 2) AS zero_crossings,
+        |doc_id % 500 + 100 AS frames FROM documents""".stripMargin,
   )
 }

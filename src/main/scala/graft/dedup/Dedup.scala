@@ -215,10 +215,14 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min("label").as("nmin"))
+      // LAZY checkpoint + count-as-materializer: the convergence count is
+      // the first action on the checkpointed plan, so one job per round
+      // both truncates the lineage and measures progress (an eager
+      // localCheckpoint would pay a second, pure-materialization job).
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("newLabel"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = updated.filter(col("newLabel") < col("label")).count()
       labels = updated.select(col("id"), col("newLabel").as("label"))
       i += 1

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   * standard perceptual near-dup hash. Payloads no installed reader claims
   * fall back to the original deterministic `STUB` functions (documented per
   * method) — that keeps the metadata columns total and the text-payload
-  * fixture oracles SQL-expressible. AUDIO/VIDEO feature extraction and
-  * frame sampling remain stubs (no codec in the JVM); their batching,
-  * schema, and partition-sizing plumbing is the real contract.
+  * fixture oracles SQL-expressible. AUDIO is REAL as well ([[AudioCodec]],
+  * on the JDK's javax.sound.sampled — WAV/AIFF/AU): [[decodeAudioMeta]]
+  * and [[audioFeatures]] run actual header/PCM decode. VIDEO frame
+  * sampling and the generic model-embedding [[extractFeatures]] remain
+  * stubs (no video codec / NN runtime in the JVM); their batching, schema,
+  * and partition-sizing plumbing is the real contract.
   *
   * Scale notes (100 TB of media):
   *  - binary payloads dominate row size; [[repartitionForPayload]] sizes
@@ -153,6 +156,92 @@ object Multimodal {
         val d    = row.getInt(n + 3)
         val out  = if (d == 0) base else ImageCodec.brighten(base, d).get
         Row.fromSeq(row.toSeq.take(n) :+ out)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Typed metadata for an audio payload. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+  ))
+
+  /** REAL audio header decode ([[AudioCodec.decodeMeta]] — RIFF/AIFF
+    * preamble only, no PCM touch), batched per partition. Payloads no
+    * installed reader claims yield a null struct — audio has no legacy
+    * stub to stay compatible with, so honesty wins over totality.
+    */
+  def decodeAudioMeta(
+      df: DataFrame,
+      bytesCol: String,
+      metaCol: String = "meta",
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(metaCol, audioMetaSchema, nullable = true)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val meta = AudioCodec.decodeMeta(row.getAs[Array[Byte]](idx))
+          .map { case (sr, ch, bits, fr, fmt) => Row(sr, ch, bits, fr, fmt) }
+          .orNull
+        Row.fromSeq(row.toSeq :+ meta)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic signal features from a REAL PCM decode: struct(rms,
+    * zero_crossings, frames) — the audio-curation primitives (level
+    * gating, silence/tone detection). Null struct for undecodable bytes.
+    */
+  def audioFeatures(
+      df: DataFrame,
+      bytesCol: String,
+      featCol: String = "audio",
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("rms", DoubleType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("frames", LongType, nullable = false),
+    ))
+    val outSchema = df.schema.add(featCol, schema, nullable = true)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val feats = AudioCodec.decodeSamplesMono(row.getAs[Array[Byte]](idx)).map { s =>
+          Row(AudioCodec.rms(s), AudioCodec.zeroCrossings(s), s.length.toLong)
+        }.orNull
+        Row.fromSeq(row.toSeq :+ feats)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic square-wave WAV payload per row
+    * ([[AudioCodec.renderSquareWav]] of row-derived period/frames) — the
+    * audio-fixture generator: real encoded WAVs whose decoded metadata and
+    * features are closed-form in the driving columns, so DuckDB oracle SQL
+    * can predict them. NOT part of the production surface.
+    */
+  def synthSquareWavs(
+      df: DataFrame,
+      period: org.apache.spark.sql.Column,
+      frames: org.apache.spark.sql.Column,
+      outCol: String = "wav_bytes",
+      sampleRate: Int = 8000,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val tagged = df
+      .withColumn("__p", period.cast(IntegerType))
+      .withColumn("__f", frames.cast(IntegerType))
+    val n         = df.schema.size
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    tagged.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val wav = AudioCodec.renderSquareWav(row.getInt(n), row.getInt(n + 1), sampleRate)
+        Row.fromSeq(row.toSeq.take(n) :+ wav)
       })
     }(Encoders.row(outSchema))
   }

@@ -247,12 +247,18 @@ object TableIO {
   // don't expose that window; a Spark-catalog-native engine needs its own
   // indirection. The pattern here: the PUBLISHED name is a catalog VIEW over
   // a generation-numbered physical table (`name__gen<N>`). A rewrite writes
-  // `__gen<N+1>` and flips the view in ONE `CREATE OR REPLACE VIEW`
-  // statement — a single synchronized catalog mutation, so any reader
-  // resolves old-or-new, never absent. Old generations are reclaimed AFTER
-  // the flip; `keepGenerations` ≥ 2 leaves the previous generation's files
-  // on disk through the flip so a reader that resolved just before it can
-  // still finish its scan (the snapshot-retention idea, minus the log).
+  // `__gen<N+1>` and flips the view with `ALTER VIEW ... AS` — which runs as
+  // ONE `SessionCatalog.alterTable` (verified against Spark 4.1's
+  // AlterViewAsCommand bytecode), a single synchronized catalog mutation,
+  // so any reader resolves old-or-new, never absent. `CREATE OR REPLACE
+  // VIEW` is NOT equivalent: Spark implements its replace path as dropTable
+  // + createTable, an absence window a loaded racing reader really hits
+  // (caught by AtomicSwapSpec under full-suite load). CREATE is used only
+  // for the first publish, when no reader can know the name yet. Old
+  // generations are reclaimed AFTER the flip; `keepGenerations` ≥ 2 leaves
+  // the previous generation's files on disk through the flip so a reader
+  // that resolved just before it can still finish its scan (the
+  // snapshot-retention idea, minus the log).
 
   private val GenSuffix = "__gen"
 
@@ -311,8 +317,13 @@ object TableIO {
       // name frees up for the view; this rename + view-create pair is the
       // single non-atomic window, paid only at adoption
       spark.sql(s"ALTER TABLE ${table.qualifiedName} RENAME TO ${genTable(table, oldSlot).qualifiedName}")
-    spark.sql(
-      s"CREATE OR REPLACE VIEW ${table.qualifiedName} AS SELECT * FROM ${gen.qualifiedName}")
+    // ALTER VIEW AS = one catalog.alterTable (atomic); CREATE OR REPLACE
+    // VIEW would drop-then-create and expose an absence window (see the
+    // section comment above)
+    if (cat.tableExists(ident) && !migrating)
+      spark.sql(s"ALTER VIEW ${table.qualifiedName} AS SELECT * FROM ${gen.qualifiedName}")
+    else
+      spark.sql(s"CREATE VIEW ${table.qualifiedName} AS SELECT * FROM ${gen.qualifiedName}")
     // reclaim: everything except the newest `keepGenerations` generations
     generations(spark, table).dropRight(keepGenerations)
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${genTable(table, n).qualifiedName}"))
