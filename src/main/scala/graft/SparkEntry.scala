@@ -1370,6 +1370,24 @@ object SparkEntry {
         .select(col("doc_id"), round(col("audio.rms"), 6).as("rms"),
           col("audio.zero_crossings"), col("audio.frames"))
     }),
+
+    // REAL multi-frame sampling with a full oracle: animated GIFs (the one
+    // multi-frame container the JVM decodes) with doc_id%7+2 frames; the
+    // sampler keeps min(4, n) evenly-spaced frames, each re-encoded PNG
+    // whose decoded header is constant — sampled count AND per-frame
+    // dimensions are closed-form in doc_id
+    "q96_video_frames" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val gifs = graft.multimodal.Multimodal.synthAnimatedGifs(d,
+        seed = col("doc_id"), nFrames = col("doc_id") % 7 + 2, width = 20, height = 10)
+      val sampled = graft.multimodal.Multimodal.sampleGifFrames(gifs, "gif_bytes", "frames", frames = 4)
+      val ex = sampled.select(col("doc_id"),
+        posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      graft.multimodal.Multimodal.decodeImageMeta(ex, "frame")
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"), col("meta.format"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2181,5 +2199,12 @@ object SparkEntry {
       """SELECT doc_id, CAST(0.5 AS DOUBLE) AS rms,
         |(doc_id % 500 + 100 - 1) // (doc_id % 9 + 2) AS zero_crossings,
         |doc_id % 500 + 100 AS frames FROM documents""".stripMargin,
+
+    // min(4, doc_id%7+2) sampled frames per doc, each decoding as a
+    // 20×10 gray PNG
+    "q96_video_frames" ->
+      """SELECT doc_id, unnest(generate_series(0, least(4, doc_id % 7 + 2) - 1)) AS frame_idx,
+        |CAST(20 AS BIGINT) AS width, CAST(10 AS BIGINT) AS height, 'png' AS format
+        |FROM documents""".stripMargin,
   )
 }

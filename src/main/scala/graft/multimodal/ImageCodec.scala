@@ -119,6 +119,48 @@ object ImageCodec {
       encode(dst, format)
     }
 
+  /** Decode every frame of a (possibly animated) GIF — the JDK GIF reader
+    * exposes frames as image indices, making GIF the one multi-frame
+    * container the JVM decodes natively. Frames are returned as the reader
+    * renders them (the fixtures here write full frames; partial-disposal
+    * compositing is out of scope). None for non-GIF payloads.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Vector[BufferedImage]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        if (!r.getFormatName.equalsIgnoreCase("gif")) return None
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        Some((0 until n).map(r.read(_)).toVector)
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** Encode frames as an animated GIF (`writeToSequence`). Grayscale frames
+    * quantize losslessly (the GIF palette holds 256 grays).
+    */
+  def encodeAnimatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Deterministic grayscale box-filter downsample to exactly (w, h),
     * implemented by hand (not Graphics2D) so the result is bit-stable
     * across JVMs — the substrate for [[dHash64]]. Grayscale conversion is

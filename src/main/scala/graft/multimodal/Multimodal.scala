@@ -309,6 +309,68 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL frame sampling for multi-frame GIF payloads: decode all frames
+    * ([[ImageCodec.decodeGifFrames]]), keep `frames` evenly spaced ones
+    * (all of them when the clip is shorter), re-encode each as PNG. Null
+    * for payloads that aren't GIFs — the honest analog of a video keyframe
+    * sampler, on the one multi-frame container the JVM decodes natively.
+    * The byte-slicing [[sampleFrames]] stub remains the plumbing contract
+    * for containers with no JVM codec (mp4 et al.).
+    */
+  def sampleGifFrames(
+      df: DataFrame,
+      bytesCol: String,
+      outCol: String = "frames",
+      frames: Int = 4,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(BinaryType, containsNull = false), nullable = true)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val sampled = ImageCodec.decodeGifFrames(row.getAs[Array[Byte]](idx)).map { all =>
+          val n = all.length
+          val picks =
+            if (n <= frames) all.indices
+            else (0 until frames).map(f => f * n / frames)
+          picks.map(i => ImageCodec.encodePng(all(i)))
+        }.orNull
+        Row.fromSeq(row.toSeq :+ sampled)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic animated-GIF payload per row: `nFrames` gray frames of
+    * (width, height), frame i rendered from seed+i — the video-fixture
+    * generator (same contract as [[synthGrayImages]]/[[synthSquareWavs]]).
+    * NOT part of the production surface.
+    */
+  def synthAnimatedGifs(
+      df: DataFrame,
+      seed: org.apache.spark.sql.Column,
+      nFrames: org.apache.spark.sql.Column,
+      width: Int,
+      height: Int,
+      outCol: String = "gif_bytes",
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val tagged = df
+      .withColumn("__seed", seed.cast(LongType))
+      .withColumn("__n", nFrames.cast(IntegerType))
+    val n         = df.schema.size
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    tagged.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val s  = row.getLong(n)
+        val nf = row.getInt(n + 1)
+        val fs = (0 until nf).map { i =>
+          ImageCodec.decode(ImageCodec.renderGrayPng(s + i, width, height)).get
+        }
+        Row.fromSeq(row.toSeq.take(n) :+ ImageCodec.encodeAnimatedGif(fs))
+      })
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame-sampling: "video" payload → `frames` evenly-spaced frame
     * payloads (`array<binary>`). STUB — slices the byte stream; a real impl
     * seeks keyframes per batch.

@@ -114,6 +114,38 @@ class ImageCodecSpec extends SparkSpec {
     assert(pairs === expected)
   }
 
+  test("animated GIF round trip: frame count and dimensions survive encode/decode") {
+    val frames = (0 until 5).map(i => ImageCodec.decode(ImageCodec.renderGrayPng(i.toLong, 20, 10)).get)
+    val gif = ImageCodec.encodeAnimatedGif(frames)
+    val back = ImageCodec.decodeGifFrames(gif).get
+    assert(back.length === 5)
+    assert(back.forall(f => f.getWidth == 20 && f.getHeight == 10))
+    // non-GIF payloads are None, even decodable single-frame PNGs
+    assert(ImageCodec.decodeGifFrames(ImageCodec.renderGrayPng(1L, 8, 8)) === None)
+    assert(ImageCodec.decodeGifFrames("text".getBytes("UTF-8")) === None)
+  }
+
+  test("sampleGifFrames: short clips keep all frames, long clips 4 evenly spaced; non-GIF null") {
+    import spark.implicits._
+    val shortGif = ImageCodec.encodeAnimatedGif(
+      (0 until 3).map(i => ImageCodec.decode(ImageCodec.renderGrayPng(i.toLong, 20, 10)).get))
+    val longGif = ImageCodec.encodeAnimatedGif(
+      (0 until 8).map(i => ImageCodec.decode(ImageCodec.renderGrayPng(i.toLong, 20, 10)).get))
+    val df = Seq((1L, shortGif), (2L, longGif), (3L, "nope".getBytes("UTF-8")))
+      .toDF("id", "gif_bytes")
+    val out = Multimodal.sampleGifFrames(df, "gif_bytes", "frames", frames = 4)
+      .select($"id", $"frames").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Array[Byte]](1))).toMap
+    assert(out(1L).get.length === 3)
+    assert(out(2L).get.length === 4)
+    assert(out(3L).isEmpty)
+    // every sampled frame re-encodes as a decodable 20x10 PNG
+    out(2L).get.foreach { png =>
+      val m = ImageCodec.decodeMeta(png).get
+      assert((m._1, m._2, m._4) === ((20, 10, "png")))
+    }
+  }
+
   test("synthGrayImages renders per-row deterministic payloads (q89's fixture contract)") {
     import spark.implicits._
     val df = Seq(3L, 20L).toDF("doc_id")
