@@ -1388,6 +1388,15 @@ object SparkEntry {
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"), col("meta.format"))
     }),
+
+    // CCNet-style LM quality scoring: add-one bigram model trained on the
+    // doc_id%3!=0 split, every doc scored against it — held-out docs
+    // exercise the unseen-bigram path. Counts are exact integers; the
+    // single log2 rounds at 3 decimals on both engines.
+    "q97_lm_score" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      LangModel.scoreBigram(d.filter(col("doc_id") % 3 =!= 0), d, "doc_id", "text")
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2206,5 +2215,32 @@ object SparkEntry {
       """SELECT doc_id, unnest(generate_series(0, least(4, doc_id % 7 + 2) - 1)) AS frame_idx,
         |CAST(20 AS BIGINT) AS width, CAST(10 AS BIGINT) AS height, 'png' AS format
         |FROM documents""".stripMargin,
+
+    // mirrors LangModel.scoreBigram: same tokenization as q86, parallel
+    // list-slice unnest for bigrams, add-one smoothing (c12+1)/(c1+V),
+    // -mean log2 rounded at 3
+    "q97_lm_score" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |tr AS (SELECT toks FROM d WHERE doc_id % 3 <> 0),
+        |u AS (SELECT unnest(toks) AS w FROM tr),
+        |c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |tb AS (SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM tr WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2),
+        |db AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM d WHERE len(toks) >= 2),
+        |sc AS (SELECT db.doc_id, db.n_tokens, count(*) AS n_bigrams,
+        |  sum(CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+        |  sum(-log2((coalesce(c12.c12, 0) + 1)::DOUBLE / (coalesce(c1.c1, 0) + (SELECT v FROM v))::DOUBLE)) AS bits
+        |  FROM db LEFT JOIN c1 ON db.w1 = c1.w
+        |  LEFT JOIN c12 ON db.w1 = c12.w1 AND db.w2 = c12.w2
+        |  GROUP BY db.doc_id, db.n_tokens)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
+        |  round(coalesce(sc.bits / sc.n_bigrams, 0.0), 3) AS bits_per_bigram
+        |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin,
   )
 }

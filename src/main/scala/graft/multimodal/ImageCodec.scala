@@ -8,12 +8,13 @@ import javax.imageio.stream.MemoryCacheImageInputStream
 
 /** REAL image codec on the JDK's `javax.imageio` (java.desktop module —
   * PNG/JPEG/GIF/BMP/TIFF/WBMP readers and writers ship with the JVM, no
-  * external codec libraries needed). This replaces the round-3 deterministic
-  * decode stub ([[Multimodal.stubDecode]], kept for its contract tests) with
-  * actual byte→pixel decoding, so the multimodal column pipeline is now real
-  * end to end: reference scope is file ingestion (astro-sdk
-  * `files/types/image` does not exist — media columns are beyond-reference
-  * builder's-brief scope).
+  * external codec libraries needed). [[Multimodal.decodeImageMeta]],
+  * [[Multimodal.resizeTo]], [[Multimodal.imageDHash]] and
+  * [[Multimodal.sampleGifFrames]] run on it; the round-3 deterministic
+  * decode stub ([[Multimodal.stubDecode]]) survives only as the fallback
+  * for payloads no installed reader claims. Reference scope note: astro-sdk
+  * has no image file type — media columns are beyond-reference
+  * builder's-brief scope.
   *
   * Scale notes:
   *  - [[decodeMeta]] reads ONLY the header: `ImageReader.getWidth/getHeight`

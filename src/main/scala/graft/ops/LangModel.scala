@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring for corpus quality filtering — the
+  * CCNet-style "perplexity against a reference corpus" primitive (Wenzek
+  * et al. 2020, arXiv:1911.00359: docs whose LM score is an outlier are
+  * machine-generated/boilerplate/low-quality candidates). Beyond-reference
+  * scope: training-data curation (cf. SURVEY.md §2 LLM-pipeline addenda).
+  *
+  * Model: add-one-smoothed bigram LM, P(w2|w1) = (c(w1,w2) + 1) /
+  * (c(w1) + V), trained on `train`'s whitespace tokens (the engine-wide
+  * tokenization rule, [[graft.functions.TextFunctions.tokens]]). Scores are
+  * bits per bigram: -mean log2 P. Everything upstream of the single log2
+  * is exact-integer, so the DuckDB oracle reproduces the counts
+  * bit-for-bit and the score to rounding.
+  *
+  * Scale shape (100 TB corpus, reference-corpus training):
+  *  - training is two map-side-partial count aggregations (the TermStats
+  *    shape) — the model is (token, c) + (bigram, c) tables, NOT driver
+  *    state; natural-language vocabularies keep both far below corpus
+  *    size, and the score join shuffles by bigram key only (16-byte rows),
+  *    never the document text.
+  *  - scoring joins are left joins on (w1) and (w1, w2) — Spark broadcasts
+  *    them when the model is small (the common case for a reference LM)
+  *    and falls back to shuffle joins when it isn't; either way the plan
+  *    is two equi-joins + one per-doc aggregate.
+  *  - unseen bigrams are *counted* (`n_unseen`) as well as smoothed into
+  *    the score: the OOV rate is itself a standard quality signal.
+  */
+object LangModel {
+
+  private def bigrams(toks: org.apache.spark.sql.Column) =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Score `docs` against a bigram LM trained on `train` (pass the same
+    * DataFrame to self-score a corpus for outlier filtering). Output:
+    * `(idCol, n_tokens, n_bigrams, n_unseen, bits_per_bigram)` — counts
+    * exact integers, `bits_per_bigram` = -mean log2 P rounded to
+    * `roundTo`, 0.0 for docs with no bigram.
+    */
+  def scoreBigram(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      roundTo: Int = 3,
+  ): DataFrame = {
+    val trainToks = train.select(
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("w"))
+    val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // one small job; V is a scalar in the formula
+    val bi = train.select(
+        explode(bigrams(graft.functions.TextFunctions.tokens(lower(col(textCol))))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+
+    val docToks = docs.select(col(idCol),
+      graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    val counts = docToks.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+      col("toks"))
+    val docBi = counts.select(col(idCol), col("n_tokens"),
+        explode_outer(bigrams(col("toks"))).as("b"))
+      .select(col(idCol), col("n_tokens"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val scored = docBi
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .withColumn("__p",
+        (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocab).cast("double"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(
+        count(col("w1")).as("n_bigrams"),
+        sum(when(col("w1").isNotNull && col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(when(col("w1").isNotNull, -log2(col("__p")))).as("__bits"))
+      .select(col(idCol), col("n_tokens"), col("n_bigrams"), col("n_unseen"),
+        round(coalesce(col("__bits") / col("n_bigrams"), lit(0.0)), roundTo)
+          .as("bits_per_bigram"))
+    scored
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.LangModel
+import org.apache.spark.sql.functions._
+
+/** Hand-computed add-one bigram LM scores (q97's machinery). */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("self-scored corpus: hand-computed counts and bits") {
+    // corpus: c1 = {a:3, b:2, c:1}, V=3; c12 = {(a,b):2, (b,a):1, (b,c):1}
+    val d = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = LangModel.scoreBigram(d, d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc1: P(b|a)=(2+1)/(3+3)=.5 -> 1 bit; P(a|b)=(1+1)/(2+3)=.4 -> 1.32193
+    assert(out(0) === ((1L, 3L, 2L, 0L, BigDecimal((1.0 + 1.3219280948873622) / 2)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // doc2: P(b|a)=.5 -> 1; P(c|b)=(1+1)/(2+3)=.4 -> 1.32193
+    assert(out(1)._5 === out(0)._5)
+  }
+
+  test("held-out doc: unseen bigrams counted and smoothed, not dropped") {
+    val train = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val docs  = Seq((3L, "c c c")).toDF("doc_id", "text")
+    val out = LangModel.scoreBigram(train, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // both (c,c) bigrams unseen: P=(0+1)/(1+3)=.25 -> 2 bits each
+    assert(out.head === ((3L, 3L, 2L, 2L, 2.0)))
+  }
+
+  test("degenerate docs: empty and one-token score 0 with zero bigrams") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val docs  = Seq((4L, "a"), (5L, "   ")).toDF("doc_id", "text")
+    val out = LangModel.scoreBigram(train, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((4L, 1L, 0L, 0L, 0.0)))
+    assert(out(1)._3 === 0L)
+    assert(out(1)._5 === 0.0)
+  }
+
+  test("OOV first token: unigram count 0 still smooths via vocab size") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val docs  = Seq((6L, "z a")).toDF("doc_id", "text")
+    // (z,a): c12=0, c1(z)=0, V=2 -> P=1/2 -> 1 bit, unseen=1
+    val out = LangModel.scoreBigram(train, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.head === ((6L, 2L, 1L, 1L, 1.0)))
+  }
+}
