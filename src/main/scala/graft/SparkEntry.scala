@@ -1397,6 +1397,13 @@ object SparkEntry {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       LangModel.scoreBigram(d.filter(col("doc_id") % 3 =!= 0), d, "doc_id", "text")
     }),
+
+    // Gopher quality-rule battery (Rae et al. 2021 Appendix A): the full
+    // published heuristic set as one codegen'd projection, with every rule
+    // value surfaced (not just the verdict) — the curation-pipeline
+    // pre-filter that runs at scan speed
+    "q98_quality_rules" -> ((s, dir) =>
+      QualityRules.gopherFlags(tbl(s, dir, "documents"), "doc_id", "text")),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2242,5 +2249,39 @@ object SparkEntry {
         |  CAST(coalesce(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
         |  round(coalesce(sc.bits / sc.n_bigrams, 0.0), 3) AS bits_per_bigram
         |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // mirrors QualityRules.gopherFlags rule by rule (same splits, same
+    // non-overlapping replace-count for '...', same rounded values feeding
+    // the verdict)
+    "q98_quality_rules" ->
+      """WITH w AS (SELECT doc_id, text, trim(text) AS t,
+        |  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+        |  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS lwords,
+        |  list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  round(CASE WHEN len(words) = 0 THEN 0.0
+        |    ELSE coalesce(list_sum(list_transform(words, x -> length(x))), 0)::DOUBLE / len(words) END, 4) AS mean_word_len,
+        |  round(CASE WHEN len(words) = 0 THEN 0.0 ELSE (
+        |    (length(t) - length(replace(t, '#', ''))) +
+        |    (length(t) - length(replace(t, '...', ''))) / 3 +
+        |    (length(t) - length(replace(t, '…', '')))
+        |  )::DOUBLE / len(words) END, 4) AS symbol_ratio,
+        |  round(len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '*%' OR l LIKE '-%'))::DOUBLE
+        |    / len(lines), 4) AS bullet_line_frac,
+        |  round(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE
+        |    / len(lines), 4) AS ellipsis_line_frac,
+        |  round(CASE WHEN len(words) = 0 THEN 0.0
+        |    ELSE len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words) END, 4) AS alpha_word_frac,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    s -> list_contains(lwords, s))) AS BIGINT) AS n_required_stopwords
+        |  FROM w)
+        |SELECT *, (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        |  AND alpha_word_frac >= 0.8 AND n_required_stopwords >= 2) AS passes
+        |FROM r""".stripMargin,
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.QualityRules
+
+/** Gopher rule battery on crafted documents (q98's machinery). */
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flags(rows: (Long, String)*): Map[Long, org.apache.spark.sql.Row] =
+    QualityRules.gopherFlags(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("a clean long doc passes; word/char counts are exact") {
+    val text = Seq.fill(10)(Seq("the", "cat", "sat", "with", "all", "of", "them")).flatten.mkString(" ")
+    val r = flags(1L -> text)(1L)
+    assert(r.getLong(1) === 70L)                 // n_words
+    assert(r.getDouble(2) === 3.1429)            // mean_word_len: 22 chars / 7 words
+    assert(r.getDouble(3) === 0.0)               // symbol_ratio
+    assert(r.getLong(7) === 3L)                  // the, of, with
+    assert(r.getBoolean(8) === true)             // passes
+  }
+
+  test("bullet and ellipsis line fractions count trimmed lines") {
+    val text = Seq("• item one", "* item two", "normal line", "trailing dots...").mkString("\n")
+    val r = flags(2L -> text)(2L)
+    assert(r.getDouble(4) === 0.5)   // 2 of 4 bullet
+    assert(r.getDouble(5) === 0.25)  // 1 of 4 ellipsis
+  }
+
+  test("symbol ratio counts '#' and non-overlapping '...' per word") {
+    val r = flags(3L -> "a# b c... d e f g h i j")(3L)
+    // 1 '#' + 1 '...' over 10 words = 0.2
+    assert(r.getDouble(3) === 0.2)
+    assert(r.getBoolean(8) === false) // fails maxSymbolRatio
+  }
+
+  test("alpha word fraction and numeric soup") {
+    val r = flags(4L -> "12 34 56 ab 78")(4L)
+    assert(r.getDouble(6) === 0.2) // 1 of 5 words has a letter
+    assert(r.getBoolean(8) === false)
+  }
+
+  test("empty and whitespace-only docs fail with zeroed stats") {
+    for ((id, t) <- Seq(5L -> "", 6L -> "   ")) {
+      val r = flags(id -> t)(id)
+      assert(r.getLong(1) === 0L)
+      assert(r.getDouble(2) === 0.0)
+      assert(r.getBoolean(8) === false)
+    }
+  }
+}
