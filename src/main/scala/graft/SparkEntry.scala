@@ -1404,6 +1404,12 @@ object SparkEntry {
     // pre-filter that runs at scan speed
     "q98_quality_rules" -> ((s, dir) =>
       QualityRules.gopherFlags(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // Gopher repetition battery (A1.2): duplicate-line fractions + top
+    // n-gram char fractions, n-gram stats via distributed (doc, gram)
+    // aggregation — never a per-row quadratic pass
+    "q99_repetition_rules" -> ((s, dir) =>
+      Repetition.gopherRepetition(tbl(s, dir, "documents"), "doc_id", "text")),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2283,5 +2289,47 @@ object SparkEntry {
         |  AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
         |  AND alpha_word_frac >= 0.8 AND n_required_stopwords >= 2) AS passes
         |FROM r""".stripMargin,
+
+    // mirrors Repetition.gopherRepetition: same line split, same q12-style
+    // normalized word n-grams, top gram ties to the smallest gram
+    "q99_repetition_rules" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |  list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines FROM documents),
+        |base AS (SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  round(len(list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1))::DOUBLE
+        |    / len(lines), 4) AS dup_line_frac,
+        |  round(CASE WHEN list_sum(list_transform(lines, l -> length(l))) = 0 THEN 0.0
+        |    ELSE coalesce(list_sum(list_transform(
+        |      list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1),
+        |      l -> length(l))), 0)::DOUBLE
+        |      / list_sum(list_transform(lines, l -> length(l))) END, 4) AS dup_line_char_frac,
+        |  length(array_to_string(toks, ' ')) AS chars, toks FROM d),
+        |g2 AS (SELECT doc_id, chars, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1])) AS gram FROM base WHERE len(toks) >= 2),
+        |t2 AS (SELECT doc_id, round(count(*) * length(gram)::DOUBLE / chars, 4) AS top2gram_frac
+        |  FROM g2 GROUP BY doc_id, chars, gram
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) = 1),
+        |g3 AS (SELECT doc_id, chars, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram FROM base WHERE len(toks) >= 3),
+        |t3 AS (SELECT doc_id, round(count(*) * length(gram)::DOUBLE / chars, 4) AS top3gram_frac
+        |  FROM g3 GROUP BY doc_id, chars, gram
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) = 1),
+        |g4 AS (SELECT doc_id, chars, unnest(list_transform(generate_series(1, len(toks) - 3),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+        |  FROM base WHERE len(toks) >= 4),
+        |t4 AS (SELECT doc_id, round(count(*) * length(gram)::DOUBLE / chars, 4) AS top4gram_frac
+        |  FROM g4 GROUP BY doc_id, chars, gram
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) = 1)
+        |SELECT b.doc_id, b.n_lines, b.dup_line_frac, b.dup_line_char_frac,
+        |  coalesce(t2.top2gram_frac, 0.0) AS top2gram_frac,
+        |  coalesce(t3.top3gram_frac, 0.0) AS top3gram_frac,
+        |  coalesce(t4.top4gram_frac, 0.0) AS top4gram_frac,
+        |  (b.dup_line_frac <= 0.30 AND b.dup_line_char_frac <= 0.20
+        |   AND coalesce(t2.top2gram_frac, 0.0) <= 0.20
+        |   AND coalesce(t3.top3gram_frac, 0.0) <= 0.18
+        |   AND coalesce(t4.top4gram_frac, 0.0) <= 0.16) AS passes
+        |FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |LEFT JOIN t4 USING (doc_id)""".stripMargin,
   )
 }
