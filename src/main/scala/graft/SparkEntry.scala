@@ -1410,6 +1410,20 @@ object SparkEntry {
     // aggregation — never a per-row quadratic pass
     "q99_repetition_rules" -> ((s, dir) =>
       Repetition.gopherRepetition(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // transitive perceptual image dedup: q90's twin groups collapse onto
+    // their min-id member via dHash pairs + connected components — the
+    // survivor set is closed-form (min doc_id per doc_id%40 base group)
+    "q100_image_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val imgs = graft.multimodal.Multimodal.synthGrayImages(d,
+        seed = col("doc_id") % 40, width = lit(32), height = lit(24),
+        brightenDelta = (col("doc_id") % 3) * 10)
+      val hashed = graft.multimodal.Multimodal.imageDHash(imgs, "img_bytes")
+      Dedup.dedupHash64Transitive(hashed, "doc_id", "dhash",
+          maxHamming = 4, maxBucketSize = 100000)
+        .select(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2331,5 +2345,11 @@ object SparkEntry {
         |   AND coalesce(t4.top4gram_frac, 0.0) <= 0.16) AS passes
         |FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
         |LEFT JOIN t4 USING (doc_id)""".stripMargin,
+
+    // every doc belongs to its doc_id%40 base group; the min id survives
+    "q100_image_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id = (SELECT min(b.doc_id) FROM documents b
+        |  WHERE b.doc_id % 40 = documents.doc_id % 40)""".stripMargin,
   )
 }

@@ -626,6 +626,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Transitive dedup over ANY 64-bit hash column: [[nearDupPairsHash64]]
+    * candidates → connected components → min-id survivor per component —
+    * the perceptual-image analog of [[dedupNearTransitive]] (feed
+    * [[graft.multimodal.Multimodal.imageDHash]] output; also applies to
+    * SimHash). Rows whose hash is null (undecodable payloads) always
+    * survive — they belong to no component.
+    */
+  def dedupHash64Transitive(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      maxIter: Int = 20,
+  ): DataFrame = {
+    val pairs = nearDupPairsHash64(df, idCol, hashCol, maxHamming, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val losers = connectedComponents(pairs, maxIter)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): assign each embedding to its nearest coarse
     * centroid, compare cosines ONLY within a cluster, and collapse every

@@ -146,6 +146,18 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("dedupHash64Transitive keeps one min-id survivor per twin group, nulls survive") {
+    import spark.implicits._
+    val rows = (0L until 12L).map { id =>
+      val base = ImageCodec.renderGrayPng(id % 3, 32, 24)
+      (id, if (id % 2 == 1) ImageCodec.brighten(base, 25).get else base)
+    } :+ (99L, "undecodable".getBytes("UTF-8"))
+    val hashed = Multimodal.imageDHash(rows.toDF("id", "img_bytes"), "img_bytes")
+    val survivors = Dedup.dedupHash64Transitive(hashed, "id", "dhash", maxHamming = 4)
+      .select($"id").as[Long].collect().toSet
+    assert(survivors === Set(0L, 1L, 2L, 99L)) // group minima + the null-hash row
+  }
+
   test("synthGrayImages renders per-row deterministic payloads (q89's fixture contract)") {
     import spark.implicits._
     val df = Seq(3L, 20L).toDF("doc_id")
