@@ -1424,6 +1424,44 @@ object SparkEntry {
           maxHamming = 4, maxBucketSize = 100000)
         .select(col("doc_id"))
     }),
+
+    // context-window chunking: 200-char windows at stride 150 (50 chars of
+    // overlap) — pure map-side Generate, no shuffle, text never exchanged
+    "q101_chunk_chars" -> ((s, dir) =>
+      Chunking.chunkChars(tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkSize = 200, stride = 150)),
+
+    // WET-style HTML → text extraction over a deterministically constructed
+    // html column (fixtures carry no markup; the construction is mirrored
+    // verbatim in the oracle, the EXTRACTION is the operator under test)
+    "q102_html_extract" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>"), col("source"),
+        lit("</h1><p id=\"d"), col("doc_id"), lit("\">"), col("text"),
+        lit("</p><script type=\"text/javascript\">var x = "), col("doc_id"),
+        lit(";</script><br><b>tail &amp; "), col("lang"), lit(" &lt;ok&gt;</b></body></html>"))
+      d.select(col("doc_id"),
+        graft.functions.TextFunctions.htmlToText(html).as("clean_text"))
+    }),
+
+    // dataset profiling: per-column counts/distincts/min/max/sum in ONE
+    // distributed pass (exact distincts ⇒ Expand), unpivoted via stack
+    "q103_profile" -> ((s, dir) =>
+      Profile.numeric(tbl(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_suppkey"))),
+
+    // gzip-compressed csv single-file roundtrip: extension-through-codec
+    // type detection (x.csv.gz IS a csv) + writer codec option
+    "q104_gzip_roundtrip" -> ((s, dir) => {
+      val f = File(s"$scratch/supplier_export.csv.gz")
+      ExportToFile.df(s, tbl(s, dir, "supplier"), f, IfExists.Replace,
+        singleFile = true, compression = Some("gzip"))
+      LoadFile.toDataFrame(s, f).select(
+        col("s_suppkey").cast("long").as("s_suppkey"),
+        col("s_name"),
+        col("s_nationkey").cast("long").as("s_nationkey"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2351,5 +2389,48 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE doc_id = (SELECT min(b.doc_id) FROM documents b
         |  WHERE b.doc_id % 40 = documents.doc_id % 40)""".stripMargin,
+
+    // chunk starts 0,150,300,… while start < length; greatest(len,1) keeps
+    // blank docs at exactly one (empty) chunk on both engines
+    "q101_chunk_chars" ->
+      """WITH e AS (SELECT doc_id, text,
+        |  unnest(range(0, (greatest(length(text), 1) - 1) // 150 + 1)) AS chunk_id
+        |  FROM documents)
+        |SELECT doc_id, chunk_id,
+        |  substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk
+        |FROM e""".stripMargin,
+
+    // mirrors TextImpl.htmlToText step for step (all RE2-compatible):
+    // script/style blocks, then tags, then the six entities (amp last),
+    // then [ \t\n\r\f]+ collapse + trim
+    "q102_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style></head><body><h1>' || source ||
+        |  '</h1><p id="d' || doc_id || '">' || text ||
+        |  '</p><script type="text/javascript">var x = ' || doc_id ||
+        |  ';</script><br><b>tail &amp; ' || lang || ' &lt;ok&gt;</b></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |  '[ \t\n\r\f]+', ' ', 'g')) AS clean_text
+        |FROM h""".stripMargin,
+
+    "q103_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_suppkey")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS row_cnt,
+           |CAST(count($c) AS BIGINT) AS non_null_cnt,
+           |CAST(count(*) - count($c) AS BIGINT) AS null_cnt,
+           |CAST(count(DISTINCT $c) AS BIGINT) AS distinct_cnt,
+           |CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val,
+           |round(CAST(sum($c) AS DOUBLE), 2) AS sum_val FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    "q104_gzip_roundtrip" -> "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
   )
 }

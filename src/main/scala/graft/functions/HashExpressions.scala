@@ -494,6 +494,7 @@ object NativeFunctions {
     c(CutWindowsExpr(x(text), x(positions), k))
   def wordShingles(text: Column, k: Int = 3): Column = c(WordShinglesExpr(x(text), k))
   def luhnValid(s: Column): Column = c(LuhnValidExpr(x(s)))
+  def htmlToText(html: Column): Column = c(HtmlToTextExpr(x(html)))
   def maskCreditCards(text: Column, token: String = "<CC>"): Column =
     c(MaskLuhnExpr(x(text), token))
 }

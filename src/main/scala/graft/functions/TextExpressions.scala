@@ -460,6 +460,54 @@ object TextImpl {
       UTF8String.fromString(sb.toString)
     }
   }
+
+  // --- HTML → text extraction -----------------------------------------------
+  // The pipeline is a FIXED transformation chain so a SQL oracle can mirror
+  // it step for step (every construct below is RE2-compatible: no
+  // backreferences, no lookaround):
+  //   1. drop <script…>…</script> and <style…>…</style> blocks (lazy, dotall,
+  //      case-insensitive) — an unclosed block keeps its contents, only the
+  //      tags are stripped by step 2, same as the regex chain;
+  //   2. every remaining <…> tag → one space;
+  //   3. decode the six ubiquitous entities, in this order:
+  //      &nbsp; &lt; &gt; &quot; &#39; &amp; (amp LAST, so '&amp;lt;'
+  //      decodes to '&lt;' the literal text, per the standard argument);
+  //   4. collapse [ \t\n\r\f]+ runs to one space ('\s' is avoided: Java and
+  //      RE2 disagree on \x0B membership), trim ASCII spaces.
+  private val ScriptRe = java.util.regex.Pattern.compile("(?is)<script[^>]*>.*?</script>")
+  private val StyleRe  = java.util.regex.Pattern.compile("(?is)<style[^>]*>.*?</style>")
+  private val TagRe    = java.util.regex.Pattern.compile("<[^>]*>")
+  private val WsRunRe  = java.util.regex.Pattern.compile("[ \t\n\r\f]+")
+
+  def htmlToText(u: UTF8String): UTF8String = {
+    var s = u.toString
+    s = ScriptRe.matcher(s).replaceAll(" ")
+    s = StyleRe.matcher(s).replaceAll(" ")
+    s = TagRe.matcher(s).replaceAll(" ")
+    s = s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+    s = WsRunRe.matcher(s).replaceAll(" ")
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    UTF8String.fromString(s.substring(lo, hi))
+  }
+}
+
+/** HTML → plain text as a single codegen'd tree node — see
+  * [[TextImpl.htmlToText]] for the exact (oracle-mirrorable) semantics.
+  * The WET-extraction step of a CommonCrawl-style pipeline: runs at scan
+  * speed inside whole-stage codegen, payload never leaves the task.
+  */
+case class HtmlToTextExpr(child: Expression) extends GraftUnaryCodegen {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.htmlToText(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextImpl.htmlToText($c)"
+  override protected def withNewChildInternal(newChild: Expression): HtmlToTextExpr =
+    copy(child = newChild)
 }
 
 /** k-word shingles as a single codegen'd tree node — see

@@ -262,4 +262,12 @@ object TextFunctions {
     */
   def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column =
     NativeFunctions.winnowFingerprints(c, k, w)
+
+  /** HTML → plain text (WET-style extraction): drop script/style blocks,
+    * strip tags, decode the six ubiquitous entities, collapse whitespace.
+    * Native codegen'd expression ([[graft.functions.HtmlToTextExpr]]); the
+    * exact step chain is documented on [[graft.functions.TextImpl.htmlToText]]
+    * so a SQL oracle can mirror it with RE2 regexes.
+    */
+  def htmlToText(c: Column): Column = NativeFunctions.htmlToText(c)
 }

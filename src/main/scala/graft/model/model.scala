@@ -86,12 +86,19 @@ object FileType {
 
   val all: Seq[FileType] = Seq(Csv, Json, Ndjson, Parquet, Xlsx, Orc)
 
-  /** Extension-dispatched type detection
-    * (reference: python-sdk/src/astro/files/types/__init__.py:52-78).
+  /** Codec suffixes that Spark's text-based readers decompress transparently
+    * (Hadoop compression codecs keyed by extension): `x.csv.gz` is a CSV.
+    */
+  private val compressionExts =
+    Set("gz", "gzip", "bz2", "deflate", "zst", "zstd", "lz4", "snappy")
+
+  /** Extension-dispatched type detection, looking through compression
+    * suffixes (reference: python-sdk/src/astro/files/types/__init__.py:52-78).
     */
   def fromPath(path: String): Option[FileType] = {
     val base = path.stripSuffix("/").split('/').lastOption.getOrElse("")
-    val ext  = base.split('.').drop(1).lastOption.map(_.toLowerCase)
+    val ext = base.split('.').drop(1).map(_.toLowerCase)
+      .reverse.dropWhile(compressionExts.contains).headOption
     ext.flatMap(e => all.find(_.extensions.contains(e)))
   }
 

@@ -24,14 +24,23 @@ object ExportToFile {
       output: File,
       ifExists: IfExists = IfExists.Exception,
       singleFile: Boolean = true,
-  ): File = df(spark, spark.table(input.qualifiedName), output, ifExists, singleFile)
+      compression: Option[String] = None,
+  ): File =
+    df(spark, spark.table(input.qualifiedName), output, ifExists, singleFile, compression)
 
+  /** `compression`: a Spark codec name ("gzip", "bzip2", "zstd", …) applied
+    * to the written files; load-side detection is by extension, so
+    * `File("x.csv.gz")` round-trips (see FileType.fromPath). Not supported
+    * for the wrapped-JSON-array or spreadsheet formats (driver-side
+    * rewrites of the content, not codec streams).
+    */
   def df(
       spark: SparkSession,
       input: DataFrame,
       output: File,
       ifExists: IfExists = IfExists.Exception,
       singleFile: Boolean = true,
+      compression: Option[String] = None,
   ): File = {
     val ft = output.resolvedType.getOrElse(
       throw new IllegalArgumentException(s"cannot determine filetype for ${output.path}"))
@@ -47,6 +56,10 @@ object ExportToFile {
       case _ => ()
     }
 
+    if (compression.isDefined && (ft == FileType.Json || ft == FileType.Xlsx))
+      throw new IllegalArgumentException(
+        s"compression is not supported for ${ft.name} exports")
+
     if (ft == FileType.Xlsx) {
       // spreadsheets are driver-side single-file formats (graft.sources);
       // there is no distributed variant to choose. The extension picks the
@@ -59,13 +72,13 @@ object ExportToFile {
 
     if (!singleFile) {
       val mode = if (ifExists == IfExists.Replace) SaveMode.Overwrite else SaveMode.ErrorIfExists
-      write(input, output.path, ft, mode)
+      write(input, output.path, ft, mode, compression)
       return output
     }
 
     // Single-file parity: write via a temp dir then move the one part file.
     val tmpDir = new Path(outPath.getParent, s".graft_export_${java.util.UUID.randomUUID().toString.take(12)}")
-    write(input.coalesce(1), tmpDir.toString, ft, SaveMode.Overwrite)
+    write(input.coalesce(1), tmpDir.toString, ft, SaveMode.Overwrite, compression)
     try {
       val part = fs.listStatus(tmpDir).map(_.getPath)
         .find(p => p.getName.startsWith("part-"))
@@ -78,14 +91,20 @@ object ExportToFile {
     output
   }
 
-  private def write(df: DataFrame, path: String, ft: FileType, mode: SaveMode): Unit = ft match {
-    case FileType.Csv     => df.write.mode(mode).option("header", "true").csv(path)
-    case FileType.Ndjson  => df.write.mode(mode).json(path) // Spark's json writer IS ndjson
-    case FileType.Json    => df.write.mode(mode).json(path) // wrapped into an array post-hoc (single-file mode)
-    case FileType.Parquet => df.write.mode(mode).parquet(path)
-    case FileType.Orc     => df.write.mode(mode).orc(path)
-    case FileType.Xlsx =>
-      throw new IllegalStateException("xlsx handled before the distributed writer") // see df()
+  private def write(
+      df: DataFrame, path: String, ft: FileType, mode: SaveMode,
+      compression: Option[String] = None): Unit = {
+    val w0 = df.write.mode(mode)
+    val w  = compression.fold(w0)(c => w0.option("compression", c))
+    ft match {
+      case FileType.Csv     => w.option("header", "true").csv(path)
+      case FileType.Ndjson  => w.json(path) // Spark's json writer IS ndjson
+      case FileType.Json    => w.json(path) // wrapped into an array post-hoc (single-file mode)
+      case FileType.Parquet => w.parquet(path)
+      case FileType.Orc     => w.orc(path)
+      case FileType.Xlsx =>
+        throw new IllegalStateException("xlsx handled before the distributed writer") // see df()
+    }
   }
 
   /** JSON-array parity (reference files/types/json.py:45-51 writes

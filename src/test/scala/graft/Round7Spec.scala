@@ -1,0 +1,130 @@
+package graft
+
+import graft.model.{File, FileType, IfExists}
+import graft.ops.{Chunking, ExportToFile, LoadFile, Profile}
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: chunking, HTML extraction, dataset profiling, and
+  * compressed-file round-trips.
+  */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- chunking -------------------------------------------------------------
+
+  private def chunkDocs = Seq(
+    (1L, "a" * 500),          // 500 chars → starts 0,150,300,450 → 4 chunks
+    (2L, "0123456789"),       // shorter than one chunk
+    (3L, ""),                 // blank doc still yields its one empty chunk
+  ).toDF("doc_id", "text")
+
+  test("chunkChars windows at the stride with the tail chunk short") {
+    val out = Chunking.chunkChars(chunkDocs, "doc_id", "text", chunkSize = 200, stride = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.count(_._1 == 1L) == 4)
+    val last = out.filter(_._1 == 1L).maxBy(_._2)
+    assert(last._3.length == 50) // 500 - 450
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "0123456789")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "")))
+  }
+
+  test("chunkChars overlap reconstructs the document") {
+    val out = Chunking.chunkChars(chunkDocs.filter($"doc_id" === 1L),
+        "doc_id", "text", chunkSize = 200, stride = 150)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    // stride 150 / size 200 → drop the 50-char overlap from every chunk
+    // after the first, then concatenation equals the original
+    val rebuilt = out.head + out.tail.map(_.drop(50)).mkString
+    assert(rebuilt == "a" * 500)
+  }
+
+  test("chunkTokens re-joins token windows") {
+    val df  = Seq((1L, "  w1  w2\tw3\nw4 w5 w6 w7 ")).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(df, "doc_id", "text", chunkTokens = 3, strideTokens = 2)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    assert(out.toSeq == Seq("w1 w2 w3", "w3 w4 w5", "w5 w6 w7", "w7"))
+  }
+
+  // ---- html → text ----------------------------------------------------------
+
+  private def html1(s: String) =
+    Seq(Tuple1(s)).toDF("h")
+      .select(graft.functions.TextFunctions.htmlToText($"h")).head.getString(0)
+
+  test("htmlToText strips script/style blocks, tags, entities, whitespace") {
+    assert(html1("<html><body><h1>Title</h1><p>Hello   <b>world</b>!</p>" +
+      "<script>var x = '<p>not text</p>';</script>" +
+      "<style>p { color: red }</style>tail</body></html>") == "Title Hello world ! tail")
+    assert(html1("A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;end")
+      == "A & B <ok> \"q\" 's' end")
+    // amp decodes LAST: '&amp;lt;' is the literal text '&lt;', not '<'
+    assert(html1("x &amp;lt; y") == "x &lt; y")
+    // an unclosed script keeps its contents; only the tag itself is stripped
+    assert(html1("<script>leftover x") == "leftover x")
+    // case-insensitive, attributes, multiline
+    assert(html1("<SCRIPT type='x'>\nvar a=1;\n</ScRiPt>after") == "after")
+  }
+
+  test("htmlToText is null-safe and codegen matches eval") {
+    val df = Seq(Some("<p>a</p>"), None).toDF("h")
+      .select(graft.functions.TextFunctions.htmlToText($"h").as("t"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSet == Set(Some("a"), None))
+  }
+
+  // ---- profiling ------------------------------------------------------------
+
+  test("Profile.numeric counts nulls/distincts and min/max/sum per column") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0), (null, 40.5),
+    ).toDF("a", "b")
+    val rows = Profile.numeric(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getLong(1) == 4 && a.getLong(2) == 3 && a.getLong(3) == 1)
+    assert(a.getLong(4) == 2) // distinct {1.0, 2.0}
+    assert(a.getDouble(5) == 1.0 && a.getDouble(6) == 2.0 && a.getDouble(7) == 5.0)
+    val b = rows("b")
+    assert(b.getLong(3) == 1 && b.getLong(4) == 3)
+    assert(b.getDouble(7) == 80.5)
+  }
+
+  test("Profile.numeric approx mode plans without Expand") {
+    val df   = Seq((1.0, 2.0)).toDF("a", "b")
+    val plan = Profile.numeric(df, Seq("a", "b"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+    assert(Profile.numeric(df, Seq("a", "b"), exact = true)
+      .queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
+  // ---- compressed round-trips ----------------------------------------------
+
+  test("FileType.fromPath looks through compression suffixes") {
+    assert(FileType.fromPath("/x/a.csv.gz").contains(FileType.Csv))
+    assert(FileType.fromPath("/x/a.ndjson.zst").contains(FileType.Ndjson))
+    assert(FileType.fromPath("s3a://b/a.jsonl.bz2").contains(FileType.Ndjson))
+    assert(FileType.fromPath("/x/a.gz").isEmpty) // compression alone is not a type
+    assert(!File("/x/a.csv.gz").isPattern)
+  }
+
+  test("gzip csv single-file export round-trips and is really gzip") {
+    val dir = tmpDir()
+    val df  = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val f   = File(s"$dir/out.csv.gz")
+    ExportToFile.df(spark, df, f, IfExists.Replace, singleFile = true,
+      compression = Some("gzip"))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.csv.gz"))
+    assert(bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) // gzip magic
+    val back = LoadFile.toDataFrame(spark, f)
+      .select($"k".cast("long"), $"v").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "x"), (2L, "y")))
+  }
+
+  test("compression is rejected for wrapped-json and spreadsheet exports") {
+    val dir = tmpDir()
+    intercept[IllegalArgumentException] {
+      ExportToFile.df(spark, Seq((1, "a")).toDF("k", "v"),
+        File(s"$dir/out.json"), IfExists.Replace, compression = Some("gzip"))
+    }
+  }
+}
