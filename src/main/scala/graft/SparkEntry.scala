@@ -1462,6 +1462,49 @@ object SparkEntry {
         col("s_name"),
         col("s_nationkey").cast("long").as("s_nationkey"))
     }),
+
+    // URL normalization for URL-level dedup (CCNet/RefinedWeb first pass):
+    // host/domain extraction + tracking-param strip as codegen'd scalar
+    // expressions over a deterministically constructed url column
+    "q105_url_normalize" -> ((s, dir) => {
+      import graft.functions.UrlFunctions._
+      val d = tbl(s, dir, "documents")
+      val url = concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM/cat"),
+        col("doc_id") % 7, lit("/item/"), col("doc_id"),
+        lit("?utm_source=news&id="), col("doc_id"),
+        lit("&utm_medium=email&ref=abc&page=2#frag"))
+      d.select(col("doc_id"), urlHost(url).as("host"),
+        urlDomain(url).as("domain"), urlNormalize(url).as("url_norm"))
+    }),
+
+    // streaming dedup with bounded state: dropDuplicatesWithinWatermark
+    // evicts keys once the watermark passes them — the production shape for
+    // endless streams, where q44's plain dropDuplicates would grow state
+    // forever. Keys are split across the two micro-batches by user_id
+    // parity, so no key recurs beyond the watermark and the complete output
+    // equals batch DISTINCT.
+    "q106_streaming_dedup_watermark" -> ((s, dir) => {
+      allowNanos(s)
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev = ev0.select(col("user_id"), col("event_type"),
+        timestamp_seconds(epochSec(ev0, "ts")).as("event_ts"))
+      val streamDir = stageTwoBatches("q106",
+        ev.where(col("user_id") % 2 === 0), ev.where(col("user_id") % 2 =!= 0))
+      val schema = s.read.parquet(streamDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val sink = s"graft_q106_${java.util.UUID.randomUUID().toString.take(8)}"
+      withStatePartitions(s, 8) {
+        val q = stream.withWatermark("event_ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(sink)
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2432,5 +2475,30 @@ object SparkEntry {
       .mkString("\nUNION ALL\n"),
 
     "q104_gzip_roundtrip" -> "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+
+    // mirrors UrlImpl: host/path/query via anchored RE2 extracts, tracking
+    // params (utm_*/ref/fbclid/gclid keys) filtered with order preserved,
+    // fragment dropped, scheme+host lowercased
+    "q105_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || upper(source) || '.Example.COM/cat' || (doc_id % 7) ||
+        |  '/item/' || doc_id || '?utm_source=news&id=' || doc_id ||
+        |  '&utm_medium=email&ref=abc&page=2#frag' AS url FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q FROM u),
+        |f AS (SELECT doc_id, scheme, host, path,
+        |  array_to_string(list_filter(string_split(q, '&'),
+        |    x -> x != '' AND NOT regexp_matches(x, '^(utm_[^=&]*|ref|fbclid|gclid)(=|$)')),
+        |    '&') AS fq FROM p)
+        |SELECT doc_id, host, regexp_extract(host, '[^.]+\.[^.]+$') AS domain,
+        |  scheme || '://' || host || path ||
+        |  CASE WHEN fq = '' THEN '' ELSE '?' || fq END AS url_norm
+        |FROM f""".stripMargin,
+
+    "q106_streaming_dedup_watermark" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
   )
 }

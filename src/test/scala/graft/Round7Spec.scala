@@ -97,6 +97,40 @@ class Round7Spec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  // ---- url normalization ----------------------------------------------------
+
+  private def url1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)(s: String) =
+    Seq(Tuple1(s)).toDF("u").select(f($"u")).head.getString(0)
+
+  test("urlHost lowercases and strips userinfo/port") {
+    val host = url1(graft.functions.UrlFunctions.urlHost) _
+    assert(host("https://WWW.Example.COM/a") == "www.example.com")
+    assert(host("http://user:pw@Host.Org:8080/x?q=1") == "host.org")
+    assert(host("ftp://h") == "h")
+    assert(host("no-scheme/path") == "")
+  }
+
+  test("urlDomain takes the last two labels") {
+    val dom = url1(graft.functions.UrlFunctions.urlDomain) _
+    assert(dom("https://a.b.example.co/x") == "example.co")
+    assert(dom("https://example.com/") == "example.com")
+    assert(dom("https://localhost/") == "localhost")
+  }
+
+  test("urlNormalize strips tracking params, fragment, case") {
+    val norm = url1(graft.functions.UrlFunctions.urlNormalize) _
+    assert(norm("HTTPS://Ex.COM/A/b?utm_source=x&id=3&ref=r&page=2#frag")
+      == "https://ex.com/A/b?id=3&page=2")
+    // path case preserved, query dropped entirely when all params tracked
+    assert(norm("https://ex.com/p?utm_a=1&gclid=2&fbclid=3") == "https://ex.com/p")
+    // 'referrer' is NOT the 'ref' key; '&&' empty params vanish
+    assert(norm("https://ex.com/p?referrer=keep&&x=1") == "https://ex.com/p?referrer=keep&x=1")
+    // no scheme → unchanged
+    assert(norm("relative/path?utm_x=1") == "relative/path?utm_x=1")
+    // no path, query only
+    assert(norm("http://A.B?ref=1&z=2") == "http://a.b?z=2")
+  }
+
   // ---- compressed round-trips ----------------------------------------------
 
   test("FileType.fromPath looks through compression suffixes") {
