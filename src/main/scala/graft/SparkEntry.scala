@@ -1505,6 +1505,14 @@ object SparkEntry {
       }
       s.table(sink)
     }),
+
+    // temperature mixture (XLM-R sampling rule, alpha=0.5): flatten the
+    // skewed lang distribution by the largest feasible downsample — the
+    // smallest lang keeps 100%, en is cut hardest
+    "q107_temperature_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.5)),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2500,5 +2508,20 @@ object SparkEntry {
 
     "q106_streaming_dedup_watermark" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // mirrors Sampling.temperatureMixture: rate_g = p^(alpha-1)/max p^(alpha-1)
+    // rounded to 6 decimals (so libm-vs-JVM pow ulps can't flip membership),
+    // then the standard md5-hex cut; the >=1 branch mirrors hexCut's 'g'
+    // sentinel (keep-everything groups must keep the ffffffff bucket too)
+    "q107_temperature_mixture" ->
+      """WITH c AS (SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n) AS total FROM c),
+        |w AS (SELECT g, pow(n / (SELECT total FROM t), -0.5) AS wt FROM c),
+        |m AS (SELECT max(wt) AS mw FROM w),
+        |r AS (SELECT g, round(wt / (SELECT mw FROM m), 6) AS rt FROM w)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.g
+        |WHERE CASE WHEN rt >= 1.0 THEN TRUE
+        |  ELSE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |    printf('%08x', CAST(trunc(rt * 4294967296.0) AS BIGINT)) END""".stripMargin,
   )
 }

@@ -134,6 +134,43 @@ object Sampling {
     * (key, group, token column), so re-runs and engine swaps reproduce
     * the exact member set.
     */
+  /** Temperature-based mixture rebalancing (the multilingual-sampling rule
+    * of XLM-R / mT5): target shares q_g ∝ p_g^alpha flatten the group
+    * distribution for alpha < 1. Realized as the largest feasible
+    * downsample — the most-boosted (smallest) group keeps 100% and every
+    * other group keeps `rate_g = p_g^(alpha-1) / max_h p_h^(alpha-1)`
+    * (the q/p ratio normalized so no rate exceeds 1; the normalizing
+    * Σp^alpha cancels, which matters because a sum's float value would
+    * depend on summation order and break engine parity).
+    *
+    * Rates are rounded to `precision` decimals so the oracle's libm and
+    * the JVM's may differ in the last ulp of `pow` without changing
+    * membership. Group counts are one aggregate collected to the driver —
+    * bounded config (groups are languages/sources), embedded as a CASE
+    * chain exactly like [[mixture]]: no join, no shuffle at apply time,
+    * membership a pure function of the key.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      alpha: Double,
+      precision: Int = 6,
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture on an empty dataframe")
+    val total = counts.values.sum.toDouble
+    val wts   = counts.map { case (g, n) => g -> math.pow(n / total, alpha - 1.0) }
+    val maxW  = wts.values.max
+    val rates = wts.map { case (g, w) =>
+      g -> BigDecimal(w / maxW)
+        .setScale(precision, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    mixture(df, groupCol, keyCol, rates, defaultFraction = 1.0)
+  }
+
   def tokenBudget(
       df: DataFrame,
       groupCol: String,

@@ -97,6 +97,23 @@ class Round7Spec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  // ---- temperature mixture --------------------------------------------------
+
+  test("temperatureMixture keeps the smallest group whole and cuts the largest hardest") {
+    val df = (0 until 800).map(i => (i.toLong, if (i < 600) "en" else if (i < 750) "fr" else "de"))
+      .toDF("doc_id", "lang")
+    val out    = ops.Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 50) // rate exactly 1: every de row survives
+    // expected rates: sqrt(50/600)≈0.2887, sqrt(50/150)≈0.5774 — hash noise
+    // at n=600/150 stays well inside ±40%
+    assert(byLang("en") > 600 * 0.29 * 0.6 && byLang("en") < 600 * 0.29 * 1.4)
+    assert(byLang("fr") > 150 * 0.58 * 0.6 && byLang("fr") < 150 * 0.58 * 1.4)
+    // alpha = 1 is a no-op: the target distribution IS the corpus distribution
+    assert(ops.Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 1.0).count() == 800)
+  }
+
   // ---- url normalization ----------------------------------------------------
 
   private def url1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)(s: String) =
