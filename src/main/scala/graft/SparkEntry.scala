@@ -1513,6 +1513,14 @@ object SparkEntry {
       Sampling.temperatureMixture(
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "lang", "doc_id", alpha = 0.5)),
+
+    // DSIR importance weights: every doc scored by hashed-bigram likelihood
+    // ratio against the lang='de' target — integer micro-log2 arithmetic
+    // end to end, scoring pass is one codegen'd scan with zero shuffles
+    "q108_dsir_weights" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      Dsir.importanceWeights(d, d.filter(col("lang") === "de"), "doc_id", "text", k = 2)
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2523,5 +2531,28 @@ object SparkEntry {
         |WHERE CASE WHEN rt >= 1.0 THEN TRUE
         |  ELSE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
         |    printf('%08x', CAST(trunc(rt * 4294967296.0) AS BIGINT)) END""".stripMargin,
+
+    // mirrors Dsir.importanceWeights: q66-style bigram construction (no
+    // distinct), first-2-hex-of-md5 buckets, per-TERM rounded micro-log2
+    // units (ln(x)/ln(2), x>=1 so every round-half convention agrees),
+    // integer sums, one final /1e6
+    "q108_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, lang, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) END AS gs FROM t),
+        |b AS (SELECT doc_id, lang, substring(md5(unnest(gs)), 1, 2) AS bk FROM g),
+        |rawc AS (SELECT bk, count(*) AS n FROM b GROUP BY bk),
+        |tgtc AS (SELECT bk, count(*) AS n FROM b WHERE lang = 'de' GROUP BY bk),
+        |ratios AS (SELECT r.bk,
+        |  CAST(round(ln(coalesce(tg.n, 0) + 1) / ln(2) * 1000000) AS BIGINT) -
+        |  CAST(round(ln(r.n + 1) / ln(2) * 1000000) AS BIGINT) AS ri
+        |  FROM rawc r LEFT JOIN tgtc tg USING (bk)),
+        |c AS (SELECT
+        |  CAST(round(ln((SELECT count(*) FROM b) + 256) / ln(2) * 1000000) AS BIGINT) -
+        |  CAST(round(ln((SELECT count(*) FROM b WHERE lang = 'de') + 256) / ln(2) * 1000000) AS BIGINT) AS ci),
+        |w AS (SELECT b.doc_id, CAST(sum(ri) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM b JOIN ratios USING (bk) GROUP BY b.doc_id)
+        |SELECT doc_id, n AS n_grams, CAST(s + n * ci AS BIGINT) / 1000000.0 AS logw
+        |FROM w, c""".stripMargin,
   )
 }

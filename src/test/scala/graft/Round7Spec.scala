@@ -114,6 +114,45 @@ class Round7Spec extends SparkSpec {
     assert(ops.Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 1.0).count() == 800)
   }
 
+  // ---- DSIR importance weights ----------------------------------------------
+
+  test("Dsir.importanceWeights scores target-like docs above the rest") {
+    val corpus = ((0 until 40).map(i => (i.toLong, "en", "the cat sat on the mat and then ran away fast")) ++
+      (40 until 50).map(i => (i.toLong, "de", "der hund lief durch den park und bellte laut dabei")))
+      .toDF("doc_id", "lang", "text")
+    val out = ops.Dsir.importanceWeights(corpus,
+      corpus.filter($"lang" === "de"), "doc_id", "text", k = 2)
+    val scores = out.join(corpus, "doc_id").groupBy("lang")
+      .agg(avg("logw").as("m")).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("de") > scores("en"))
+    // n_grams = tokens - 1 for docs with >= 2 tokens (11 tokens → 10 bigrams)
+    assert(out.filter($"doc_id" === 0L).head.getLong(1) == 10L)
+  }
+
+  test("DsirWeightExpr agrees with an explode+join computation of the same sum") {
+    val corpus = (0 until 30).map(i => (i.toLong, s"w$i common tok ${i % 3} shared text here"))
+      .toDF("doc_id", "text")
+    val target = corpus.filter($"doc_id" % 5 === 0)
+    val out = ops.Dsir.importanceWeights(corpus, target, "doc_id", "text", k = 2)
+      .select($"doc_id", $"logw").as[(Long, Double)].collect().toMap
+    // independent path: recompute one doc's weight from the bucket histograms
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(graft.functions.TextFunctions.wordShingles($"text", 2)).as("g"))
+      .select(substring(md5($"g"), 1, 2).as("b")).groupBy("b").count()
+      .collect().map(r => Integer.parseInt(r.getString(0), 16) -> r.getLong(1)).toMap
+    val rc = counts(corpus); val tc = counts(target)
+    def L(x: Long) = Math.round(Math.log(x.toDouble) / Math.log(2.0) * 1e6)
+    val ci = L(rc.values.sum + 256) - L(tc.values.sum + 256)
+    val doc0grams = corpus.filter($"doc_id" === 0L)
+      .select(explode(graft.functions.TextFunctions.wordShingles($"text", 2)).as("g"))
+      .select(substring(md5($"g"), 1, 2)).as[String].collect()
+    val expected = (doc0grams.map { h =>
+      val b = Integer.parseInt(h, 16)
+      L(tc.getOrElse(b, 0L) + 1) - L(rc.getOrElse(b, 0L) + 1)
+    }.sum + doc0grams.length * ci) / 1e6
+    assert(out(0L) == expected)
+  }
+
   // ---- url normalization ----------------------------------------------------
 
   private def url1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)(s: String) =
