@@ -1521,6 +1521,13 @@ object SparkEntry {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
       Dsir.importanceWeights(d, d.filter(col("lang") === "de"), "doc_id", "text", k = 2)
     }),
+
+    // tokenizer-coverage check: per-doc OOV rate against the corpus's own
+    // top-20 vocabulary (fixture dictionary is 31 terms, so coverage is
+    // genuinely partial); scoring is one codegen'd scan, no shuffle
+    "q109_vocab_oov" -> ((s, dir) =>
+      TermStats.oovStats(tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", vocabSize = 20)),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2554,5 +2561,20 @@ object SparkEntry {
         |  FROM b JOIN ratios USING (bk) GROUP BY b.doc_id)
         |SELECT doc_id, n AS n_grams, CAST(s + n * ci AS BIGINT) / 1000000.0 AS logw
         |FROM w, c""".stripMargin,
+
+    // q76-style tokenization; vocab rank = (tf desc, term asc), same
+    // total order as TermStats.vocabulary; blank docs keep 0/0 → 0.0
+    "q109_vocab_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |v AS (SELECT term FROM toks GROUP BY term
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, term ASC) <= 20),
+        |o AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+        |  FROM toks t LEFT JOIN v ON t.term = v.term GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(o.n, 0) AS n_tokens, coalesce(o.oov, 0) AS oov_count,
+        |  round(CASE WHEN coalesce(o.n, 0) = 0 THEN 0.0
+        |    ELSE o.oov::DOUBLE / o.n END, 4) AS oov_frac
+        |FROM documents d LEFT JOIN o USING (doc_id)""".stripMargin,
   )
 }

@@ -1,7 +1,13 @@
 package graft.ops
 
+import graft.functions.GraftUnaryCodegen
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Corpus term statistics — the exact-integer core of TF-IDF ranking,
   * inverted-index construction, and vocabulary building (beyond-reference
@@ -46,4 +52,72 @@ object TermStats {
     tf.join(docFreq, Seq("term"))
       .select(col(idCol), col("term"), col("tf"), col("df"))
   }
+
+  /** Top-`vocabSize` corpus vocabulary by total term frequency, ties broken
+    * to the lexicographically smaller term: `(term, tf)`. The sort runs over
+    * the already-aggregated term dictionary (one row per distinct term), not
+    * the corpus.
+    */
+  def vocabulary(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    df.select(explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(vocabSize)
+  }
+
+  /** Per-document out-of-vocabulary stats against the corpus's own
+    * top-`vocabSize` vocabulary — the tokenizer-coverage check run before
+    * committing to a vocab size: `(idCol, n_tokens, oov_count, oov_frac)`.
+    *
+    * The vocabulary is one aggregate collected to the driver (bounded
+    * config, vocab-sized), then the per-doc pass is a single codegen'd
+    * scan: [[OovCountExpr]] tests every token against the hash set shipped
+    * as a reference object — no explode, no join, no shuffle at scoring
+    * time, the same shape as [[Dsir]]'s scoring pass.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    val vocab = vocabulary(df, textCol, vocabSize).collect().map(_.getString(0))
+    val toks  = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+    val n     = size(toks).cast("long")
+    val oov   = ColumnBridge.column(OovCountExpr(ColumnBridge.expression(toks), vocab))
+    df.select(col(idCol), n.as("n_tokens"), oov.as("oov_count"),
+      round(when(n === 0L, 0.0).otherwise(oov.cast("double") / n), 4).as("oov_frac"))
+  }
+}
+
+object TermStatsImpl {
+  /** Count of array elements NOT in `set`. */
+  def oovCount(toks: ArrayData, set: java.util.HashSet[String]): Long = {
+    var acc = 0L
+    var i   = 0
+    val n   = toks.numElements()
+    while (i < n) {
+      if (!set.contains(toks.getUTF8String(i).toString)) acc += 1
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Tokens-outside-vocabulary count as a single codegen'd tree node; the
+  * vocabulary rides as a HashSet reference object (one copy per task).
+  */
+case class OovCountExpr(child: Expression, vocab: Array[String]) extends GraftUnaryCodegen {
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TermStatsImpl.oovCount(input.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("oovVocab", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.ops.TermStatsImpl.oovCount($c, $ref)")
+  }
+  override protected def staticCall(c: String): String =
+    throw new IllegalStateException("doGenCode overridden")
+  override protected def withNewChildInternal(newChild: Expression): OovCountExpr =
+    copy(child = newChild)
 }

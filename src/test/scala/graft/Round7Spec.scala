@@ -153,6 +153,25 @@ class Round7Spec extends SparkSpec {
     assert(out(0L) == expected)
   }
 
+  // ---- vocabulary coverage --------------------------------------------------
+
+  test("oovStats counts tokens outside the top-N vocabulary") {
+    val df = Seq(
+      (1L, "aa aa aa bb bb cc"), // aa:3 bb:2 cc:1 → vocab(2) = {aa, bb}
+      (2L, "aa cc dd"),
+      (3L, "   "),
+    ).toDF("doc_id", "text")
+    val out = ops.TermStats.oovStats(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 1L, 0.1667))) // cc is OOV
+    assert(out(2L) == ((3L, 2L, 0.6667))) // cc, dd OOV
+    assert(out(3L) == ((0L, 0L, 0.0)))    // blank doc
+    // tie-break: bb and cc at equal count → lexicographically smaller wins
+    val v2 = ops.TermStats.vocabulary(Seq((1L, "aa aa bb cc")).toDF("id", "text"), "text", 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(v2 == Seq("aa", "bb"))
+  }
+
   // ---- url normalization ----------------------------------------------------
 
   private def url1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)(s: String) =
