@@ -1528,6 +1528,20 @@ object SparkEntry {
     "q109_vocab_oov" -> ((s, dir) =>
       TermStats.oovStats(tbl(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", vocabSize = 20)),
+
+    // dedup audit: cluster-size histogram over q29's chained-replica corpus
+    // (expected shape: mostly size-3 chains + singletons) — the report that
+    // sizes dedup dials BEFORE any destructive pass
+    "q110_dedup_histogram" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val b = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" chain link one two three")).as("text"))
+      val c = b.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" more drift four five six")).as("text"))
+      Dedup.clusterSizeHistogram(d.unionByName(b).unionByName(c), "doc_id", "text",
+        threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2576,5 +2590,32 @@ object SparkEntry {
         |  round(CASE WHEN coalesce(o.n, 0) = 0 THEN 0.0
         |    ELSE o.oov::DOUBLE / o.n END, 4) AS oov_frac
         |FROM documents d LEFT JOIN o USING (doc_id)""".stripMargin,
+
+    // q29's recursive-CTE closure, relabeled to component = min reachable id
+    // (incl. self), then two aggregates: per-component size → histogram
+    "q110_dedup_histogram" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text || ' chain link one two three' FROM d
+        |  UNION ALL SELECT doc_id + 2000000, text || ' chain link one two three more drift four five six' FROM d),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t),
+        |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (SELECT src, dst FROM e0
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src WHERE e.dst <> r.src),
+        |lab AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src),
+        |comp AS (SELECT c.doc_id,
+        |  CASE WHEN lab.id IS NULL THEN c.doc_id ELSE least(c.doc_id, lab.mn) END AS comp
+        |  FROM corpus c LEFT JOIN lab ON c.doc_id = lab.id),
+        |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY comp)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY cluster_size""".stripMargin,
   )
 }

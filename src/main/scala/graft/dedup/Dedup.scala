@@ -232,6 +232,30 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-cluster size histogram — the dedup AUDIT report (how much
+    * of the corpus is duplicated, and in what cluster shapes) that decides
+    * dial settings before any destructive dedup runs:
+    * `(cluster_size, n_clusters)` with singletons counted as size-1
+    * clusters. Same LSH + connected-components machinery as
+    * [[dedupNearTransitive]]; the histogram itself is two tiny aggregates
+    * over (id, label) — the corpus payload never enters either shuffle.
+    */
+  def clusterSizeHistogram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      maxIter: Int = 20,
+      bands: Int = 32,
+  ): DataFrame = {
+    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
+    val labels = connectedComponents(pairs, maxIter)
+    df.select(col(idCol).as("id")).join(labels, Seq("id"), "left")
+      .select(coalesce(col("label"), col("id")).as("comp"))
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+  }
+
   /** Near-dedup with FULL transitive closure: all connected near-dup docs
     * collapse onto the component's min id (vs [[dedupNear]]'s cheaper
     * one-hop approximation that keeps chain endpoints).

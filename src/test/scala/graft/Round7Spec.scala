@@ -114,6 +114,23 @@ class Round7Spec extends SparkSpec {
     assert(ops.Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 1.0).count() == 800)
   }
 
+  // ---- dedup audit ----------------------------------------------------------
+
+  test("clusterSizeHistogram counts singletons and closed clusters") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),      // ~1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // ~2 (chain 1-2-3)
+      (10L, "one two three four five six seven eight"),
+      (11L, "one two three four five six seven eight nine"),           // pair {10,11}
+      (20L, "lonely unique document with no duplicate partner at all"),
+    ).toDF("id", "text")
+    val h = graft.dedup.Dedup.clusterSizeHistogram(df, "id", "text",
+        threshold = 0.5, bands = graft.dedup.Dedup.recallExactBands(0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   // ---- DSIR importance weights ----------------------------------------------
 
   test("Dsir.importanceWeights scores target-like docs above the rest") {
