@@ -1542,6 +1542,34 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(d.unionByName(b).unionByName(c), "doc_id", "text",
         threshold = 0.5, bands = Dedup.recallExactBands(0.5))
     }),
+
+    // soft dedup: every doc kept, weighted 1/cluster_size — duplicate
+    // clusters contribute one doc's worth of training mass (non-destructive
+    // alternative to q29's drop)
+    "q111_soft_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val b = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" chain link one two three")).as("text"))
+      val c = b.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" more drift four five six")).as("text"))
+      Dedup.softDedupWeights(d.unionByName(b).unionByName(c), "doc_id", "text",
+        threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+    }),
+
+    // training-shard layout: hash-sharded partitionBy write, then the
+    // manifest a training reader consumes (shard → row count) read back
+    // from the partitioned layout itself
+    "q112_shard_manifest" -> ((s, dir) => {
+      val sharded = Sampling.epochShard(
+        tbl(s, dir, "documents").select(col("doc_id")), "doc_id",
+        epoch = 1, shardChars = 1)
+      val out = s"$scratch/shards_${java.util.UUID.randomUUID().toString.take(8)}"
+      sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("string").as("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2617,5 +2645,36 @@ object SparkEntry {
         |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY comp)
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM sz GROUP BY cluster_size""".stripMargin,
+
+    // q110's closure + per-component sizes, joined back per doc
+    "q111_soft_dedup" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text || ' chain link one two three' FROM d
+        |  UNION ALL SELECT doc_id + 2000000, text || ' chain link one two three more drift four five six' FROM d),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t),
+        |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (SELECT src, dst FROM e0
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src WHERE e.dst <> r.src),
+        |lab AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src),
+        |comp AS (SELECT c.doc_id,
+        |  CASE WHEN lab.id IS NULL THEN c.doc_id ELSE least(c.doc_id, lab.mn) END AS comp
+        |  FROM corpus c LEFT JOIN lab ON c.doc_id = lab.id),
+        |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY comp)
+        |SELECT comp.doc_id, sz.cluster_size, round(1.0 / sz.cluster_size, 6) AS weight
+        |FROM comp JOIN sz USING (comp)""".stripMargin,
+
+    // q71's shard rule aggregated: shard = first hex char of md5(id ':' epoch)
+    "q112_shard_manifest" ->
+      """SELECT substring(md5(CAST(doc_id AS VARCHAR) || ':' || '1'), 1, 1) AS shard,
+        |CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1""".stripMargin,
   )
 }

@@ -256,6 +256,32 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, weight every doc by
+    * `1 / cluster_size` so each duplicate cluster contributes one document's
+    * worth of training mass (SoftDeDup-style loss reweighting; singletons
+    * get weight 1). Non-destructive — the pipeline downstream multiplies
+    * loss/sampling probability by `weight`. Same machinery as
+    * [[clusterSizeHistogram]]; the sizes join is keyed on component labels
+    * (id-sized), never on payload.
+    */
+  def softDedupWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      maxIter: Int = 20,
+      bands: Int = 32,
+  ): DataFrame = {
+    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
+    val labels = connectedComponents(pairs, maxIter)
+    val withComp = df.select(col(idCol).as("id")).join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("comp"))
+    val sizes = withComp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    withComp.join(sizes, Seq("comp"))
+      .select(col("id").as(idCol), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** Near-dedup with FULL transitive closure: all connected near-dup docs
     * collapse onto the component's min id (vs [[dedupNear]]'s cheaper
     * one-hop approximation that keeps chain endpoints).

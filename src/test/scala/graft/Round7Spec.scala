@@ -131,6 +131,21 @@ class Round7Spec extends SparkSpec {
     assert(h == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
   }
 
+  test("softDedupWeights weights every doc by 1/cluster_size, keeps everything") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "lonely unique document with no duplicate partner at all"),
+    ).toDF("id", "text")
+    val w = graft.dedup.Dedup.softDedupWeights(df, "id", "text",
+        threshold = 0.5, bands = graft.dedup.Dedup.recallExactBands(0.5))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 20L)) // non-destructive
+    assert(w(1L) == ((3L, 0.333333)) && w(2L) == ((3L, 0.333333)))
+    assert(w(20L) == ((1L, 1.0)))
+  }
+
   // ---- DSIR importance weights ----------------------------------------------
 
   test("Dsir.importanceWeights scores target-like docs above the rest") {
