@@ -1570,6 +1570,32 @@ object SparkEntry {
         .groupBy(col("shard").cast("string").as("shard"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+
+    // incremental decontamination: eval 8-grams persisted once as an
+    // md5-key store; each arriving batch checks against it — the store
+    // streams once, only the batch is shingled
+    "q113_decontaminate_incremental" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val store = Table("graft_q113_gram_store")
+      IncrementalDedup.buildGramStore(s, d.filter(col("doc_id") % 5 === 0), "text", store)
+      IncrementalDedup.contaminatedIncremental(
+        s, d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", store)
+    }),
+
+    // similar-document search over text: top-2 shingle-Jaccard neighbors
+    // per query doc at recall-exact banding — exact over the >=0.5
+    // neighborhood (q29's chained corpus: each base doc's nearest is its
+    // first replica)
+    "q114_similar_text_topk" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val b = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" chain link one two three")).as("text"))
+      val c = b.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" more drift four five six")).as("text"))
+      Dedup.similarTextTopK(d.unionByName(b).unionByName(c), d, "doc_id", "text",
+        k = 2, threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2676,5 +2702,36 @@ object SparkEntry {
     "q112_shard_manifest" ->
       """SELECT substring(md5(CAST(doc_id AS VARCHAR) || ':' || '1'), 1, 1) AS shard,
         |CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1""".stripMargin,
+
+    // q65's gram construction with the batch/eval split made explicit
+    "q113_decontaminate_incremental" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) END AS gs FROM t),
+        |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 5 = 0),
+        |tg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 5 <> 0)
+        |SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)""".stripMargin,
+
+    // exact all-pairs Jaccard ranked per query; WHERE filters before the
+    // rank window on both engines, ties to the smaller corpus id
+    "q114_similar_text_topk" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text || ' chain link one two three' FROM d
+        |  UNION ALL SELECT doc_id + 2000000, text || ' chain link one two three more drift four five six' FROM d),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t),
+        |q AS (SELECT doc_id AS query_id, sh FROM s WHERE doc_id < 1000000),
+        |j AS (SELECT q.query_id, c.doc_id AS corpus_id,
+        |  CAST(len(list_intersect(q.sh, c.sh)) AS DOUBLE) /
+        |    (len(q.sh) + len(c.sh) - len(list_intersect(q.sh, c.sh))) AS jac
+        |  FROM q JOIN s c ON c.doc_id <> q.query_id)
+        |SELECT query_id, corpus_id, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY jac DESC, corpus_id ASC) <= 2""".stripMargin,
   )
 }

@@ -256,6 +256,59 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** Top-k most similar corpus documents per query document — similar-doc
+    * SEARCH over text (the shingle-Jaccard complement of the embedding ANN
+    * in similarity/Ann): exact k-word-shingle Jaccard, LSH-pruned. Output
+    * `(query_id, corpus_id, jaccard)` ranked per query with ties broken by
+    * ascending corpus id; same-id matches are excluded so a corpus member
+    * can query itself away. Recall contract mirrors the dedup family: at
+    * [[recallExactBands]](threshold) every pair with J ≥ threshold is a
+    * candidate, so the top-k is EXACT over the ≥-threshold neighborhood.
+    *
+    * Scale shape: corpus bands are bucket-capped; the band join carries ids
+    * only; shingle sets re-join by id for verify; the rank window partitions
+    * by query (bounded by candidates per query, not corpus size).
+    */
+  def similarTextTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double = 0.5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleK: Int = 3,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val cSets = corpus.select(col(idCol).as("corpus_id"),
+      NativeFunctions.shingleHashes(col(textCol), shingleK).as("c_sh"))
+    val qSets = queries.select(col(idCol).as("query_id"),
+      NativeFunctions.shingleHashes(col(textCol), shingleK).as("q_sh"))
+    val cBands = banded(
+      cSets.select(col("corpus_id").as("id"), col("c_sh").as("sh")), numHashes, bands)
+    val capped = cBands.withColumn(
+      "__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val qBands = banded(
+      qSets.select(col("query_id").as("id"), col("q_sh").as("sh")), numHashes, bands)
+    val cand = capped.select(col("band"), col("bucket"), col("id").as("corpus_id"))
+      .join(qBands.select(col("band"), col("bucket"), col("id").as("query_id")),
+        Seq("band", "bucket"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"))
+      .dropDuplicates("query_id", "corpus_id")
+    val scored = cand.join(qSets, Seq("query_id")).join(cSets, Seq("corpus_id"))
+      .withColumn("jaccard", NativeFunctions.jaccardSorted(col("q_sh"), col("c_sh")))
+      .where(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("jaccard").desc, col("corpus_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Soft dedup: instead of DROPPING near-duplicates, weight every doc by
     * `1 / cluster_size` so each duplicate cluster contributes one document's
     * worth of training mass (SoftDeDup-style loss reweighting; singletons

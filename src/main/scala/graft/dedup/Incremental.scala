@@ -86,6 +86,49 @@ object IncrementalDedup {
     survivors.drop("__fp")
   }
 
+  // ===== decontamination =====
+
+  /** Materialize an eval corpus's distinct k-word grams as the at-rest
+    * decontamination state: one 16-byte md5 key per distinct gram. Eval
+    * sets accrete over time (new benchmarks arrive); the store is the
+    * append-target, the training corpus never re-derives eval grams.
+    */
+  def buildGramStore(
+      spark: SparkSession,
+      evalDf: DataFrame,
+      textCol: String,
+      store: Table,
+      gramK: Int = 8,
+  ): Table =
+    TableIO.overwrite(
+      spark,
+      evalDf.select(explode(TextFunctions.wordShingles(col(textCol), gramK)).as("gram"))
+        .select(md5(col("gram")).as("g")).distinct(),
+      store)
+
+  /** Ids of batch docs sharing ANY k-gram with the persisted store — the
+    * continuous-ingestion face of [[Dedup.contaminated]]. Same scan shape
+    * as the other incremental checks: the store streams once with the
+    * batch's (distinct) gram keys broadcast into a semi-join; only the
+    * batch is ever shingled.
+    */
+  def contaminatedIncremental(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: Table,
+      gramK: Int = 8,
+  ): DataFrame = {
+    val bg = batch
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), gramK)).as("gram"))
+      .select(col(idCol), md5(col("gram")).as("g"))
+    val hits = spark.table(store.qualifiedName)
+      .join(broadcast(bg.select(col("g")).distinct()), Seq("g"), "left_semi")
+    bg.join(broadcast(hits), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   // ===== near-dup (MinHash LSH) =====
 
   /** Materialize the corpus's LSH band index as the at-rest near-dup state:

@@ -146,6 +146,35 @@ class Round7Spec extends SparkSpec {
     assert(w(20L) == ((1L, 1.0)))
   }
 
+  test("similarTextTopK ranks by jaccard with id tie-break and excludes self") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),       // closest to 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // second
+      (9L, "totally different words nothing shared here at all"),
+    ).toDF("id", "text")
+    val queries = corpus.filter($"id" === 1L)
+    val out = graft.dedup.Dedup.similarTextTopK(corpus, queries, "id", "text",
+        k = 2, threshold = 0.3, bands = graft.dedup.Dedup.recallExactBands(0.3))
+      .orderBy($"jaccard".desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L))) // no self-match, 9 below threshold
+  }
+
+  test("contaminatedIncremental flags batch docs sharing grams with the persisted store") {
+    val store = graft.model.Table("graft_r7_gram_store_test")
+    val eval  = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("id", "text")
+    graft.dedup.IncrementalDedup.buildGramStore(spark, eval, "text", store)
+    val batch = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog today suffix"),
+      (2L, "completely clean document with no overlap whatsoever in it"),
+    ).toDF("id", "text")
+    val hits = graft.dedup.IncrementalDedup.contaminatedIncremental(
+      spark, batch, "id", "text", store).as[Long].collect().toSet
+    assert(hits == Set(1L))
+    spark.sql(s"DROP TABLE IF EXISTS ${store.qualifiedName}")
+  }
+
   // ---- DSIR importance weights ----------------------------------------------
 
   test("Dsir.importanceWeights scores target-like docs above the rest") {
