@@ -132,6 +132,24 @@ object GraftFunctions {
       case Seq(t, tok) => MaskLuhnExpr(t, strArg("token", tok))
       case args        => throw new IllegalArgumentException(s"expects 1-2 args, got ${args.length}")
     },
+    fn("graft_html_to_text",
+      "graft_html_to_text(html) - strip script/style/tags, decode entities, collapse whitespace") {
+      case Seq(h) => HtmlToTextExpr(h)
+      case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
+    },
+    fn("graft_url_host", "graft_url_host(url) - lowercased host (userinfo/port stripped)") {
+      case Seq(u) => UrlHostExpr(u)
+      case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
+    },
+    fn("graft_url_domain", "graft_url_domain(url) - registered domain (last two host labels)") {
+      case Seq(u) => UrlDomainExpr(u)
+      case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
+    },
+    fn("graft_url_normalize",
+      "graft_url_normalize(url) - lowercase scheme/host, drop fragment + tracking params") {
+      case Seq(u) => UrlNormalizeExpr(u)
+      case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
+    },
   )
 
   /** Register (or re-register) every graft function on a live session. */

@@ -69,6 +69,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal") || err.getMessage.contains("k"))
   }
 
+  test("html/url SQL functions match the Column API") {
+    val df = Seq(("<p>Hello <b>World</b></p><script>x</script>",
+      "HTTPS://User@Ex.COM:8080/A/b?utm_source=x&id=3&ref=r#f")).toDF("h", "u")
+    val r = df.selectExpr(
+      "graft_html_to_text(h) AS t",
+      "graft_url_host(u) AS host",
+      "graft_url_domain(u) AS dom",
+      "graft_url_normalize(u) AS norm").collect()(0)
+    assert(r.getString(0) == "Hello World")
+    assert(r.getString(1) == "ex.com")
+    assert(r.getString(2) == "ex.com")
+    assert(r.getString(3) == "https://ex.com/A/b?id=3")
+  }
+
   test("srp bucket via SQL equals Column API") {
     val df  = Seq(Array.tabulate(8)(i => i.toFloat)).toDF("v")
     val sql = df.selectExpr("graft_srp_bucket(v, 8, 42L) AS b").collect()(0).getLong(0)
