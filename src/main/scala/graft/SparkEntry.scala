@@ -1596,6 +1596,27 @@ object SparkEntry {
       Dedup.similarTextTopK(d.unionByName(b).unionByName(c), d, "doc_id", "text",
         k = 2, threshold = 0.5, bands = Dedup.recallExactBands(0.5))
     }),
+
+    // semi-structured extraction: events.props is a JSON string column;
+    // from_json with an explicit schema (no sampling pass) then a plain agg
+    "q115_json_props" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      ev.select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_sum"))
+    }),
+
+    // pivot with EXPLICIT values (no distinct-collection job): per user
+    // cohort, one column per event type
+    "q116_pivot" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      ev.groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "view", "error", "purchase", "signup"))
+        .agg(round(sum("value"), 2))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2733,5 +2754,21 @@ object SparkEntry {
         |  FROM q JOIN s c ON c.doc_id <> q.query_id)
         |SELECT query_id, corpus_id, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY jac DESC, corpus_id ASC) <= 2""".stripMargin,
+
+    "q115_json_props" ->
+      """SELECT event_type,
+        |CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+        |CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // explicit CASE sums mirror the explicit pivot value list
+    "q116_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+        |round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }
