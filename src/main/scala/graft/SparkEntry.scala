@@ -1617,6 +1617,18 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "view", "error", "purchase", "signup"))
         .agg(round(sum("value"), 2))
     }),
+
+    // the composed curation pipeline as one call: exact dedup → token
+    // bounds → decontamination vs the eval split → temperature mixture;
+    // output is the per-stage funnel report a curation run logs
+    "q117_curation_pipeline" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      Curate.funnel(Curate.pipeline(
+        corpus = d.filter(col("doc_id") % 5 =!= 0),
+        evalDf = d.filter(col("doc_id") % 5 === 0),
+        idCol = "doc_id", textCol = "text", langCol = "lang",
+        minTokens = 25, maxTokens = 80))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2770,5 +2782,44 @@ object SparkEntry {
         |round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
         |round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup
         |FROM events GROUP BY 1""".stripMargin,
+
+    // every stage mirrors its standalone oracle: q10's fingerprint dedup,
+    // tokenCount bounds, q65's 8-gram any-hit, q107's temperature rates
+    // (recomputed over the decontaminated survivors)
+    "q117_curation_pipeline" ->
+      """WITH input AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+        |dd AS (SELECT * FROM input QUALIFY row_number() OVER (
+        |  PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g') ORDER BY doc_id) = 1),
+        |q AS (SELECT * FROM dd WHERE
+        |  (CASE WHEN trim(text) = '' THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 25 AND 80),
+        |tq AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM q),
+        |gq AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) END AS gs FROM tq),
+        |te AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |ge AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) END AS gs FROM te),
+        |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM ge),
+        |hits AS (SELECT DISTINCT t.doc_id FROM (SELECT doc_id, unnest(gs) AS gram FROM gq) t
+        |  JOIN eg USING (gram)),
+        |clean AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        |c AS (SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n FROM clean GROUP BY lang),
+        |w AS (SELECT g, pow(n / (SELECT sum(n) FROM c), -0.5) AS wt FROM c),
+        |m AS (SELECT max(wt) AS mw FROM w),
+        |r AS (SELECT g, round(wt / (SELECT mw FROM m), 6) AS rt FROM w),
+        |mixed AS (SELECT clean.* FROM clean JOIN r ON clean.lang = r.g
+        |  WHERE CASE WHEN rt >= 1.0 THEN TRUE
+        |    ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      printf('%08x', CAST(trunc(rt * 4294967296.0) AS BIGINT)) END)
+        |SELECT CAST(0 AS BIGINT) AS stage_no, 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM input
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT) FROM dd
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'quality', CAST(count(*) AS BIGINT) FROM q
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'decontaminated', CAST(count(*) AS BIGINT) FROM clean
+        |UNION ALL SELECT CAST(4 AS BIGINT), 'mixture', CAST(count(*) AS BIGINT) FROM mixed""".stripMargin,
   )
 }

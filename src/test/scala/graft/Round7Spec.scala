@@ -114,6 +114,32 @@ class Round7Spec extends SparkSpec {
     assert(ops.Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 1.0).count() == 800)
   }
 
+  // ---- curation pipeline ----------------------------------------------------
+
+  test("Curate.pipeline funnel shrinks monotonically and stages do their job") {
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 1
+      (3L, "en", "short doc"),                                                // fails min tokens
+      (4L, "en", "clean document with exactly enough tokens to pass the bound here"),
+      (5L, "de", "eval overlap document one two three four five six seven eight nine ten"),
+    ).toDF("doc_id", "lang", "text")
+    val eval = Seq(
+      (100L, "xx", "overlap document one two three four five six seven eight"),
+    ).toDF("doc_id", "lang", "text")
+    val stages = ops.Curate.pipeline(corpus, eval, "doc_id", "text", "lang",
+      minTokens = 5, maxTokens = 100)
+    val f = ops.Curate.funnel(stages).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("input") == 5)
+    assert(f("exact_dedup") == 4)     // doc 2 collapses onto 1
+    assert(f("quality") == 3)         // doc 3 too short
+    assert(f("decontaminated") == 2)  // doc 5 shares an 8-gram with eval
+    assert(f("mixture") <= 2)         // temperature downsample can only shrink
+    val counts = ops.Curate.funnel(stages).collect().map(_.getLong(2))
+    assert(counts.sameElements(counts.sortBy(-_))) // monotone funnel
+  }
+
   // ---- dedup audit ----------------------------------------------------------
 
   test("clusterSizeHistogram counts singletons and closed clusters") {
