@@ -150,4 +150,59 @@ object StreamingDedup {
     if (await) query.awaitTermination()
     query
   }
+
+  /** Curated ingest: per micro-batch, drop docs contaminated against the
+    * persisted eval-gram store ([[IncrementalDedup.contaminatedIncremental]]
+    * — the store must exist; eval sets are curated out of band), then
+    * exact-dedup the remainder against the fingerprint store, then append.
+    * The composition inherits [[exactIncrementalSink]]'s replay story
+    * verbatim: decontamination is a pure read (replay-safe by itself), and
+    * the fingerprint store turns replayed appends into no-ops — so the
+    * quality gate does not weaken the idempotence mechanism.
+    */
+  def curatedIngestSink(
+      spark: SparkSession,
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      target: Table,
+      fpStore: Table,
+      gramStore: Table,
+      checkpointDir: String,
+      gramK: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow(),
+      await: Boolean = true,
+  ): StreamingQuery = {
+    require(spark.catalog.tableExists(gramStore.qualifiedName),
+      s"eval gram store ${gramStore.qualifiedName} must be built first " +
+        "(IncrementalDedup.buildGramStore)")
+    if (!spark.catalog.tableExists(fpStore.qualifiedName)) {
+      val seed =
+        if (spark.catalog.tableExists(target.qualifiedName)) spark.table(target.qualifiedName)
+        else stream.sparkSession.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+      IncrementalDedup.buildFingerprintStore(spark, seed, textCol, fpStore)
+    }
+    TableIO.clearOrphanLocation(spark, target)
+    val query = stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hits = IncrementalDedup.contaminatedIncremental(
+          spark, batch, idCol, textCol, gramStore, gramK)
+        val clean = batch.join(
+          org.apache.spark.sql.functions.broadcast(hits), Seq(idCol), "left_anti")
+        val survivors = IncrementalDedup.dedupExactIncremental(
+          spark, clean, textCol, idCol, fpStore)
+        if (!spark.catalog.tableExists(target.qualifiedName))
+          TableIO.overwrite(spark, survivors, target)
+        else
+          survivors.write.mode("append").saveAsTable(target.qualifiedName)
+        spark.catalog.refreshTable(target.qualifiedName)
+        ()
+      }
+      .start()
+    if (await) query.awaitTermination()
+    query
+  }
 }

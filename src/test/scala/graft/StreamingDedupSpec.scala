@@ -43,6 +43,45 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.table(store.qualifiedName).distinct().count() == 3)
   }
 
+  test("curated ingest: contaminated docs dropped, dups suppressed, clean docs land") {
+    val dir  = tmpDir()
+    val src  = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    new java.io.File(src).mkdirs()
+    val target    = Table("graft_stream_cur_t")
+    val fpStore   = Table("graft_stream_cur_fp")
+    val gramStore = Table("graft_stream_cur_g")
+    graft.dedup.IncrementalDedup.buildGramStore(spark,
+      Seq((900L, "benchmark question one two three four five six seven eight"))
+        .toDF("doc_id", "text"),
+      "text", gramStore)
+
+    // wave 1: clean doc, contaminated doc (shares the eval 8-gram), dup pair
+    Seq(
+      (1L, "a perfectly clean training document body"),
+      (2L, "prefix benchmark question one two three four five six seven eight suffix"),
+      (3L, "another clean body"),
+      (4L, "ANOTHER  clean body"), // exact dup of 3 after normalization
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamingDedup.curatedIngestSink(spark,
+      spark.readStream.schema(schema).parquet(src),
+      "text", "doc_id", target, fpStore, gramStore, ckpt)
+    assert(spark.table(target.qualifiedName).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+
+    // wave 2: cross-wave dup of 1 + a newly contaminated doc + a new clean doc
+    Seq(
+      (10L, "a perfectly CLEAN training document body"),
+      (11L, "more benchmark question one two three four five six seven eight text"),
+      (12L, "fresh clean content for wave two")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    StreamingDedup.curatedIngestSink(spark,
+      spark.readStream.schema(schema).parquet(src),
+      "text", "doc_id", target, fpStore, gramStore, ckpt)
+    assert(spark.table(target.qualifiedName).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 12L))
+  }
+
   test("near-dedup-on-ingest: batch-internal and cross-wave near-dups collapse") {
     val dir  = tmpDir()
     val src  = s"$dir/src"
