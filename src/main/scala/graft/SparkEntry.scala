@@ -1629,6 +1629,29 @@ object SparkEntry {
         idCol = "doc_id", textCol = "text", langCol = "lang",
         minTokens = 25, maxTokens = 80))
     }),
+
+    // incremental perceptual image dedup: dHash pigeonhole index persisted
+    // for seed groups 0-19; the arriving batch (all 40 seed groups, with
+    // brightness variants) keeps exactly the unseen groups — survivors are
+    // closed-form (dHash is brightness-invariant in the fixture range,
+    // cross-seed hamming floor > 4 per ImageCodecSpec)
+    "q118_image_dedup_incremental" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val storeImgs = graft.multimodal.Multimodal.synthGrayImages(
+        d.filter(col("doc_id") < 20), seed = col("doc_id"),
+        width = lit(32), height = lit(24), brightenDelta = lit(0))
+      val storeHashed = graft.multimodal.Multimodal.imageDHash(storeImgs, "img_bytes")
+        .select(col("doc_id"), col("dhash"))
+      val index = Table("graft_q118_dhash_index")
+      IncrementalDedup.buildHash64Index(s, storeHashed, "doc_id", "dhash", index, maxHamming = 4)
+      val batchImgs = graft.multimodal.Multimodal.synthGrayImages(d,
+        seed = col("doc_id") % 40, width = lit(32), height = lit(24),
+        brightenDelta = (col("doc_id") % 3) * 10)
+      val batchHashed = graft.multimodal.Multimodal.imageDHash(batchImgs, "img_bytes")
+      IncrementalDedup.dedupHash64Incremental(s, batchHashed, "doc_id", "dhash", index,
+          maxHamming = 4, updateIndex = false)
+        .select(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2821,5 +2844,9 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'quality', CAST(count(*) AS BIGINT) FROM q
         |UNION ALL SELECT CAST(3 AS BIGINT), 'decontaminated', CAST(count(*) AS BIGINT) FROM clean
         |UNION ALL SELECT CAST(4 AS BIGINT), 'mixture', CAST(count(*) AS BIGINT) FROM mixed""".stripMargin,
+
+    // stored seed groups 0-19 absorb every batch doc in those groups
+    "q118_image_dedup_incremental" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 40 >= 20",
   )
 }

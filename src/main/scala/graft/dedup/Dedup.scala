@@ -696,6 +696,24 @@ object Dedup {
     * (it IS the payload — 8 bytes). Null hashes (undecodable payloads) are
     * dropped up front.
     */
+  /** Pigeonhole chunk rows for a 64-bit similarity hash: `(id, sim, chunk,
+    * val)` — any two hashes within `chunks - 1` hamming share at least one
+    * identical chunk. Shared by the batch pair-join and the incremental
+    * index ([[IncrementalDedup.buildHash64Index]]).
+    */
+  private[dedup] def hash64Chunks(
+      df: DataFrame, idCol: String, hashCol: String, chunks: Int): DataFrame = {
+    val width = 64 / chunks
+    df.select(col(idCol).as("id"), col(hashCol).as("sim"))
+      .where(col("sim").isNotNull)
+      .select(
+        col("id"), col("sim"),
+        posexplode(array((0 until chunks).map { j =>
+          shiftrightunsigned(col("sim"), j * width).bitwiseAND(lit((1L << width) - 1))
+        }: _*)),
+      ).toDF("id", "sim", "chunk", "val")
+  }
+
   def nearDupPairsHash64(
       df: DataFrame,
       idCol: String,
@@ -703,16 +721,8 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
   ): DataFrame = {
-    val chunks = maxHamming + 1
-    val width  = 64 / chunks
-    val withSim = df.select(col(idCol).as("id"), col(hashCol).as("sim"))
-      .where(col("sim").isNotNull)
-    val blocked = withSim.select(
-      col("id"), col("sim"),
-      posexplode(array((0 until chunks).map { j =>
-        shiftrightunsigned(col("sim"), j * width).bitwiseAND(lit((1L << width) - 1))
-      }: _*)),
-    ).toDF("id", "sim", "chunk", "val")
+    val chunks  = maxHamming + 1
+    val blocked = hash64Chunks(df, idCol, hashCol, chunks)
     val capped = blocked.withColumn(
       "__bsz", count(lit(1)).over(Window.partitionBy(col("chunk"), col("val"))),
     ).where(col("__bsz") <= maxBucketSize).drop("__bsz")

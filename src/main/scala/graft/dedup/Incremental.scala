@@ -86,6 +86,62 @@ object IncrementalDedup {
     survivors.drop("__fp")
   }
 
+  // ===== perceptual / 64-bit similarity hashes =====
+
+  /** Materialize a corpus's 64-bit similarity hashes (dHash/SimHash) as the
+    * at-rest near-dup state: pigeonhole chunk rows `(id, chunk, val, sim)` —
+    * `maxHamming + 1` rows × 28 bytes per item, the image/audio analog of
+    * [[buildLshIndex]]. `maxHamming` is baked into the index layout (it
+    * fixes the chunk count), so later [[dedupHash64Incremental]] calls must
+    * use the same value.
+    */
+  def buildHash64Index(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      hashCol: String,
+      index: Table,
+      maxHamming: Int = 3,
+  ): Table =
+    TableIO.overwrite(spark,
+      Dedup.hash64Chunks(corpus, idCol, hashCol, maxHamming + 1), index)
+
+  /** Keep the batch rows whose hash is NOT within `maxHamming` of any
+    * indexed hash. The index streams one scan with the batch's chunk rows
+    * broadcast; the stored `sim` rides the index row (8 bytes), so the
+    * popcount verify is inline — no second corpus pass at all, unlike the
+    * shingle variant's set re-join. With `updateIndex`, survivors' chunks
+    * append (checkpoint-pinned first), so the next batch also dedups
+    * against everything admitted so far.
+    */
+  def dedupHash64Incremental(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      hashCol: String,
+      index: Table,
+      maxHamming: Int = 3,
+      updateIndex: Boolean = true,
+  ): DataFrame = {
+    val chunks = maxHamming + 1
+    val bChunks = Dedup.hash64Chunks(batch, idCol, hashCol, chunks)
+      .toDF("batch_id", "batch_sim", "chunk", "val")
+    val dup = spark.table(index.qualifiedName)
+      .join(broadcast(bChunks), Seq("chunk", "val"))
+      .where(call_function("bit_count",
+        col("sim").bitwiseXOR(col("batch_sim"))) <= maxHamming)
+      .select(col("batch_id")).distinct()
+    val survivors = batch
+      .join(broadcast(dup), col(idCol) === col("batch_id"), "left_anti")
+      .localCheckpoint(true)
+    if (updateIndex) {
+      Dedup.hash64Chunks(survivors, idCol, hashCol, chunks)
+        .write.mode(SaveMode.Append).saveAsTable(index.qualifiedName)
+      spark.catalog.refreshTable(index.qualifiedName)
+    }
+    survivors
+  }
+
   // ===== decontamination =====
 
   /** Materialize an eval corpus's distinct k-word grams as the at-rest

@@ -221,4 +221,19 @@ class IncrementalDedupSpec extends SparkSpec {
     val out = Dedup.contaminatedBloom(docs, ev, "doc_id", "text", k = 8)
     assert(out.count() == 0)
   }
+
+  test("hash64 incremental: near-index items drop, survivors extend the index") {
+    val idx = Table("graft_test_h64_index")
+    IncrementalDedup.buildHash64Index(spark,
+      Seq((1L, 0x0L)).toDF("id", "h"), "id", "h", idx, maxHamming = 3)
+    // 0x3 is hamming 2 from the stored 0x0 → dropped; 0xFFFF is hamming 16 → kept
+    val s1 = IncrementalDedup.dedupHash64Incremental(spark,
+      Seq((10L, 0x3L), (11L, 0xFFFFL)).toDF("id", "h"), "id", "h", idx, maxHamming = 3)
+    assert(s1.select("id").as[Long].collect().toSet == Set(11L))
+    // cross-batch: 0xFFFC is hamming 2 from the ADMITTED 0xFFFF → dropped
+    val s2 = IncrementalDedup.dedupHash64Incremental(spark,
+      Seq((20L, 0xFFFCL)).toDF("id", "h"), "id", "h", idx, maxHamming = 3)
+    assert(s2.count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.qualifiedName}")
+  }
 }
