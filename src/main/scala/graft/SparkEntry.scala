@@ -1652,6 +1652,18 @@ object SparkEntry {
           maxHamming = 4, updateIndex = false)
         .select(col("doc_id"))
     }),
+
+    // video near-dup via shared sampled-keyframe hashes: same seed group ⇒
+    // byte-identical frames ⇒ closed-form pairs; seed spacing (×1000) keeps
+    // frame sequences of different groups disjoint
+    "q119_video_neardup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val gifs = graft.multimodal.Multimodal.synthAnimatedGifs(d,
+        seed = (col("doc_id") % 25) * 1000,
+        nFrames = (col("doc_id") % 25) % 3 + 3, width = 16, height = 12)
+      graft.multimodal.Multimodal.videoNearDupPairs(gifs, "doc_id", "gif_bytes",
+        sampleFrames = 4, minShared = 2)
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2848,5 +2860,13 @@ object SparkEntry {
     // stored seed groups 0-19 absorb every batch doc in those groups
     "q118_image_dedup_incremental" ->
       "SELECT doc_id FROM documents WHERE doc_id % 40 >= 20",
+
+    // same-group videos share ALL sampled frames: group g has g%3+3 frames,
+    // sampling picks min(4, n) of them
+    "q119_video_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(least(4, (a.doc_id % 25) % 3 + 3) AS BIGINT) AS shared_frames
+        |FROM documents a JOIN documents b
+        |ON a.doc_id < b.doc_id AND a.doc_id % 25 = b.doc_id % 25""".stripMargin,
   )
 }

@@ -415,4 +415,38 @@ object Multimodal {
     val parts = math.max(1, math.ceil(total.toDouble / targetPartitionBytes).toInt)
     df.repartition(parts)
   }
+
+  /** Video near-dup pairs via shared sampled-keyframe perceptual hashes —
+    * the standard scale recipe for video dedup (sample k frames, hash each,
+    * candidate = videos sharing ≥ `minShared` frame hashes): composes
+    * [[sampleGifFrames]] + [[imageDHash]] into an EXACT-equality equi-join
+    * keyed by the 8-byte hash. Scale shape: the join input is
+    * (id, frame_hash) rows only — `sampleFrames` rows per video, payload
+    * never joins; corpus-wide hot frames (intros, black frames) are
+    * bucket-capped like every LSH join here. Output
+    * `(id_a, id_b, shared_frames)`.
+    */
+  def videoNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      gifCol: String,
+      sampleFrames: Int = 4,
+      minShared: Int = 2,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    val sampled = sampleGifFrames(df.select(col(idCol), col(gifCol)), gifCol,
+      "__frames", sampleFrames)
+    val hashed = imageDHash(
+      sampled.select(col(idCol), explode(col("__frames")).as("__frame")), "__frame", "fh")
+      .select(col(idCol), col("fh")).where(col("fh").isNotNull)
+    val capped = hashed.withColumn("__bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))))
+      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val a = capped.select(col(idCol).as("id_a"), col("fh"))
+    val b = capped.select(col(idCol).as("id_b"), col("fh"))
+    a.join(b, Seq("fh")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fh")).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
 }

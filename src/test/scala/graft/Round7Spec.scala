@@ -114,6 +114,20 @@ class Round7Spec extends SparkSpec {
     assert(ops.Sampling.temperatureMixture(df, "lang", "doc_id", alpha = 1.0).count() == 800)
   }
 
+  // ---- video near-dup -------------------------------------------------------
+
+  test("videoNearDupPairs pairs videos sharing sampled-frame hashes") {
+    val d = Seq(1L, 2L, 3L).toDF("id")
+    // ids 1 and 2 share a seed (identical frames); id 3 is far away
+    val gifs = graft.multimodal.Multimodal.synthAnimatedGifs(d,
+      seed = when($"id" === 3L, lit(99000L)).otherwise(lit(5000L)),
+      nFrames = lit(4), width = 16, height = 12)
+    val pairs = graft.multimodal.Multimodal.videoNearDupPairs(gifs, "id", "gif_bytes",
+      sampleFrames = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 4L))) // all 4 frames shared; 3 matches nobody
+  }
+
   // ---- curation pipeline ----------------------------------------------------
 
   test("Curate.pipeline funnel shrinks monotonically and stages do their job") {
