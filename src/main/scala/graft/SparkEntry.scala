@@ -1664,6 +1664,19 @@ object SparkEntry {
       graft.multimodal.Multimodal.videoNearDupPairs(gifs, "doc_id", "gif_bytes",
         sampleFrames = 4, minShared = 2)
     }),
+
+    // audio near-dup: perceptual audioHash64 over pseudo-noise fixtures —
+    // same seed group ⇒ identical hash, cross-group bits are coin flips
+    // (P(hamming<=4) ~ 1e-13), so transitive dedup keeps min-id per group
+    "q120_audio_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val wavs = graft.multimodal.Multimodal.synthNoiseWavs(d,
+        seed = col("doc_id") % 30, frames = lit(4000))
+      val hashed = graft.multimodal.Multimodal.audioHash(wavs, "wav_bytes")
+      Dedup.dedupHash64Transitive(hashed, "doc_id", "ahash",
+          maxHamming = 4, maxBucketSize = 100000)
+        .select(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2868,5 +2881,11 @@ object SparkEntry {
         |CAST(least(4, (a.doc_id % 25) % 3 + 3) AS BIGINT) AS shared_frames
         |FROM documents a JOIN documents b
         |ON a.doc_id < b.doc_id AND a.doc_id % 25 = b.doc_id % 25""".stripMargin,
+
+    // min id survives per doc_id%30 audio seed group
+    "q120_audio_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id = (SELECT min(b.doc_id) FROM documents b
+        |  WHERE b.doc_id % 30 = documents.doc_id % 30)""".stripMargin,
   )
 }

@@ -98,6 +98,57 @@ object AudioCodec {
     n
   }
 
+  /** 64-bit perceptual audio hash: 65 equal windows of the mono-mixed
+    * signal, bit i set when window i+1 is LOUDER (rms) than window i — the
+    * audio analog of [[ImageCodec.dHash64]] (gradient signs survive volume
+    * scaling and re-encoding, absolute levels don't). None for undecodable
+    * payloads or signals shorter than 2 samples per window (130 frames).
+    */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    decodeSamplesMono(bytes).flatMap { s =>
+      val windows = 65
+      if (s.length < windows * 2) None
+      else {
+        val lvl = new Array[Double](windows)
+        var w = 0
+        while (w < windows) {
+          val lo  = (w.toLong * s.length / windows).toInt
+          val hi  = ((w + 1).toLong * s.length / windows).toInt
+          var acc = 0.0
+          var i   = lo
+          while (i < hi) { acc += s(i).toDouble * s(i); i += 1 }
+          lvl(w) = math.sqrt(acc / math.max(1, hi - lo))
+          w += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < 64) {
+          if (lvl(b + 1) > lvl(b)) h |= (1L << b)
+          b += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** Deterministic pseudo-noise WAV (xorshift64* PRNG from `seed`): the
+    * fixture generator for audio near-dup — same seed ⇒ byte-identical
+    * file, different seeds ⇒ independent streams whose [[audioHash64]]
+    * bits are coin flips (expected hamming 32; P(≤4) ≈ 1e-13). NOT part
+    * of the codec surface.
+    */
+  def renderNoiseWav(seed: Long, frames: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(frames >= 1)
+    val samples = new Array[Short](frames)
+    var x = seed * 2685821657736338717L + 1442695040888963407L
+    var i = 0
+    while (i < frames) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      samples(i) = ((x * 2685821657736338717L) >>> 48).toShort
+      i += 1
+    }
+    encodeWavMono(samples, sampleRate)
+  }
+
   /** Encode mono 16-bit signed little-endian PCM samples as WAV. */
   def encodeWavMono(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val raw = new Array[Byte](samples.length * 2)

@@ -416,6 +416,50 @@ object Multimodal {
     df.repartition(parts)
   }
 
+  /** Per-row 64-bit perceptual audio hash ([[AudioCodec.audioHash64]]):
+    * adds `outCol` (nullable long — null for undecodable/too-short
+    * payloads, which the hash64 dedup family passes through as survivors).
+    */
+  def audioHash(
+      df: DataFrame,
+      bytesCol: String,
+      outCol: String = "ahash",
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    val idx       = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val h = AudioCodec.audioHash64(row.getAs[Array[Byte]](idx))
+        Row.fromSeq(row.toSeq :+ h.map(Long.box).orNull)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic pseudo-noise WAV fixture generator (see
+    * [[AudioCodec.renderNoiseWav]]).
+    */
+  def synthNoiseWavs(
+      df: DataFrame,
+      seed: org.apache.spark.sql.Column,
+      frames: org.apache.spark.sql.Column,
+      outCol: String = "wav_bytes",
+      sampleRate: Int = 8000,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val tagged = df
+      .withColumn("__s", seed.cast(LongType))
+      .withColumn("__f", frames.cast(IntegerType))
+    val n         = df.schema.size
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    tagged.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        val wav = AudioCodec.renderNoiseWav(row.getLong(n), row.getInt(n + 1), sampleRate)
+        Row.fromSeq(row.toSeq.take(n) :+ wav)
+      })
+    }(Encoders.row(outSchema))
+  }
+
   /** Video near-dup pairs via shared sampled-keyframe perceptual hashes —
     * the standard scale recipe for video dedup (sample k frames, hash each,
     * candidate = videos sharing ≥ `minShared` frame hashes): composes

@@ -128,6 +128,17 @@ class Round7Spec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 4L))) // all 4 frames shared; 3 matches nobody
   }
 
+  test("audioHash64 is stable per signal, differs across noise seeds, null when short") {
+    import graft.multimodal.AudioCodec
+    val a1 = AudioCodec.audioHash64(AudioCodec.renderNoiseWav(7L, 4000))
+    val a2 = AudioCodec.audioHash64(AudioCodec.renderNoiseWav(7L, 4000))
+    val b  = AudioCodec.audioHash64(AudioCodec.renderNoiseWav(8L, 4000))
+    assert(a1.isDefined && a1 == a2)
+    assert(java.lang.Long.bitCount(a1.get ^ b.get) > 8) // independent streams
+    assert(AudioCodec.audioHash64(AudioCodec.renderNoiseWav(7L, 100)).isEmpty) // < 130 frames
+    assert(AudioCodec.audioHash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   // ---- curation pipeline ----------------------------------------------------
 
   test("Curate.pipeline funnel shrinks monotonically and stages do their job") {
