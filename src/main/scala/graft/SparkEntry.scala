@@ -1677,6 +1677,51 @@ object SparkEntry {
           maxHamming = 4, maxBucketSize = 100000)
         .select(col("doc_id"))
     }),
+
+    // ---- round-7c: scan-speed curation projections + domain filtering ----
+
+    // intra-document exact line dedup (RefinedWeb's "remove duplicated lines
+    // within a document") as a codegen'd per-row pass — the corpus-level
+    // frequent-line remover is q75. documents.text is single-line by
+    // construction, so lines are synthesized one-word-per-line plus a
+    // repeated HEADER and a blank separator: real repeats, a blank line to
+    // preserve, and a duplicate across the blank.
+    "q121_dedup_lines_intra" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents")
+      val lined = concat(lit("HEADER\n"), regexp_replace(col("text"), " ", "\n"),
+        lit("\n\nHEADER"))
+      val deduped = TextFunctions.dedupLines(lined)
+      d.select(col("doc_id"),
+        deduped.as("text_dedup"),
+        size(split(lined, "\n", -1)).cast("long").as("n_lines_in"),
+        size(split(deduped, "\n", -1)).cast("long").as("n_lines_kept"))
+    }),
+
+    // registered-domain blocklist filter (broadcast LEFT ANTI — zero corpus
+    // shuffle) + per-domain doc/token stats, the standard web-crawl curation
+    // gate. URLs synthesized from (source, doc_id) so domains are dense.
+    "q122_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val d   = tbl(s, dir, "documents")
+      val url = concat(lit("https://a."), col("source"), col("doc_id") % 3,
+        lit(".org/p/"), col("doc_id"))
+      val withUrl   = d.withColumn("url", url)
+      val blocklist = Seq("src00.org", "src21.org").toDF("domain")
+      val kept      = WebFilter.blockDomainsTable(withUrl, col("url"), blocklist)
+      WebFilter.domainStats(kept, col("url"), col("text"))
+    }),
+
+    // text sanitization battery (control/zero-width strip, CRLF normalize,
+    // whitespace collapse, blank-run cap, trim) — one codegen'd projection.
+    // Noise is injected deterministically so every cleanup step fires.
+    "q123_sanitize" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents")
+      val noisy = concat(lit("  "), col("text"),
+        lit(" \u0001\r\n\n\n\ntail\u200Bend  "))
+      val clean = TextFunctions.sanitizeText(noisy)
+      d.select(col("doc_id"), clean.as("text_clean"),
+        (length(noisy) - length(clean)).cast("long").as("n_chars_removed"))
+    }),
   )
 
   /** DuckDB oracles. Notes on cross-engine parity:
@@ -2887,5 +2932,55 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE doc_id = (SELECT min(b.doc_id) FROM documents b
         |  WHERE b.doc_id % 30 = documents.doc_id % 30)""".stripMargin,
+
+    // mirrors TextImpl.dedupLines: keep blank lines (space/tab/CR only) and
+    // the FIRST occurrence of each non-blank line, join back in line order
+    "q121_dedup_lines_intra" ->
+      """WITH lined AS (SELECT doc_id,
+        |  'HEADER' || chr(10) || replace(text, ' ', chr(10)) ||
+        |  chr(10) || chr(10) || 'HEADER' AS t FROM documents),
+        |l AS (SELECT doc_id,
+        |  unnest(string_split(t, chr(10))) AS line,
+        |  generate_subscripts(string_split(t, chr(10)), 1) AS ord FROM lined),
+        |k AS (SELECT doc_id, line, ord,
+        |  (trim(line, ' ' || chr(9) || chr(13)) = ''
+        |   OR row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) = 1) AS keep
+        |  FROM l)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY ord) FILTER (WHERE keep) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_lines_in,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // mirrors WebFilter: domain = last two host labels of the synthesized
+    // URL = source || (doc_id%3) || '.org'; blocklist NOT IN; token count is
+    // the engine-wide whitespace rule
+    "q122_domain_filter" ->
+      """WITH u AS (SELECT doc_id, text,
+        |  lower(source) || (doc_id % 3) || '.org' AS domain FROM documents)
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |FROM u WHERE domain NOT IN ('src00.org', 'src21.org')
+        |GROUP BY domain""".stripMargin,
+
+    // mirrors TextImpl.sanitize step for step (all RE2): strip control +
+    // zero-width chars, CRLF/CR -> LF, collapse space/tab runs, drop the
+    // trailing space before each LF, cap LF runs at two, trim spaces/LFs
+    "q123_sanitize" ->
+      """WITH noisy AS (SELECT doc_id,
+        |  '  ' || text || ' ' || chr(1) || chr(13) || chr(10) || chr(10) ||
+        |  chr(10) || chr(10) || 'tail' || chr(8203) || 'end  ' AS t FROM documents),
+        |s1 AS (SELECT doc_id, t, regexp_replace(t,
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS c FROM noisy),
+        |s2 AS (SELECT doc_id, t,
+        |  replace(replace(c, chr(13) || chr(10), chr(10)), chr(13), chr(10)) AS c FROM s1),
+        |s3 AS (SELECT doc_id, t, regexp_replace(c, '[ \t]+', ' ', 'g') AS c FROM s2),
+        |s4 AS (SELECT doc_id, t, replace(c, ' ' || chr(10), chr(10)) AS c FROM s3),
+        |s5 AS (SELECT doc_id, t,
+        |  regexp_replace(c, '\n{3,}', chr(10) || chr(10), 'g') AS c FROM s4),
+        |f AS (SELECT doc_id, t, trim(c, ' ' || chr(10)) AS clean FROM s5)
+        |SELECT doc_id, clean AS text_clean,
+        |  CAST(length(t) - length(clean) AS BIGINT) AS n_chars_removed FROM f""".stripMargin,
   )
 }

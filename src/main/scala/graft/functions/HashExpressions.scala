@@ -495,6 +495,8 @@ object NativeFunctions {
   def wordShingles(text: Column, k: Int = 3): Column = c(WordShinglesExpr(x(text), k))
   def luhnValid(s: Column): Column = c(LuhnValidExpr(x(s)))
   def htmlToText(html: Column): Column = c(HtmlToTextExpr(x(html)))
+  def dedupLines(text: Column): Column   = c(DedupLinesExpr(x(text)))
+  def sanitizeText(text: Column): Column = c(SanitizeTextExpr(x(text)))
   def maskCreditCards(text: Column, token: String = "<CC>"): Column =
     c(MaskLuhnExpr(x(text), token))
 }

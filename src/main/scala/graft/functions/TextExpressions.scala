@@ -493,6 +493,78 @@ object TextImpl {
     while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
     UTF8String.fromString(s.substring(lo, hi))
   }
+
+  // --- intra-document line dedup --------------------------------------------
+  /** RefinedWeb-style intra-document exact line dedup: split on '\n', always
+    * keep blank lines (spaces/tabs/CR only — they carry paragraph structure,
+    * not content), keep the FIRST occurrence of every non-blank line, drop
+    * later exact repeats, re-join with '\n'. One pass, O(lines) per document
+    * via a per-row HashSet — the corpus-level twin is
+    * [[graft.dedup.Dedup.stripBoilerplateLines]], which needs a shuffle;
+    * this one runs at scan speed inside whole-stage codegen.
+    *
+    * Oracle-mirrorable: unnest lines WITH ORDINALITY, keep blank-or-first
+    * rows, string_agg back in ordinal order (SparkEntry q121).
+    */
+  def dedupLines(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (s.indexOf('\n') < 0) return u
+    val lines = s.split("\n", -1)
+    val seen  = new java.util.HashSet[String](lines.length * 2)
+    val sb    = new java.lang.StringBuilder(s.length)
+    var first = true
+    var i     = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      if (isBlankLine(line) || seen.add(line)) {
+        if (!first) sb.append('\n')
+        sb.append(line)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def isBlankLine(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != ' ' && c != '\t' && c != '\r') return false
+      i += 1
+    }
+    true
+  }
+
+  // --- text sanitization ----------------------------------------------------
+  // A FIXED cleanup chain (each step RE2-expressible, so a SQL oracle mirrors
+  // it step for step — SparkEntry q123):
+  //   1. drop control chars (C0 minus \t\n\r, plus DEL) and the zero-width
+  //      set U+200B..U+200D, U+FEFF (ZWSP/ZWNJ/ZWJ/BOM);
+  //   2. normalize line endings: CRLF → LF, lone CR → LF;
+  //   3. collapse space/tab runs to one space;
+  //   4. strip the (now single) trailing space before each newline;
+  //   5. collapse 3+ newline runs to exactly two (one blank line —
+  //      paragraph breaks survive, vertical padding doesn't);
+  //   6. trim leading/trailing spaces and newlines.
+  private val CtrlRe = java.util.regex.Pattern.compile(
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B-\\u200D\\uFEFF]")
+  private val SpaceTabRunRe = java.util.regex.Pattern.compile("[ \t]+")
+  private val ParaRunRe     = java.util.regex.Pattern.compile("\n{3,}")
+
+  def sanitize(u: UTF8String): UTF8String = {
+    var s = u.toString
+    s = CtrlRe.matcher(s).replaceAll("")
+    s = s.replace("\r\n", "\n").replace('\r', '\n')
+    s = SpaceTabRunRe.matcher(s).replaceAll(" ")
+    s = s.replace(" \n", "\n")
+    s = ParaRunRe.matcher(s).replaceAll("\n\n")
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && (s.charAt(lo) == ' ' || s.charAt(lo) == '\n')) lo += 1
+    while (hi > lo && (s.charAt(hi - 1) == ' ' || s.charAt(hi - 1) == '\n')) hi -= 1
+    UTF8String.fromString(s.substring(lo, hi))
+  }
 }
 
 /** HTML → plain text as a single codegen'd tree node — see
@@ -626,5 +698,32 @@ case class MaskLuhnExpr(child: Expression, token: String) extends GraftUnaryCode
   override protected def staticCall(c: String): String =
     throw new IllegalStateException("doGenCode overridden")
   override protected def withNewChildInternal(newChild: Expression): MaskLuhnExpr =
+    copy(child = newChild)
+}
+
+/** Intra-document exact line dedup as a single codegen'd tree node — see
+  * [[TextImpl.dedupLines]] for the keep-first / keep-blank semantics.
+  */
+case class DedupLinesExpr(child: Expression) extends GraftUnaryCodegen {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.dedupLines(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextImpl.dedupLines($c)"
+  override protected def withNewChildInternal(newChild: Expression): DedupLinesExpr =
+    copy(child = newChild)
+}
+
+/** Text sanitization (control/zero-width strip + whitespace normalization)
+  * as a single codegen'd tree node — see [[TextImpl.sanitize]] for the fixed
+  * RE2-mirrorable cleanup chain.
+  */
+case class SanitizeTextExpr(child: Expression) extends GraftUnaryCodegen {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.sanitize(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextImpl.sanitize($c)"
+  override protected def withNewChildInternal(newChild: Expression): SanitizeTextExpr =
     copy(child = newChild)
 }

@@ -270,4 +270,19 @@ object TextFunctions {
     * so a SQL oracle can mirror it with RE2 regexes.
     */
   def htmlToText(c: Column): Column = NativeFunctions.htmlToText(c)
+
+  /** Intra-document exact line dedup (RefinedWeb-style): keep blank lines and
+    * the first occurrence of every non-blank line, drop later exact repeats.
+    * Per-row scan-speed projection ([[graft.functions.DedupLinesExpr]]) — the
+    * corpus-level frequent-line remover is
+    * [[graft.dedup.Dedup.stripBoilerplateLines]].
+    */
+  def dedupLines(c: Column): Column = NativeFunctions.dedupLines(c)
+
+  /** Text sanitization: strip control + zero-width characters, normalize line
+    * endings, collapse space/tab runs, drop trailing per-line spaces, cap
+    * blank-line runs at one, trim. Fixed RE2-mirrorable chain documented on
+    * [[graft.functions.TextImpl.sanitize]].
+    */
+  def sanitizeText(c: Column): Column = NativeFunctions.sanitizeText(c)
 }

@@ -150,6 +150,16 @@ object GraftFunctions {
       case Seq(u) => UrlNormalizeExpr(u)
       case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
     },
+    fn("graft_dedup_lines",
+      "graft_dedup_lines(text) - drop repeated non-blank lines within a document (keep first)") {
+      case Seq(t) => DedupLinesExpr(t)
+      case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
+    },
+    fn("graft_sanitize",
+      "graft_sanitize(text) - strip control/zero-width chars, normalize whitespace") {
+      case Seq(t) => SanitizeTextExpr(t)
+      case args   => throw new IllegalArgumentException(s"expects 1 arg, got ${args.length}")
+    },
   )
 
   /** Register (or re-register) every graft function on a live session. */
