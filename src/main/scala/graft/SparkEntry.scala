@@ -1711,6 +1711,39 @@ object SparkEntry {
       WebFilter.domainStats(kept, col("url"), col("text"))
     }),
 
+    // PQ-ADC similarity search, production dial (rows-only BY DESIGN —
+    // approximation is the point): the corpus scans as m=8-byte PQ codes
+    // (32× fewer bytes than raw 64-d floats), each row scores as 8 LUT
+    // lookups, and only the top-40 ADC pool per query is re-ranked exactly.
+    // The 100 TB regime this measures: bytes-scanned-per-query-batch.
+    "q124_pq_ann" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      val cb      = graft.similarity.Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
+      graft.similarity.Pq.pqTopK(e, queries, "vec_id", "embedding", "qid", "embedding", cb,
+          k = 10, rerank = 40)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    // persisted IVF-PQ index at the recall-exact dial (nprobe = all cells,
+    // rerank ≥ corpus): the ENTIRE path — train, encode, bucketed code
+    // table, cell probe, ADC, exact re-rank — runs end-to-end, and the
+    // degenerate dial makes the answer equal exact brute force, so this has
+    // a FULL oracle (q18's). Production dials are recall-tested in PqSpec.
+    "q125_pq_index" -> ((s, dir) => {
+      val e   = tbl(s, dir, "embeddings")
+      val idx = Table("graft_q125_index")
+      val cen = Table("graft_q125_centroids")
+      val cbt = Table("graft_q125_codebook")
+      graft.similarity.Pq.buildPqIndex(s, e, "vec_id", "embedding", idx, cen, cbt,
+        m = 8, k = 16, numCentroids = 8, numBuckets = 8)
+      val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      graft.similarity.Pq.queryPqIndex(s, idx, cen, cbt, e, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 10, nprobe = 8, rerank = 2500)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // text sanitization battery (control/zero-width strip, CRLF normalize,
     // whitespace collapse, blank-run cap, trim) — one codegen'd projection.
     // Noise is injected deterministically so every cleanup step fires.
@@ -2963,6 +2996,23 @@ object SparkEntry {
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
         |FROM u WHERE domain NOT IN ('src00.org', 'src21.org')
         |GROUP BY domain""".stripMargin,
+
+    // recall-exact dial (nprobe = all cells, rerank >= corpus) ⇒ the exact
+    // brute-force answer — same oracle as q18
+    "q125_pq_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     // mirrors TextImpl.sanitize step for step (all RE2): strip control +
     // zero-width chars, CRLF/CR -> LF, collapse space/tab runs, drop the

@@ -102,7 +102,7 @@ object Ann {
   /** groupBy(query_id) bounded-heap top-k over (`__sim`, `__nid`) rows →
     * (query_id, rank, neighbor_id, cosine).
     */
-  private def topKOf(scored: DataFrame, k: Int): DataFrame = {
+  private[similarity] def topKOf(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
     scored
       .groupBy(col("query_id"))
@@ -207,7 +207,7 @@ object Ann {
     * driver state (C × dim floats), the one legitimate collect in the IVF
     * path.
     */
-  private def sampleCentroids(
+  private[similarity] def sampleCentroids(
       corpus: DataFrame,
       corpusId: String,
       corpusVec: String,
