@@ -1744,6 +1744,21 @@ object SparkEntry {
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // real BPE token accounting (rows-only BY DESIGN — merge learning is
+    // not SQL-expressible; the algorithm itself is oracle-tested in BpeSpec
+    // on the classic Sennrich corpus). Trains on the distributed word-count
+    // dictionary, persists the merge table, re-loads it (the cross-session
+    // production shape: train once, meter every later batch), and counts
+    // via the codegen'd kernel.
+    "q126_bpe_tokens" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents")
+      val model = Bpe.train(d, "text", numMerges = 200)
+      val t     = Table("graft_q126_bpe_model")
+      Bpe.saveModel(s, model, t)
+      val loaded = Bpe.loadModel(s, t)
+      d.select(col("doc_id"), loaded.countTokens(col("text")).as("n_bpe_tokens"))
+    }),
+
     // text sanitization battery (control/zero-width strip, CRLF normalize,
     // whitespace collapse, blank-run cap, trim) — one codegen'd projection.
     // Noise is injected deterministically so every cleanup step fires.
