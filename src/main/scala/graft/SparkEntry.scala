@@ -1759,6 +1759,31 @@ object SparkEntry {
       d.select(col("doc_id"), loaded.countTokens(col("text")).as("n_bpe_tokens"))
     }),
 
+    // trained quality classifier (CCNet-style fastText-filter analog):
+    // logistic regression over hashed word n-grams, trained on the even
+    // halves of (clean docs, docs with an injected spam tail), scored on
+    // the held-out odd halves. Everything is deterministic (hash-ordered
+    // sampling, fixed full-batch GD), and the synthetic signal is cleanly
+    // separable, so the held-out predictions equal the true labels — a
+    // FULL oracle for a trained-model pipeline.
+    "q127_quality_classifier" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spamTail = " cheap pills click here winner casino free bonus prize" +
+        " offer deal spin jackpot lotto scam promo cheap pills click here" +
+        " winner casino free bonus prize offer deal spin jackpot lotto scam promo"
+      val spam = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(spamTail)).as("text"))
+      val model = QualityClassifier.train(
+        d.filter(col("doc_id") % 2 === 0), spam.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dims = 1024, samplePerClass = 500, iters = 300)
+      val t = Table("graft_q127_qc_model")
+      QualityClassifier.saveModel(s, model, t)
+      val loaded = QualityClassifier.loadModel(s, t)
+      d.unionByName(spam).filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"),
+          when(loaded.score(col("text")) > 0.5, 1L).otherwise(0L).as("pred_quality"))
+    }),
+
     // text sanitization battery (control/zero-width strip, CRLF normalize,
     // whitespace collapse, blank-run cap, trim) — one codegen'd projection.
     // Noise is injected deterministically so every cleanup step fires.
@@ -3011,6 +3036,13 @@ object SparkEntry {
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
         |FROM u WHERE domain NOT IN ('src00.org', 'src21.org')
         |GROUP BY domain""".stripMargin,
+
+    // held-out predictions equal the construction labels (clean < 1000000,
+    // spam-tailed >= 1000000) — the classifier's correctness IS the oracle
+    "q127_quality_classifier" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS pred_quality FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT doc_id + 1000000, CAST(0 AS BIGINT) FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     // recall-exact dial (nprobe = all cells, rerank >= corpus) ⇒ the exact
     // brute-force answer — same oracle as q18
