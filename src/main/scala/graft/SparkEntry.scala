@@ -1784,6 +1784,16 @@ object SparkEntry {
           when(loaded.score(col("text")) > 0.5, 1L).otherwise(0L).as("pred_quality"))
     }),
 
+    // CCNet's head/middle/tail selection (Wenzek et al. §4.3): bucket docs
+    // by reference-LM perplexity within each group (source stands in for
+    // CCNet's language) — exact terciles, deterministic via the doc_id
+    // tie-break
+    "q128_ccnet_buckets" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      LangModel.perplexityBuckets(d.filter(col("doc_id") % 3 =!= 0), d,
+        "doc_id", "text", "source")
+    }),
+
     // text sanitization battery (control/zero-width strip, CRLF normalize,
     // whitespace collapse, blank-run cap, trim) — one codegen'd projection.
     // Noise is injected deterministically so every cleanup step fires.
@@ -3036,6 +3046,33 @@ object SparkEntry {
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
         |FROM u WHERE domain NOT IN ('src00.org', 'src21.org')
         |GROUP BY domain""".stripMargin,
+
+    // q97's scoring mirror + per-source ntile terciles (tie-break doc_id)
+    "q128_ccnet_buckets" ->
+      """WITH d AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |tr AS (SELECT toks FROM d WHERE doc_id % 3 <> 0),
+        |u AS (SELECT unnest(toks) AS w FROM tr),
+        |c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |tb AS (SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM tr WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2),
+        |db AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM d WHERE len(toks) >= 2),
+        |sc AS (SELECT db.doc_id, count(*) AS n_bigrams,
+        |  sum(-log2((coalesce(c12.c12, 0) + 1)::DOUBLE / (coalesce(c1.c1, 0) + (SELECT v FROM v))::DOUBLE)) AS bits
+        |  FROM db LEFT JOIN c1 ON db.w1 = c1.w
+        |  LEFT JOIN c12 ON db.w1 = c12.w1 AND db.w2 = c12.w2
+        |  GROUP BY db.doc_id),
+        |f AS (SELECT d.doc_id, d.source, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  round(coalesce(sc.bits / sc.n_bigrams, 0.0), 3) AS bits_per_bigram
+        |  FROM d LEFT JOIN sc USING (doc_id)),
+        |n AS (SELECT *, ntile(3) OVER (PARTITION BY source
+        |  ORDER BY bits_per_bigram, doc_id) AS nt FROM f)
+        |SELECT doc_id, source, n_tokens, bits_per_bigram,
+        |  CASE WHEN nt = 1 THEN 'head' WHEN nt = 3 THEN 'tail'
+        |       ELSE 'middle' END AS ppl_bucket FROM n""".stripMargin,
 
     // held-out predictions equal the construction labels (clean < 1000000,
     // spam-tailed >= 1000000) — the classifier's correctness IS the oracle

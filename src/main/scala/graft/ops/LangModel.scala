@@ -82,4 +82,42 @@ object LangModel {
           .as("bits_per_bigram"))
     scored
   }
+
+  /** CCNet's selection step (Wenzek et al. 2020 §4.3): bucket every doc
+    * into `head` / `middle` / `tail` by LM score WITHIN its group (CCNet
+    * groups by language; any column works — source, domain, snapshot).
+    * Head = lowest perplexity. Output: `(idCol, groupCol, n_tokens,
+    * bits_per_bigram, ppl_bucket)`.
+    *
+    * Exact terciles via `ntile` over (score, id) — the id tie-break makes
+    * the order total, so bucket assignment is deterministic and
+    * engine-portable. Scale note: this is CCNet's own per-language global
+    * sort — one shuffle per group member, bounded group count; for
+    * pathologically dominant groups the approx-percentile-threshold
+    * variant (two scans, no sort) is the drop-in alternative, at the cost
+    * of the exact-tercile contract this op pins.
+    */
+  def perplexityBuckets(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      buckets: Int = 3,
+  ): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val scored = scoreBigram(train, docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("bits_per_bigram"), col(idCol))
+    scored
+      .withColumn("__nt", ntile(buckets).over(w))
+      .withColumn("ppl_bucket",
+        when(col("__nt") === 1, "head")
+          .when(col("__nt") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("bits_per_bigram"), col("ppl_bucket"))
+  }
 }
