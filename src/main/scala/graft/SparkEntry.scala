@@ -1784,6 +1784,35 @@ object SparkEntry {
           when(loaded.score(col("text")) > 0.5, 1L).otherwise(0L).as("pred_quality"))
     }),
 
+    // ANN index maintenance under ingest: seed an IVF-PQ index on the even
+    // half of the embeddings, STREAM the odd half in through the persisted
+    // codebook (no retrain — codes stay comparable), then query the grown
+    // index at the recall-exact dial: the answer must equal brute force
+    // over the FULL corpus (q18's oracle) — proving streamed rows are
+    // first-class index citizens.
+    "q129_pq_stream_index" -> ((s, dir) => {
+      val e    = tbl(s, dir, "embeddings")
+      val seed = e.filter(col("vec_id") % 2 === 0)
+      val odd  = e.filter(col("vec_id") % 2 =!= 0)
+      val idx  = Table("graft_q129_index")
+      val cen  = Table("graft_q129_centroids")
+      val cbt  = Table("graft_q129_codebook")
+      graft.similarity.Pq.buildPqIndex(s, seed, "vec_id", "embedding", idx, cen, cbt,
+        m = 8, k = 16, numCentroids = 8, numBuckets = 8)
+      val streamDir = stageTwoBatches("q129",
+        odd.filter(col("vec_id") % 4 === 1), odd.filter(col("vec_id") % 4 === 3))
+      val schema = s.read.parquet(streamDir).schema
+      val ckpt   = s"$scratch/q129_ckpt_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.similarity.Pq.streamingIndexSink(s,
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir),
+        "vec_id", "embedding", idx, cen, cbt, ckpt, numBuckets = 8)
+      val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      graft.similarity.Pq.queryPqIndex(s, idx, cen, cbt, e, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 10, nprobe = 8, rerank = 2500)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // CCNet's head/middle/tail selection (Wenzek et al. §4.3): bucket docs
     // by reference-LM perplexity within each group (source stands in for
     // CCNet's language) — exact terciles, deterministic via the doc_id
@@ -3046,6 +3075,23 @@ object SparkEntry {
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
         |FROM u WHERE domain NOT IN ('src00.org', 'src21.org')
         |GROUP BY domain""".stripMargin,
+
+    // grown index at the recall-exact dial ⇒ brute force over the FULL
+    // embeddings table — identical to q18/q125's oracle
+    "q129_pq_stream_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     // q97's scoring mirror + per-source ntile terciles (tie-break doc_id)
     "q128_ccnet_buckets" ->

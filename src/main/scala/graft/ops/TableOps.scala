@@ -137,6 +137,29 @@ object TableIO {
     table
   }
 
+  /** Append to an existing bucketed table with the SAME bucket spec (Spark
+    * rejects mismatched specs, so the layout invariant — and the
+    * zero-exchange reads it buys — survives every append). Same
+    * pre-clustering as [[overwriteBucketed]]: one writer per bucket.
+    */
+  def appendBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      table: Table,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+  ): Table = {
+    require(spark.catalog.tableExists(table.qualifiedName),
+      s"appendBucketed: ${table.qualifiedName} must exist (use overwriteBucketed first)")
+    val clustered = df.repartition(numBuckets, bucketCols.map(df.col): _*)
+    val w0 = clustered.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w  = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w.saveAsTable(table.qualifiedName)
+    table
+  }
+
   /** Compact a fragmented managed table: rewrite it into
     * `ceil(totalBytes / targetFileBytes)` files. For a hive-partitioned
     * table the rewrite clusters by (partition columns, split key) where the

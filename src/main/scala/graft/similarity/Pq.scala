@@ -274,6 +274,71 @@ object Pq {
     cb
   }
 
+  /** Stream embeddings INTO a persisted IVF-PQ index (ANN index maintenance
+    * under ingest — the similarity-side twin of the incremental-dedup
+    * sinks): each micro-batch encodes against the PERSISTED codebook (no
+    * retraining, so codes stay comparable across every batch ever
+    * ingested), assigns its coarse cell, and bucket-appends to the code
+    * table. Codebook and centroids load once per stream start, not per
+    * batch. Replay semantics are the same honest at-least-once as the
+    * dedup sinks: a replayed batch re-appends its rows — run AvailableNow
+    * ingest or dedup by id downstream if exact-once matters.
+    *
+    * `numBuckets` must match the spec [[buildPqIndex]] created — Spark
+    * rejects mismatched bucketed appends, so drift fails loudly.
+    */
+  def streamingIndexSink(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexTable: graft.model.Table,
+      centroidTable: graft.model.Table,
+      codebookTable: graft.model.Table,
+      checkpointDir: String,
+      numBuckets: Int = 16,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      await: Boolean = true,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(spark.catalog.tableExists(indexTable.qualifiedName),
+      s"PQ index ${indexTable.qualifiedName} must be built first (Pq.buildPqIndex)")
+    val cb    = loadCodebook(spark, codebookTable)
+    val cents = loadCentroids(spark, centroidTable)
+    val query = stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val assigned = batch.select(
+          col(idCol).as("id"),
+          encode(col(vecCol), cb).as("codes"),
+          element_at(NativeFunctions.nearestCentroids(col(vecCol), cents, 1), 1).as("cell"),
+        )
+        graft.ops.TableIO.appendBucketed(spark, assigned, indexTable,
+          Seq("cell"), numBuckets, Seq("cell"))
+        spark.catalog.refreshTable(indexTable.qualifiedName)
+        ()
+      }
+      .start()
+    if (await) query.awaitTermination()
+    query
+  }
+
+  private def loadCodebook(
+      spark: SparkSession, codebookTable: graft.model.Table): PqCodebooks = {
+    val cbRow = spark.table(codebookTable.qualifiedName).collect().head
+    PqCodebooks(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("k"),
+      cbRow.getAs[Int]("dsub"), cbRow.getSeq[Float](cbRow.fieldIndex("flat")).toArray)
+  }
+
+  private def loadCentroids(
+      spark: SparkSession, centroidTable: graft.model.Table): Array[Array[Float]] =
+    spark.table(centroidTable.qualifiedName)
+      .orderBy(col("cell"))
+      .select(col("centroid"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+
   /** Query a persisted IVF-PQ index: probed cells prune buckets at the scan
     * (same mechanism as [[Ann.queryIvfIndex]]), ADC scores the surviving
     * code rows, and the top-`rerank` pool re-ranks exactly against
@@ -296,14 +361,8 @@ object Pq {
       rerank: Int = 50,
   ): DataFrame = {
     import spark.implicits._
-    val cbRow = spark.table(codebookTable.qualifiedName).collect().head
-    val cb = PqCodebooks(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("k"),
-      cbRow.getAs[Int]("dsub"), cbRow.getSeq[Float](cbRow.fieldIndex("flat")).toArray)
-    val cents: Array[Array[Float]] = spark.table(centroidTable.qualifiedName)
-      .orderBy(col("cell"))
-      .select(col("centroid"))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val cb    = loadCodebook(spark, codebookTable)
+    val cents = loadCentroids(spark, centroidTable)
     val queryCells = queries.select(
       col(queryId).as("query_id"),
       lut(col(queryVec), cb).as("__lut"),

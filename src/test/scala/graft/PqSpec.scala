@@ -104,6 +104,58 @@ class PqSpec extends SparkSpec {
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt, "scan did not skip any bucket")
   }
 
+  test("streaming ingest: appended batches are query-visible with unchanged codes") {
+    import org.apache.spark.sql.types._
+    val idx = Table("graft_test_pq_stream")
+    val cen = Table("graft_test_pq_stream_cen")
+    val cbt = Table("graft_test_pq_stream_cb")
+    // seed index on the first half of the corpus
+    val seed = corpus.filter(col("vec_id") < 50)
+    Pq.buildPqIndex(spark, seed, "vec_id", "embedding", idx, cen, cbt,
+      m = 4, k = 8, numCentroids = 8, numBuckets = 8)
+    val seedCount = spark.table(idx.qualifiedName).count()
+
+    // stream the second half in two waves through the same checkpoint
+    val dir  = tmpDir()
+    val src  = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    new java.io.File(src).mkdirs()
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def ingestWave(wave: org.apache.spark.sql.DataFrame): Unit = {
+      wave.write.mode("append").parquet(src)
+      graft.similarity.Pq.streamingIndexSink(spark,
+        spark.readStream.schema(schema).parquet(src),
+        "vec_id", "embedding", idx, cen, cbt, ckpt, numBuckets = 8)
+    }
+    ingestWave(corpus.filter(col("vec_id") >= 50 && col("vec_id") < 75))
+    ingestWave(corpus.filter(col("vec_id") >= 75))
+
+    assert(spark.table(idx.qualifiedName).count() == 100)
+    assert(seedCount == 50)
+    // streamed codes equal batch-encoded codes (same persisted codebook —
+    // buildPqIndex trained on the seed deterministically, so retraining on
+    // the seed here reproduces it exactly)
+    val streamed = spark.table(idx.qualifiedName)
+      .filter(col("id") >= 50)
+      .select(col("id"), col("codes"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val seedCb = Pq.train(seed, "vec_id", "embedding", m = 4, k = 8)
+    val direct = corpus.filter(col("vec_id") >= 50)
+      .select(col("vec_id"), Pq.encode(col("embedding"), seedCb).as("c"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(streamed.keySet == direct.keySet)
+    assert(streamed.keys.forall(id => streamed(id).sameElements(direct(id))))
+
+    // the grown index still answers queries over streamed-in rows
+    val q2 = corpus.filter(col("vec_id") === 99)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = Pq.queryPqIndex(spark, idx, cen, cbt, corpus, "vec_id", "embedding",
+        q2, "qid", "embedding", k = 3, nprobe = 8, rerank = 1000)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res.contains(99L), s"streamed row not query-visible: $res")
+  }
+
   test("stored index rows carry m-byte codes, not vectors") {
     val idx = Table("graft_test_pq_size")
     val cen = Table("graft_test_pq_size_cen")
