@@ -1813,6 +1813,15 @@ object SparkEntry {
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // epoch-aware mixture (the multi-epoch data recipe: src0 runs 2.5
+    // epochs, src1 half an epoch, src2 dropped, everything else 1) — whole
+    // copies + a deterministic hash-cut fractional copy, epoch index out
+    "q130_epoch_mixture" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+      Sampling.epochMixture(d, "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0), defaultEpochs = 1.0)
+    }),
+
     // CCNet's head/middle/tail selection (Wenzek et al. §4.3): bucket docs
     // by reference-LM perplexity within each group (source stands in for
     // CCNet's language) — exact terciles, deterministic via the doc_id
@@ -3092,6 +3101,22 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
         |  FROM sims) WHERE rn <= 10""".stripMargin,
+
+    // mirrors Sampling.epochMixture: floor(e) copies + one more when the
+    // salted hash bucket clears the fractional cut (hexCut(0.5)=80000000)
+    "q130_epoch_mixture" ->
+      """WITH c AS (SELECT doc_id, source,
+        |  CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0
+        |       WHEN source = 'src2' THEN 0 ELSE 1 END
+        |  + CASE WHEN substr(md5(doc_id || '#epoch'), 1, 8) <
+        |      CASE WHEN source = 'src0' THEN '80000000'
+        |           WHEN source = 'src1' THEN '80000000'
+        |           ELSE '00000000' END
+        |    THEN 1 ELSE 0 END AS copies
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+        |FROM c WHERE copies >= 1""".stripMargin,
 
     // q97's scoring mirror + per-source ntile terciles (tie-break doc_id)
     "q128_ccnet_buckets" ->

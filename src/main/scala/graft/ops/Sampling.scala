@@ -117,6 +117,46 @@ object Sampling {
     df.where(hashBucket(col(keyCol)) < cut)
   }
 
+  /** Epoch-aware source mixture: each group's rows repeat `epochs(g)` times —
+    * `floor(e)` full copies plus one extra copy for a deterministic
+    * hash-selected `e − floor(e)` fraction of rows. The multi-epoch
+    * data-recipe op (LLaMA-style: high-quality sources run >1 epoch, bulk
+    * crawl <1); [[mixture]] is the `e <= 1` special case. Output adds an
+    * `epoch` column (0-based copy index) so the downstream training
+    * shuffle can interleave copies instead of replaying them back-to-back.
+    *
+    * The fractional-copy hash salts the key with "#epoch" so membership is
+    * independent of [[mixture]]/[[hashSplit]] cuts on the same key.
+    *
+    * Scale shape: pure projection + one Generate (explode of a ≤⌈e⌉-long
+    * sequence) — no shuffle; multiplied rows flow straight into the
+    * downstream shard write. Row-count amplification is exactly the recipe
+    * Σ n_g·e_g, decided per row at scan speed.
+    */
+  def epochMixture(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0,
+  ): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 1000.0),
+      "epochs must be in [0, 1000]")
+    def fracOf(e: Double) = e - math.floor(e)
+    val whole = epochs.foldLeft(lit(math.floor(defaultEpochs).toLong)) { case (acc, (g, e)) =>
+      when(col(groupCol) === g, lit(math.floor(e).toLong)).otherwise(acc)
+    }
+    val cut = epochs.foldLeft(lit(hexCut(fracOf(defaultEpochs)))) { case (acc, (g, e)) =>
+      when(col(groupCol) === g, lit(hexCut(fracOf(e)))).otherwise(acc)
+    }
+    val extra =
+      when(hashBucket(concat(col(keyCol).cast("string"), lit("#epoch"))) < cut, 1L).otherwise(0L)
+    df.withColumn("__copies", whole + extra)
+      .where(col("__copies") >= 1L)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0L), col("__copies") - 1L)).as("epoch"): _*)
+  }
+
   /** Deterministic token-budget mixture: admit rows per group, in stable
     * hash order, while the running token sum (including the current row)
     * stays within the group's budget — the "fill a 50 B-token mix with

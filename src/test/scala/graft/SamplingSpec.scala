@@ -84,4 +84,32 @@ class SamplingSpec extends SparkSpec {
     // direct unit check of the comparison the filter performs
     assert("ffffffff" < "g" && "00000000" < "g")
   }
+
+  test("epochMixture: whole copies exact, fractional copy ~frac, epoch indices dense") {
+    val df = (0 until 400).map(i =>
+      (i.toLong, if (i < 200) "hq" else "bulk")).toDF("doc_id", "source")
+    val out = Sampling.epochMixture(df, "source", "doc_id",
+      Map("hq" -> 2.5, "bulk" -> 0.25))
+    val byGroup = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // hq: exactly 2 copies each + ~50% a third; bulk: ~25% one copy
+    assert(byGroup("hq") >= 400 && byGroup("hq") <= 600)
+    assert(math.abs(byGroup("hq") - 500.0) < 60, s"hq=${byGroup("hq")}")
+    assert(math.abs(byGroup("bulk") - 50.0) < 25, s"bulk=${byGroup("bulk")}")
+    // per-doc epochs are 0..copies-1 with no gaps
+    val perDoc = out.filter(col("source") === "hq")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max(col("epoch")).as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(perDoc.forall { case (_, n, mx) => mx == n - 1 && (n == 2 || n == 3) })
+    // deterministic across runs
+    val again = Sampling.epochMixture(df, "source", "doc_id",
+      Map("hq" -> 2.5, "bulk" -> 0.25))
+    assert(again.except(out).count() == 0 && out.except(again).count() == 0)
+  }
+
+  test("epochMixture: zero epochs drops the group; default applies to unlisted groups") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "source")
+    val out = Sampling.epochMixture(df, "source", "doc_id", Map("a" -> 0.0), defaultEpochs = 2.0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((2L, "b", 0L), (2L, "b", 1L), (3L, "c", 0L), (3L, "c", 1L)))
+  }
 }
