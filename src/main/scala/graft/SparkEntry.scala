@@ -1822,6 +1822,35 @@ object SparkEntry {
         Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0), defaultEpochs = 1.0)
     }),
 
+    // GPT-style concat-and-chunk context-window packing, mechanics dial:
+    // token-LENGTH ids in doc_id order make every step (EOS append, global
+    // offsets, window slicing, padding) SQL-mirrorable — a FULL oracle for
+    // the two-phase prefix-sum + slice-shuffle machinery. q132 runs the
+    // real dial (BPE ids, hash order).
+    "q131_pack_windows" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val ids = transform(TextFunctions.tokens(col("text")),
+        t => length(t).cast("int"))
+      val withIds = d.select(col("doc_id"), ids.as("ids"))
+      Packing.packContextWindows(withIds, "doc_id", "ids", windowSize = 64,
+          orderKey = Some(col("doc_id")))
+        .select(col("window_id"),
+          concat_ws(" ", col("ids").cast("array<string>")).as("ids_str"),
+          col("n_tokens"), col("n_docs"))
+    }),
+
+    // the real dial: BPE token ids (persisted q126 model semantics),
+    // hash-order global shuffle — rows-only BY DESIGN (BPE ids are not
+    // SQL-expressible; the packing machinery itself is oracle-checked by
+    // q131 and pinned against a naive reference in PackWindowsSpec)
+    "q132_pack_bpe_ids" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents")
+      val model = Bpe.train(d, "text", numMerges = 200)
+      val withIds = d.select(col("doc_id"), model.encodeIds(col("text")).as("ids"))
+      Packing.packContextWindows(withIds, "doc_id", "ids", windowSize = 512)
+        .select(col("window_id"), col("n_tokens"), col("n_docs"))
+    }),
+
     // CCNet's head/middle/tail selection (Wenzek et al. §4.3): bucket docs
     // by reference-LM perplexity within each group (source stands in for
     // CCNet's language) — exact terciles, deterministic via the doc_id
@@ -3101,6 +3130,31 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
         |  FROM sims) WHERE rn <= 10""".stripMargin,
+
+    // mirrors packContextWindows at the mechanics dial: EOS=2 append,
+    // doc_id-order running offsets, token→window by pos//64, pad-to-64
+    // with 0 on the final partial window
+    "q131_pack_windows" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks FROM documents),
+        |i AS (SELECT doc_id,
+        |  list_concat(list_transform(toks, t -> CAST(length(t) AS INT)),
+        |              [CAST(2 AS INT)]) AS ids FROM d),
+        |c AS (SELECT doc_id, ids,
+        |  coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM i),
+        |t AS (SELECT doc_id, off + generate_subscripts(ids, 1) - 1 AS pos,
+        |  unnest(ids) AS id FROM c),
+        |w AS (SELECT CAST(pos // 64 AS BIGINT) AS window_id,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS real_str,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM t GROUP BY 1)
+        |SELECT window_id,
+        |  CASE WHEN n_tokens < 64 THEN real_str || repeat(' 0', CAST(64 - n_tokens AS INT))
+        |       ELSE real_str END AS ids_str,
+        |  n_tokens, n_docs FROM w""".stripMargin,
 
     // mirrors Sampling.epochMixture: floor(e) copies + one more when the
     // salted hash bucket clears the fractional cut (hexCut(0.5)=80000000)

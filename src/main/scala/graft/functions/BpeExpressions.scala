@@ -103,6 +103,34 @@ object BpeImpl {
     acc
   }
 
+  /** BPE token ids of a whole document: per-word symbols through the
+    * vocabulary table, unknown symbols → UNK (id 1). One pass.
+    */
+  def encodeIds(
+      u: UTF8String,
+      ranks: java.util.HashMap[String, Int],
+      idOf: java.util.HashMap[String, Int],
+  ): ArrayData = {
+    val s   = u.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var p   = 0
+    while (p < s.length) {
+      while (p < s.length && isWs(s.charAt(p))) p += 1
+      if (p < s.length) {
+        var q = p
+        while (q < s.length && !isWs(s.charAt(q))) q += 1
+        val syms = bpeWord(s.substring(p, q), ranks)
+        var i = 0
+        while (i < syms.length) {
+          out += idOf.getOrDefault(syms(i), 1)
+          i += 1
+        }
+        p = q
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** BPE symbols of a whole document (word-by-word), for inspection/tests. */
   def tokenize(u: UTF8String, ranks: java.util.HashMap[String, Int]): ArrayData = {
     val s   = u.toLowerCase.toString
@@ -150,5 +178,28 @@ case class BpeTokenizeExpr(child: Expression, ranks: java.util.HashMap[String, I
   override protected def staticCall(c: String): String =
     throw new IllegalStateException("doGenCode overridden")
   override protected def withNewChildInternal(newChild: Expression): BpeTokenizeExpr =
+    copy(child = newChild)
+}
+
+/** Document BPE token IDS as a single codegen'd tree node: per-word symbols
+  * mapped through the vocabulary (unknown → UNK=1); both the rank table and
+  * the id table ride as reference objects.
+  */
+case class BpeIdsExpr(
+    child: Expression,
+    ranks: java.util.HashMap[String, Int],
+    idOf: java.util.HashMap[String, Int],
+) extends GraftUnaryCodegen {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.encodeIds(input.asInstanceOf[UTF8String], ranks, idOf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    val v = ctx.addReferenceObj("bpeVocab", idOf, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.encodeIds($c, $r, $v)")
+  }
+  override protected def staticCall(c: String): String =
+    throw new IllegalStateException("doGenCode overridden")
+  override protected def withNewChildInternal(newChild: Expression): BpeIdsExpr =
     copy(child = newChild)
 }

@@ -1,17 +1,41 @@
 package graft.ops
 
-import graft.functions.{BpeCountExpr, BpeImpl, BpeTokenizeExpr}
+import graft.functions.{BpeCountExpr, BpeIdsExpr, BpeImpl, BpeTokenizeExpr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** A learned BPE merge list, lowest rank = earliest merge. */
-case class BpeModel(merges: IndexedSeq[(String, String)]) {
+/** A learned BPE merge list (lowest rank = earliest merge) plus the base
+  * alphabet seen at training time, which together define the id vocabulary.
+  */
+case class BpeModel(
+    merges: IndexedSeq[(String, String)],
+    alphabet: IndexedSeq[String] = IndexedSeq.empty,
+) {
   /** Rank table for the executor-side kernels (pair key = "lhs rhs"). */
   @transient lazy val ranks: java.util.HashMap[String, Int] = {
     val m = new java.util.HashMap[String, Int](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), r) => m.put(a + " " + b, r) }
     m
+  }
+
+  /** Id space: 0 = PAD, 1 = UNK, 2 = EOS (document separator), then the
+    * training alphabet, `</w>`, and merge products in rank order. A merge
+    * product that collides with an earlier symbol keeps the earlier id
+    * (same string ⇒ same id).
+    */
+  @transient lazy val idOf: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    var next = BpeModel.FirstSymbolId
+    (alphabet ++ IndexedSeq(BpeImpl.EndOfWord) ++ merges.map { case (a, b) => a + b })
+      .foreach { sym => if (!m.containsKey(sym)) { m.put(sym, next); next += 1 } }
+    m
+  }
+
+  /** Vocabulary size including the 3 special ids. */
+  def vocabSize: Int = {
+    val _ = idOf
+    BpeModel.FirstSymbolId + idOf.size
   }
 
   /** Document BPE token count (codegen'd one-pass kernel). */
@@ -21,6 +45,20 @@ case class BpeModel(merges: IndexedSeq[(String, String)]) {
   /** Document BPE symbols (inspection/debug; prefer countTokens at scale). */
   def tokenize(text: Column): Column =
     ColumnBridge.column(BpeTokenizeExpr(ColumnBridge.expression(text), ranks))
+
+  /** Document BPE token IDS (`array<int>`): per-word symbols mapped through
+    * [[idOf]], unknown symbols (chars unseen at training time) → UNK=1.
+    * The input to [[Packing.packContextWindows]].
+    */
+  def encodeIds(text: Column): Column =
+    ColumnBridge.column(BpeIdsExpr(ColumnBridge.expression(text), ranks, idOf))
+}
+
+object BpeModel {
+  val PadId = 0
+  val UnkId = 1
+  val EosId = 2
+  val FirstSymbolId = 3
 }
 
 /** Byte-pair-encoding TRAINING (Sennrich et al., ACL 2016) — the real
@@ -58,6 +96,10 @@ object Bpe {
       .map(r => (r.getString(0), r.getLong(1)))
     trainFromCounts(counts, numMerges)
   }
+
+  /** Base alphabet of a dictionary: distinct chars, sorted. */
+  private def alphabetOf(counts: Array[(String, Long)]): IndexedSeq[String] =
+    counts.iterator.flatMap(_._1.iterator).toSet.toIndexedSeq.sorted.map(String.valueOf(_))
 
   /** The driver-side merge loop over a (word, count) dictionary. */
   def trainFromCounts(counts: Array[(String, Long)], numMerges: Int): BpeModel = {
@@ -106,23 +148,29 @@ object Bpe {
         round += 1
       }
     }
-    BpeModel(merges.toIndexedSeq)
+    BpeModel(merges.toIndexedSeq, alphabetOf(counts))
   }
 
-  /** Persist a model as a `(rank, lhs, rhs)` table. */
+  /** Persist a model as a `(kind, rank, lhs, rhs)` table — `merge` rows in
+    * rank order plus `alpha` rows (the training alphabet, rhs unused).
+    */
   def saveModel(spark: SparkSession, model: BpeModel, table: graft.model.Table): Unit = {
     import spark.implicits._
-    TableIO.overwrite(spark,
-      model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }.toDF("rank", "lhs", "rhs"),
-      table)
+    val rows =
+      model.merges.zipWithIndex.map { case ((a, b), r) => ("merge", r, a, b) } ++
+        model.alphabet.zipWithIndex.map { case (ch, i) => ("alpha", i, ch, "") }
+    TableIO.overwrite(spark, rows.toSeq.toDF("kind", "rank", "lhs", "rhs"), table)
   }
 
   /** Load a model persisted by [[saveModel]]. */
   def loadModel(spark: SparkSession, table: graft.model.Table): BpeModel = {
     val rows = spark.table(table.qualifiedName)
-      .orderBy(col("rank"))
+      .orderBy(col("kind"), col("rank"))
       .collect()
-      .map(r => (r.getString(r.fieldIndex("lhs")), r.getString(r.fieldIndex("rhs"))))
-    BpeModel(rows.toIndexedSeq)
+      .map(r => (r.getString(r.fieldIndex("kind")), r.getInt(r.fieldIndex("rank")),
+        r.getString(r.fieldIndex("lhs")), r.getString(r.fieldIndex("rhs"))))
+    BpeModel(
+      rows.filter(_._1 == "merge").sortBy(_._2).map(t => (t._3, t._4)).toIndexedSeq,
+      rows.filter(_._1 == "alpha").sortBy(_._2).map(_._3).toIndexedSeq)
   }
 }

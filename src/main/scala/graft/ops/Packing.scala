@@ -71,4 +71,106 @@ object Packing {
       }
     }(RowEncoder.encoderFor(schema))
   }
+
+  /** GPT-style concat-and-chunk packing into FIXED context windows: append
+    * an EOS id to every document's id array, concatenate all documents in a
+    * deterministic global order (hash-of-id, id), and cut the resulting
+    * token stream into windows of exactly `windowSize` ids — documents
+    * straddle window boundaries, exactly as LLaMA/GPT pretraining packs.
+    * The final partial window pads with `padId`. Output:
+    * `(window_id, ids: array<int>, n_tokens, n_docs)` — `n_tokens` counts
+    * real (non-pad) ids, `n_docs` the documents contributing to the window.
+    *
+    * Scale shape — no token-level explode, no global sort bottleneck:
+    *  1. global positions come from a TWO-PHASE prefix sum: range-partition
+    *     by the order key, per-partition token subtotals (one bounded
+    *     collect: #partitions rows), partition base offsets broadcast back,
+    *     partition-LOCAL cumsum window. The plan is pinned with
+    *     `localCheckpoint` so the offsets can't drift between the subtotal
+    *     collect and the main pass.
+    *  2. each document emits one row PER WINDOW IT TOUCHES (≈ len/W + 1)
+    *     carrying an `array_slice` of its ids — the shuffle moves each id
+    *     once, in array payloads, with (window, offset) routing keys.
+    *  3. windows assemble with one groupBy: sort the (offset, slice) pairs,
+    *     flatten, pad.
+    * Determinism: the order key, offsets, and slices are pure functions of
+    * (id, ids) — reruns and re-shards produce identical windows.
+    */
+  def packContextWindows(
+      df: DataFrame,
+      idCol: String,
+      idsCol: String,
+      windowSize: Int,
+      eosId: Int = 2,
+      padId: Int = 0,
+      orderKey: Option[org.apache.spark.sql.Column] = None,
+  ): DataFrame = {
+    require(windowSize > 0, "windowSize must be positive")
+    val W = windowSize.toLong
+    // default order = hash-of-id: a deterministic global shuffle, so each
+    // window mixes unrelated documents (what the training stream wants);
+    // pass e.g. `Some(col(idCol))` for corpus order, or a curriculum score
+    val ord = orderKey.getOrElse(xxhash64(col(idCol).cast("long")))
+    val withEos = df.select(
+      col(idCol).cast("long").as("id"),
+      concat(col(idsCol), array(lit(eosId))).as("ids"),
+      ord.as("__h"),
+    )
+    // phase 1: global exclusive prefix sum of per-doc lengths
+    val parts = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val parted = withEos
+      .repartitionByRange(parts, col("__h"), col("id"))
+      .sortWithinPartitions(col("__h"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__len", size(col("ids")).cast("long"))
+      .localCheckpoint() // pin: subtotals and the main pass MUST see one plan
+    val baseOf: Map[Int, Long] = {
+      val subtotals = parted.groupBy(col("__pid")).agg(sum(col("__len")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxPid = if (subtotals.isEmpty) -1 else subtotals.keys.max
+      (0 to maxPid).scanLeft(0L)((acc, p) => acc + subtotals.getOrElse(p, 0L))
+        .zipWithIndex.map { case (base, p) => p -> base }.toMap
+    }
+    val baseExpr = baseOf.foldLeft(lit(0L)) { case (acc, (p, b)) =>
+      when(col("__pid") === p, lit(b)).otherwise(acc)
+    }
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"))
+      .orderBy(col("__h"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = parted.withColumn("__off",
+      baseExpr + coalesce(sum(col("__len")).over(wLocal), lit(0L)))
+    // phase 2: one row per (doc, touched window) carrying the id slice
+    // (`div` = integral division — `/` would be double math, which loses
+    // exactness at 100 TB token-stream offsets)
+    val slices = offsets
+      .withColumn("__end", col("__off") + col("__len") - 1L)
+      .withColumn("__w", explode(sequence(
+        expr(s"__off div ${W}L"),
+        expr(s"__end div ${W}L"))))
+      .select(
+        col("__w").as("window_id"),
+        (greatest(col("__off"), col("__w") * W) - col("__w") * W).as("__pos"),
+        slice(col("ids"),
+          (greatest(col("__off"), col("__w") * W) - col("__off") + 1L).cast("int"),
+          (least(col("__off") + col("__len"), (col("__w") + 1L) * W)
+            - greatest(col("__off"), col("__w") * W)).cast("int")).as("__slice"),
+      )
+    // phase 3: assemble each window
+    slices
+      .groupBy(col("window_id"))
+      .agg(
+        flatten(array_sort(collect_list(struct(col("__pos"), col("__slice"))))
+          .getField("__slice")).as("__ids"),
+        count(lit(1)).as("n_docs"),
+      )
+      .select(
+        col("window_id"),
+        concat(col("__ids"),
+          array_repeat(lit(padId), (lit(windowSize) - size(col("__ids"))).cast("int")))
+          .as("ids"),
+        size(col("__ids")).cast("long").as("n_tokens"),
+        col("n_docs"),
+      )
+  }
 }
