@@ -1851,6 +1851,27 @@ object SparkEntry {
         .select(col("window_id"), col("n_tokens"), col("n_docs"))
     }),
 
+    // exact-N deterministic uniform sample (distributed TakeOrdered — no
+    // full sort, no single-partition window; same rows on any rerun)
+    "q133_sample_exact" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Sampling.sampleExact(d, "doc_id", 100).select(col("doc_id"), col("source"))
+    }),
+
+    // corpus snapshot diff (v1 vs synthetic v2: every 10th doc removed,
+    // every 10th+1 edited, a block of new ids added) — the pre-promotion
+    // regression report; fingerprints join, payloads never shuffle
+    "q134_corpus_diff" -> ((s, dir) => {
+      val v1 = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 1, concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text")))
+        .unionByName(v1.where(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Profile.diff(v1, v2, "doc_id", "text")
+    }),
+
     // CCNet's head/middle/tail selection (Wenzek et al. §4.3): bucket docs
     // by reference-LM perplexity within each group (source stands in for
     // CCNet's language) — exact terciles, deterministic via the doc_id
@@ -3130,6 +3151,24 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
         |  FROM sims) WHERE rn <= 10""".stripMargin,
+
+    // the 100 hash-smallest doc_ids (8-hex md5 bucket, id tie-break)
+    "q133_sample_exact" ->
+      """SELECT doc_id, source FROM documents
+        |ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+        |LIMIT 100""".stripMargin,
+
+    // v2 construction mirrored, statuses derived in closed form: %10=0
+    // removed, %10=1 changed (suffix edit), +1000000 block added, rest
+    // unchanged
+    "q134_corpus_diff" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN doc_id % 10 = 0 THEN 'removed'
+        |              WHEN doc_id % 10 = 1 THEN 'changed'
+        |              ELSE 'unchanged' END AS status FROM documents
+        |  UNION ALL
+        |  SELECT 'added' FROM documents WHERE doc_id % 10 = 2)
+        |SELECT status, count(*) AS n_docs FROM s GROUP BY status""".stripMargin,
 
     // mirrors packContextWindows at the mechanics dial: EOS=2 append,
     // doc_id-order running offsets, token→window by pos//64, pad-to-64

@@ -40,4 +40,29 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, row_cnt, non_null_cnt, null_cnt, distinct_cnt, min_val, max_val, sum_val)"))
   }
+
+  /** Snapshot diff between two corpus versions keyed by `idCol` — the
+    * regression report run before promoting corpus v(N+1): how many docs
+    * were `added` / `removed` / `changed` / `unchanged`, where `changed`
+    * means same id but a different content fingerprint
+    * ([[graft.functions.TextFunctions.fingerprint]] — normalization-stable
+    * md5, so whitespace/case-only edits don't count as changes).
+    *
+    * Scale shape: both sides reduce to `(id, 16-byte fingerprint)`
+    * projections before the one full-outer join on id — document payloads
+    * never shuffle; output is a 4-row report.
+    */
+  def diff(a: DataFrame, b: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fa = a.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("__fa"))
+    val fb = b.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("__fb"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") =!= col("__fb"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -44,6 +44,18 @@ object Sampling {
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.where(hashBucket(col(keyCol)) < lit(hexCut(fraction)))
 
+  /** Exact-N deterministic uniform sample: the N hash-smallest keys (ties
+    * broken by the key itself). Unlike `sampleByHash` (fraction, size varies
+    * by ±binomial noise) this returns EXACTLY n rows, and unlike a naive
+    * global sort Spark executes orderBy+limit as a distributed TakeOrdered
+    * (per-partition top-N, driver merges n·partitions candidates) — no full
+    * sort, no single-partition window. Same rows on any partitioning/rerun.
+    */
+  def sampleExact(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.orderBy(hashBucket(col(keyCol)), col(keyCol)).limit(n)
+  }
+
   /** Deterministic train/val/test-style split assignment. `cuts` are
     * (name, cumulativeUpperFraction) pairs in ascending order; the last
     * name catches the remainder. E.g.

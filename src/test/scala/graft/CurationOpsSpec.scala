@@ -219,4 +219,26 @@ class CurationOpsSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("part"), plan)
   }
+
+  test("Profile.diff classifies added/removed/changed/unchanged; normalization-stable") {
+    val v1 = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"),
+      (4L, "Case  And WS")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "did change"), (5L, "brand new"),
+      (4L, "case and ws")).toDF("doc_id", "text")
+    val got = graft.ops.Profile.diff(v1, v2, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    // doc 4 differs only by case/whitespace — fingerprint normalizes it away
+    assert(got == Map("unchanged" -> 2L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("Sampling.sampleExact returns exactly n, stable across partitionings, no global sort") {
+    val a = graft.ops.Sampling.sampleExact(
+      (0 until 500).map(_.toLong).toDF("id").repartition(13), "id", 20)
+    val b = graft.ops.Sampling.sampleExact(
+      (0 until 500).map(_.toLong).toDF("id").coalesce(1), "id", 20)
+    assert(a.count() == 20)
+    assert(a.select("id").as[Long].collect().toSet == b.select("id").as[Long].collect().toSet)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
