@@ -1872,6 +1872,22 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // Z-order (Morton) clustering key at the closed-form dial: 8-bit
+    // uniform buckets over two derived dims, bit-interleaved — the layout
+    // key behind multi-dimension min/max file skipping. The quantitative
+    // locality property (every clustered dim narrow per file, vs a
+    // single-column sort) and the quantile dial for skew are pinned in
+    // LayoutSpec.
+    "q135_zorder_key" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val a = (col("doc_id") % 97).cast("double")
+      val b = (col("doc_id") % 89).cast("double")
+      d.select(col("doc_id"),
+        Layout.zValue(Seq(
+          Layout.uniformBucket(a, 0, 97, 8),
+          Layout.uniformBucket(b, 0, 89, 8)), bits = 8).as("z"))
+    }),
+
     // CCNet's head/middle/tail selection (Wenzek et al. §4.3): bucket docs
     // by reference-LM perplexity within each group (source stands in for
     // CCNet's language) — exact terciles, deterministic via the doc_id
@@ -3151,6 +3167,16 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
         |  FROM sims) WHERE rn <= 10""".stripMargin,
+
+    // same uniform buckets + Morton interleave in closed form
+    "q135_zorder_key" ->
+      """WITH t AS (SELECT doc_id,
+        |  least(255, greatest(0, CAST(floor((doc_id % 97) * 256.0 / 97) AS INT))) AS ba,
+        |  least(255, greatest(0, CAST(floor((doc_id % 89) * 256.0 / 89) AS INT))) AS bb
+        |  FROM documents)
+        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 8), i ->
+        |  (((ba >> i) & 1) << (2*i + 1)) + (((bb >> i) & 1) << (2*i)))) AS BIGINT) AS z
+        |FROM t""".stripMargin,
 
     // the 100 hash-smallest doc_ids (8-hex md5 bucket, id tie-break)
     "q133_sample_exact" ->

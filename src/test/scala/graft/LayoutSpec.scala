@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: Morton math, quantile bucketing under skew, and the
+  * quantitative file-locality property the layout exists for.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mortonRef(a: Int, b: Int, bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits) {
+      z |= ((a >> i) & 1).toLong << (2 * i + 1)
+      z |= ((b >> i) & 1).toLong << (2 * i)
+    }
+    z
+  }
+
+  test("zValue matches the reference Morton interleave") {
+    val df = Seq((0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (3, 12))
+      .toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        Layout.zValue(Seq(col("a"), col("b")), bits = 8).as("z"))
+      .as[(Int, Int, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == mortonRef(a, b, 8), s"($a,$b)") }
+  }
+
+  test("uniformBucket spans [0, 2^bits) and clamps out-of-range values") {
+    val df = Seq(-5.0, 0.0, 49.9, 99.9, 150.0).toDF("v")
+    val got = df.select(Layout.uniformBucket(col("v"), 0.0, 100.0, 8)).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 127, 255, 255))
+  }
+
+  test("quantileBuckets equi-populates buckets under heavy skew") {
+    val skewed = (0 until 4000).map(i => math.pow(i.toDouble / 40.0, 3)).toDF("v")
+    val bucketed = skewed.select(Layout.quantileBuckets(skewed, "v", bits = 4).as("bk"))
+    val counts = bucketed.groupBy("bk").count().as[(Int, Long)].collect().toMap
+    assert(counts.keys.min >= 0 && counts.keys.max <= 15)
+    // every bucket within 3x of the ideal 250
+    assert(counts.values.forall(c => c > 80 && c < 750), counts.toString)
+  }
+
+  test("z-order files are narrow on BOTH dimensions; single-column sort is not") {
+    // two independent uniform dims
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 8000).map(_ => (rnd.nextInt(256), rnd.nextInt(256))).toDF("x", "y")
+
+    def avgWidthPerFile(data: org.apache.spark.sql.DataFrame, dim: String): Double = {
+      val path = s"${tmpDir()}/layout"
+      data.write.parquet(path)
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(dim)) - min(col(dim))).as("w"))
+        .select(avg(col("w"))).as[Double].collect().head
+      perFile
+    }
+
+    val z = Layout.zValue(Seq(
+      Layout.uniformBucket(col("x"), 0, 256, 8),
+      Layout.uniformBucket(col("y"), 0, 256, 8)), bits = 8)
+    val zClustered = Layout.clusterByZ(df, z, numFiles = 16)
+    val bySortX = df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+
+    val zWidthX = avgWidthPerFile(zClustered, "x")
+    val zWidthY = avgWidthPerFile(zClustered, "y")
+    val sWidthX = avgWidthPerFile(bySortX, "x")
+    val sWidthY = avgWidthPerFile(bySortX, "y")
+
+    // sort-by-x: x razor-thin, y spans ~everything; z-order: BOTH narrow
+    assert(sWidthX < 40, s"sort x width $sWidthX")
+    assert(sWidthY > 200, s"sort y width $sWidthY")
+    assert(zWidthX < 128 && zWidthY < 128, s"z widths $zWidthX / $zWidthY")
+    assert(zWidthY < sWidthY / 2, s"z must beat single-sort on the other dim: $zWidthY vs $sWidthY")
+  }
+}
