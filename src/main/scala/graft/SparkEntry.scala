@@ -1872,6 +1872,21 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // bzip2 single-file ndjson roundtrip. Unlike gzip (q104), bzip2 is
+    // SPLITTABLE: a 100 GB .bz2 text file reads as parallel tasks instead
+    // of one, which makes it the right codec for large single-file text
+    // drops. (zstd needs the native Hadoop codec, absent in this
+    // environment — rejected with a clear CODEC_NOT_AVAILABLE.)
+    "q136_bzip2_roundtrip" -> ((s, dir) => {
+      val f = File(s"$scratch/nation_export.ndjson.bz2")
+      ExportToFile.df(s, tbl(s, dir, "nation"), f, IfExists.Replace,
+        singleFile = true, compression = Some("bzip2"))
+      LoadFile.toDataFrame(s, f).select(
+        col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"))
+    }),
+
     // Z-order (Morton) clustering key at the closed-form dial: 8-bit
     // uniform buckets over two derived dims, bit-interleaved — the layout
     // key behind multi-dimension min/max file skipping. The quantitative
@@ -3167,6 +3182,8 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
         |  FROM sims) WHERE rn <= 10""".stripMargin,
+
+    "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     // same uniform buckets + Morton interleave in closed form
     "q135_zorder_key" ->

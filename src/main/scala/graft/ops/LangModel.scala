@@ -97,6 +97,40 @@ object LangModel {
     * variant (two scans, no sort) is the drop-in alternative, at the cost
     * of the exact-tercile contract this op pins.
     */
+  /** The no-sort variant of [[perplexityBuckets]] for pathologically
+    * dominant groups: per-group bucket THRESHOLDS from a percentile sketch
+    * (one aggregate, map-side partials), then bucket assignment as a
+    * scan-speed comparison against the broadcast threshold row — no
+    * per-group sort anywhere. Trades the exact-tercile contract for
+    * sketch accuracy (and threshold-tie docs land together instead of
+    * splitting); agreement with the exact op is pinned in LangModelSpec.
+    */
+  def perplexityBucketsApprox(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      buckets: Int = 3,
+      accuracy: Int = 10000,
+  ): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val scored = scoreBigram(train, docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    val probs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val th = scored.groupBy(col(groupCol))
+      .agg(percentile_approx(col("bits_per_bigram"), array(probs: _*), lit(accuracy)).as("__th"))
+    scored.join(broadcast(th), Seq(groupCol))
+      .withColumn("__nt",
+        (size(filter(col("__th"), t => col("bits_per_bigram") > t)) + 1))
+      .withColumn("ppl_bucket",
+        when(col("__nt") === 1, "head")
+          .when(col("__nt") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("bits_per_bigram"), col("ppl_bucket"))
+  }
+
   def perplexityBuckets(
       train: DataFrame,
       docs: DataFrame,

@@ -46,4 +46,25 @@ class LangModelSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect()
     assert(out.head === ((6L, 2L, 1L, 1L, 1.0)))
   }
+
+  test("approx perplexity buckets agree with exact terciles away from threshold ties") {
+    val rnd   = new scala.util.Random(23)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (0 until 300).map { i =>
+      val len = 8 + rnd.nextInt(20)
+      (i.toLong, (0 until len).map(_ => words(rnd.nextInt(words.size))).mkString(" "),
+        s"g${i % 2}")
+    }.toDF("doc_id", "text", "grp")
+    val train  = docs.filter(col("doc_id") % 3 =!= 0)
+    val exact  = LangModel.perplexityBuckets(train, docs, "doc_id", "text", "grp")
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    val approx = LangModel.perplexityBucketsApprox(train, docs, "doc_id", "text", "grp")
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree >= (exact.size * 0.9).toInt, s"agreement $agree/${exact.size}")
+    // buckets are roughly thirds in both
+    val sizes = approx.values.groupBy(identity).map(_._2.size)
+    assert(sizes.forall(s => s > 50 && s < 150), sizes.toString)
+  }
 }
