@@ -1872,6 +1872,19 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // distributed kNN self-join at the exact dial (nprobe = all cells ⇒
+    // every pair meets exactly once through the cell shuffle — no side is
+    // ever broadcast): every embedding gets its 3 nearest non-self
+    // neighbors. The production dial's candidate-volume bound is the IVF
+    // cell math (recall-tested in DedupSimilaritySpec shapes).
+    "q137_knn_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Ann.knnJoin(e, e, "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, numCentroids = 8, nprobe = 8, excludeSelf = true)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // bzip2 single-file ndjson roundtrip. Unlike gzip (q104), bzip2 is
     // SPLITTABLE: a 100 GB .bz2 text file reads as parallel tasks instead
     // of one, which makes it the right codec for large single-file text
@@ -3184,6 +3197,21 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // exact-dial kNN self-join: all non-self pairs, top-3 per query
+    "q137_knn_join" ->
+      """WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 3""".stripMargin,
 
     // same uniform buckets + Morton interleave in closed form
     "q135_zorder_key" ->

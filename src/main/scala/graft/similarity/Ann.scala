@@ -194,6 +194,50 @@ object Ann {
     topKOf(scored, k)
   }
 
+  /** Distributed kNN JOIN: top-k nearest `right` rows for EVERY `left` row,
+    * where BOTH sides are large. [[bruteForceTopK]] broadcasts the query
+    * side — right for a query batch, impossible corpus×corpus; here both
+    * sides assign to coarse IVF cells (centroids broadcast), the left side
+    * probes its `nprobe` nearest cells, and the join SHUFFLES BY CELL —
+    * candidate volume is Σ_cell |L_probe(cell)|·|R(cell)| ≈ n²·nprobe/C on
+    * uniform data, never an all-pairs product — then per-left-row top-k is
+    * the bounded-heap partial aggregate. The SemDeDup / retrieval-pairing
+    * primitive ("give every document its k nearest corpus neighbors").
+    *
+    * `nprobe >= numCentroids` degrades to exact (each (l, r) pair meets
+    * exactly once — right rows live in ONE cell): the oracle dial.
+    * `excludeSelf` drops same-id pairs for self-join use.
+    */
+  def knnJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftVec: String,
+      rightId: String,
+      rightVec: String,
+      k: Int = 10,
+      numCentroids: Int = 256,
+      nprobe: Int = 16,
+      excludeSelf: Boolean = false,
+  ): DataFrame = {
+    val cents = sampleCentroids(right, rightId, rightVec, numCentroids)
+    val rightCells = right.select(
+      col(rightId).as("__nid"),
+      col(rightVec).as("__nvec"),
+      element_at(NativeFunctions.nearestCentroids(col(rightVec), cents, 1), 1).as("cell"),
+    )
+    val leftCells = left.select(
+      col(leftId).as("query_id"),
+      col(leftVec).as("__qvec"),
+      explode(NativeFunctions.nearestCentroids(col(leftVec), cents, nprobe)).as("cell"),
+    )
+    val paired = leftCells.join(rightCells, Seq("cell"))
+    val nonSelf = if (excludeSelf) paired.where(col("query_id") =!= col("__nid")) else paired
+    val scored = nonSelf
+      .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
+    topKOf(scored, k)
+  }
+
   /** Public handle on the deterministic coarse-centroid sample — shared by
     * the IVF paths here and [[graft.dedup.Dedup.semanticDedup]]'s
     * cluster-then-dedup blocking.

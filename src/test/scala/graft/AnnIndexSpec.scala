@@ -55,4 +55,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt, "scan did not skip any bucket")
   }
+
+  test("knnJoin exact dial equals per-row brute force; partial probe keeps recall; no broadcast of either side") {
+    val exact = Ann.bruteForceTopK(corpus, corpus.select(col("vec_id").as("qid"), col("embedding")),
+        "vec_id", "embedding", "qid", "embedding", k = 4)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").desc)))
+      .where(col("rk") <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Ann.knnJoin(corpus, corpus, "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, numCentroids = 8, nprobe = 8, excludeSelf = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+
+    val partialDf = Ann.knnJoin(corpus, corpus, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, numCentroids = 8, nprobe = 3, excludeSelf = true)
+    val partial = partialDf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall  = exact.intersect(partial).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // nothing in the operator FORCES a broadcast: with auto-broadcast off
+    // (both sides "large"), the pair join planwise degrades to a shuffle
+    // join on the cell key — the corpus×corpus shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ann.knnJoin(corpus, corpus, "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, numCentroids = 8, nprobe = 3, excludeSelf = true)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
