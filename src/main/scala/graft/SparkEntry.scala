@@ -1872,6 +1872,29 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // incremental distinct counting via a persisted HLL sketch store: two
+    // batches append per-source sketches; the estimate aggregates the
+    // SKETCH TABLE only (no source rescan). At fixture cardinalities the
+    // sketches are in exact coupon mode, so the estimate equals exact
+    // COUNT(DISTINCT) — the oracle; at scale it's the standard HLL ±1.6%.
+    "q139_hll_incremental" -> ((s, dir) => {
+      val d  = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+      val t  = Table("graft_q139_sketches")
+      Sketches.buildDistinctStore(s, d.where(col("doc_id") % 2 === 0), "source", "doc_id", t, lgK = 14)
+      Sketches.appendDistinctStore(s, d.where(col("doc_id") % 2 =!= 0), "source", "doc_id", t, lgK = 14)
+      Sketches.estimateDistinct(s, t)
+        .select(col("grp").as("source"), col("distinct_est").cast("long").as("n_distinct"))
+    }),
+
+    // profile-drift promotion gate: corpus v2 (a quantity filter) profiled
+    // against v1, per (column, metric) relative change + verdict
+    "q138_profile_drift" -> ((s, dir) => {
+      val v1 = tbl(s, dir, "lineitem")
+      val v2 = v1.where(col("l_quantity") <= 45)
+      Profile.drift(v1, v2, Seq("l_quantity", "l_extendedprice", "l_suppkey"),
+        maxRelChange = 0.05)
+    }),
+
     // distributed kNN self-join at the exact dial (nprobe = all cells ⇒
     // every pair meets exactly once through the cell shuffle — no side is
     // ever broadcast): every embedding gets its 3 nearest non-self
@@ -3197,6 +3220,37 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // coupon-exact regime ⇒ estimates equal exact distincts
+    "q139_hll_incremental" ->
+      """SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // mirrors Profile.drift metric for metric (mean uses the 2-rounded sum
+    // exactly as the profile does)
+    "q138_profile_drift" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_suppkey")
+      val ctes = cols.zipWithIndex.map { case (c, i) =>
+        def side(tag: String, where: String) =
+          s"""$tag$i AS (SELECT CAST(count(*) AS DOUBLE) AS row_cnt,
+             |  CASE WHEN count(*) = 0 THEN 0 ELSE CAST(count(*) - count($c) AS DOUBLE) / count(*) END AS null_frac,
+             |  CAST(count(DISTINCT $c) AS DOUBLE) AS distinct_cnt,
+             |  CASE WHEN count($c) = 0 THEN 0 ELSE round(CAST(sum($c) AS DOUBLE), 2) / count($c) END AS mean
+             |  FROM lineitem$where)""".stripMargin
+        side("b", "") + ",\n" + side("a", " WHERE l_quantity <= 45") + ",\n" +
+          s"""m$i AS (SELECT 'row_cnt' AS metric, b$i.row_cnt AS bv, a$i.row_cnt AS av FROM b$i, a$i
+             |UNION ALL SELECT 'null_frac', b$i.null_frac, a$i.null_frac FROM b$i, a$i
+             |UNION ALL SELECT 'distinct_cnt', b$i.distinct_cnt, a$i.distinct_cnt FROM b$i, a$i
+             |UNION ALL SELECT 'mean', b$i.mean, a$i.mean FROM b$i, a$i)""".stripMargin
+      }
+      val selects = cols.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS column_name, metric, round(bv, 4) AS before_val,
+           |round(av, 4) AS after_val,
+           |round(abs(av - bv) / greatest(abs(bv), 1e-12), 4) AS rel_change,
+           |(abs(av - bv) / greatest(abs(bv), 1e-12)) <= 0.05 AS ok FROM m$i""".stripMargin
+      }
+      "WITH " + ctes.mkString(",\n") + "\n" + selects.mkString("\nUNION ALL\n")
+    },
 
     // exact-dial kNN self-join: all non-self pairs, top-3 per query
     "q137_knn_join" ->

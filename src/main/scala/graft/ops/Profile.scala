@@ -41,6 +41,49 @@ object Profile {
         "(column_name, row_cnt, non_null_cnt, null_cnt, distinct_cnt, min_val, max_val, sum_val)"))
   }
 
+  /** Profile DRIFT gate between two snapshots — the automated promotion
+    * check on corpus v(N+1): per (column, metric) the before/after values,
+    * the relative change, and a within-threshold verdict. Metrics:
+    * `row_cnt`, `null_frac`, `distinct_cnt`, `mean`. One profiling pass
+    * per side (everything downstream is driver-sized arithmetic on the
+    * two one-row-per-column profiles).
+    */
+  def drift(
+      before: DataFrame,
+      after: DataFrame,
+      cols: Seq[String],
+      maxRelChange: Double = 0.05,
+      exact: Boolean = true,
+  ): DataFrame = {
+    def metrics(df: DataFrame, tag: String): DataFrame =
+      numeric(df, cols, exact).select(
+        col("column_name"),
+        col("row_cnt").cast("double").as(s"${tag}_row_cnt"),
+        when(col("row_cnt") === 0, 0.0)
+          .otherwise(col("null_cnt").cast("double") / col("row_cnt")).as(s"${tag}_null_frac"),
+        col("distinct_cnt").cast("double").as(s"${tag}_distinct_cnt"),
+        when(col("non_null_cnt") === 0, 0.0)
+          .otherwise(col("sum_val") / col("non_null_cnt")).as(s"${tag}_mean"),
+      )
+    val joined = metrics(before, "b").join(metrics(after, "a"), Seq("column_name"))
+    val stacked = joined.select(col("column_name"), expr(
+      "stack(4, " +
+        "'row_cnt', b_row_cnt, a_row_cnt, " +
+        "'null_frac', b_null_frac, a_null_frac, " +
+        "'distinct_cnt', b_distinct_cnt, a_distinct_cnt, " +
+        "'mean', b_mean, a_mean) AS (metric, before_val, after_val)"))
+    stacked.select(
+      col("column_name"), col("metric"),
+      round(col("before_val"), 4).as("before_val"),
+      round(col("after_val"), 4).as("after_val"),
+      round(
+        abs(col("after_val") - col("before_val")) /
+          greatest(abs(col("before_val")), lit(1e-12)), 4).as("rel_change"),
+      (abs(col("after_val") - col("before_val")) /
+        greatest(abs(col("before_val")), lit(1e-12)) <= maxRelChange).as("ok"),
+    )
+  }
+
   /** Snapshot diff between two corpus versions keyed by `idCol` — the
     * regression report run before promoting corpus v(N+1): how many docs
     * were `added` / `removed` / `changed` / `unchanged`, where `changed`
