@@ -1872,6 +1872,51 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // malformed-record quarantine on ingest: PERMISSIVE load routes broken
+    // lines into a corrupt-record column instead of failing the job or
+    // silently dropping — the 100 TB ingest posture (a full reload to find
+    // one bad line is not an option). The entry asserts the quarantine
+    // count in-query, so a mis-routed line turns the whole row red.
+    "q140_bad_records" -> ((s, dir) => {
+      val clean = File(s"$scratch/q140_nation.ndjson")
+      ExportToFile.df(s,
+        tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        clean, IfExists.Replace, singleFile = true)
+      val dirty = s"$scratch/q140_dirty.ndjson"
+      val lines = new java.util.ArrayList(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(clean.path)))
+      lines.add("{\"n_nationkey\": broken json")
+      lines.add("not json at all")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dirty), lines)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+      val loaded = LoadFile.toDataFrame(s, File(dirty), LoadOptions(
+        readerOptions = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"),
+        schema = Some(schema))).cache()
+      val quarantined = loaded.where(col("_corrupt").isNotNull).count()
+      require(quarantined == 2, s"expected 2 quarantined rows, got $quarantined")
+      loaded.where(col("_corrupt").isNull)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+    }),
+
+    // schema evolution across file generations: gen 2 adds a column; a
+    // mergeSchema read surfaces the union schema with NULLs for the old
+    // files — the additive-evolution contract of a long-lived dataset
+    "q141_schema_evolution" -> ((s, dir) => {
+      val r = tbl(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val d = s"$scratch/q141_evolve"
+      r.write.mode("overwrite").parquet(s"$d/g1")
+      r.withColumn("r_note", concat(lit("note-"), col("r_regionkey")))
+        .write.mode("overwrite").parquet(s"$d/g2")
+      LoadFile.toDataFrame(s, File(d, Some(FileType.Parquet)), LoadOptions(
+          readerOptions = Map("mergeSchema" -> "true", "recursiveFileLookup" -> "true")))
+        .select(col("r_regionkey"), col("r_name"), col("r_note"))
+    }),
+
     // incremental distinct counting via a persisted HLL sketch store: two
     // batches append per-source sketches; the estimate aggregates the
     // SKETCH TABLE only (no source rescan). At fixture cardinalities the
@@ -3220,6 +3265,15 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // valid rows survive the quarantine untouched
+    "q140_bad_records" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // union schema: old generation carries NULL for the added column
+    "q141_schema_evolution" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS r_note FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'note-' || r_regionkey FROM region""".stripMargin,
 
     // coupon-exact regime ⇒ estimates equal exact distincts
     "q139_hll_incremental" ->

@@ -114,4 +114,32 @@ class LoadExportSpec extends SparkSpec {
     assert(GetFileList(spark, s"$dir/*.csv").map(_.split('/').last).sorted == Seq("a.csv", "b.csv"))
     assert(GetFileList(spark, dir).size == 3)
   }
+
+  test("malformed ndjson: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir  = tmpDir()
+    val path = s"$dir/dirty.ndjson"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), java.util.Arrays.asList(
+      """{"id": 1, "v": "a"}""", """{"id": broken""", """{"id": 2, "v": "b"}""", "garbage"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt", StringType)))
+    // cache first: Spark disallows querying ONLY the corrupt column off the
+    // raw file (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val permissive = LoadFile.toDataFrame(spark, graft.model.File(path), LoadOptions(
+      readerOptions = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"),
+      schema = Some(schema))).cache()
+    assert(permissive.where(col("_corrupt").isNotNull).count() == 2)
+    assert(permissive.where(col("_corrupt").isNull).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    val dropped = LoadFile.toDataFrame(spark, graft.model.File(path), LoadOptions(
+      readerOptions = Map("mode" -> "DROPMALFORMED"),
+      schema = Some(StructType(schema.fields.dropRight(1)))))
+    assert(dropped.count() == 2)
+    val failfast = intercept[Exception] {
+      LoadFile.toDataFrame(spark, graft.model.File(path), LoadOptions(
+        readerOptions = Map("mode" -> "FAILFAST"),
+        schema = Some(StructType(schema.fields.dropRight(1))))).count()
+    }
+    assert(failfast.getMessage != null)
+  }
 }
