@@ -1872,6 +1872,27 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // fixed-width histogram (the distribution report behind bound-picking)
+    "q143_histogram" -> ((s, dir) =>
+      Profile.histogram(tbl(s, dir, "lineitem"), "l_extendedprice",
+        min = 0.0, max = 120000.0, bins = 20)),
+
+    // split-leakage (train/test contamination) report: near-copies planted
+    // across the corpus, hash-split 80/20, and every ≥0.6-Jaccard pair that
+    // CROSSES the split surfaces with both labels — complete at the
+    // recall-exact banding dial
+    "q142_split_leakage" -> ((s, dir) => {
+      val d   = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing token")).as("text"))
+      val all = Sampling.hashSplit(d.unionByName(dup), "doc_id",
+        Seq(("train", 0.8), ("test", 1.0)))
+      Dedup.splitLeakage(all, "doc_id", "text", "split", threshold = 0.6,
+          bands = Dedup.recallExactBands(0.6))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // malformed-record quarantine on ingest: PERMISSIVE load routes broken
     // lines into a corrupt-record column instead of failing the job or
     // silently dropping — the 100 TB ingest posture (a full reload to find
@@ -3265,6 +3286,35 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // same clamp-to-edge uniform bucket math as q135
+    "q143_histogram" ->
+      """WITH b AS (SELECT least(19, greatest(0,
+        |  CAST(floor(l_extendedprice * 20 / 120000.0) AS INT))) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin, round(bin * 6000.0, 4) AS lo, round((bin + 1) * 6000.0, 4) AS hi,
+        |  count(*) AS n FROM b GROUP BY bin""".stripMargin,
+
+    // q12's exact all-pairs Jaccard + the q36 split mirror; crossing pairs only
+    "q142_split_leakage" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_split_to_array(trim(lower(text || ' extra trailing token')), '\s+') FROM documents),
+        |lab AS (SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |       THEN 'train' ELSE 'test' END AS split FROM base),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM base),
+        |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, la.split AS split_a, lb.split AS split_b,
+        |  round(jac, 6) AS jaccard
+        |FROM j JOIN lab la ON j.id_a = la.doc_id JOIN lab lb ON j.id_b = lb.doc_id
+        |WHERE jac >= 0.6 AND la.split <> lb.split""".stripMargin,
 
     // valid rows survive the quarantine untouched
     "q140_bad_records" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",

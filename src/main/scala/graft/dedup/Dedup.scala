@@ -174,6 +174,35 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Train/test CONTAMINATION check: near-dup pairs whose members sit in
+    * DIFFERENT splits — the leakage report run after any split and before
+    * any training run (a test doc with a near-copy in train silently
+    * inflates eval). Output: `(id_a, id_b, split_a, split_b, jaccard)` for
+    * crossing pairs only.
+    *
+    * Scale shape: the pair search is the standard banded/bucket-capped
+    * MinHash pipeline; the split labels join back as (id, label) rows —
+    * payloads never re-shuffle. At [[recallExactBands]] the report is
+    * COMPLETE over J ≥ threshold (the oracle dial of q142).
+    */
+  def splitLeakage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      threshold: Double = 0.7,
+      bands: Int = 32,
+  ): DataFrame = {
+    val pairs  = nearDupPairsMinHash(df.select(col(idCol), col(textCol)),
+      idCol, textCol, threshold, bands = bands)
+    val labels = df.select(col(idCol), col(splitCol))
+    pairs
+      .join(labels.select(col(idCol).as("id_a"), col(splitCol).as("split_a")), Seq("id_a"))
+      .join(labels.select(col(idCol).as("id_b"), col(splitCol).as("split_b")), Seq("id_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"), col("jaccard"))
+  }
+
   /** Band count for a RECALL-EXACT run at `threshold`: pick r (rows/band) so
     * the S-curve miss probability at J=threshold is < 1e-6, i.e. the
     * LSH-candidate set provably contains every pair the exact-Jaccard verify

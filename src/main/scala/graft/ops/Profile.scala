@@ -41,6 +41,31 @@ object Profile {
         "(column_name, row_cnt, non_null_cnt, null_cnt, distinct_cnt, min_val, max_val, sum_val)"))
   }
 
+  /** Fixed-width histogram of a numeric column: `(bin, lo, hi, n)` with
+    * out-of-range values clamped into the edge bins — the distribution
+    * report behind bound-picking (mixture budgets, drift thresholds,
+    * z-order bounds). One partial-agg shuffle over ≤`bins` keys.
+    */
+  def histogram(
+      df: DataFrame,
+      colName: String,
+      min: Double,
+      max: Double,
+      bins: Int,
+  ): DataFrame = {
+    require(max > min && bins >= 1, "need max > min and bins >= 1")
+    val width = (max - min) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(colName).cast("double") - min) * bins / (max - min)).cast("int")))
+    df.where(col(colName).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(lit(min) + col("bin") * width, 4).as("lo"),
+        round(lit(min) + (col("bin") + 1) * width, 4).as("hi"),
+        col("n"))
+  }
+
   /** Profile DRIFT gate between two snapshots — the automated promotion
     * check on corpus v(N+1): per (column, metric) the before/after values,
     * the relative change, and a within-threshold verdict. Metrics:

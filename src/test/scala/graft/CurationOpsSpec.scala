@@ -231,6 +231,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map("unchanged" -> 2L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("Profile.histogram clamps out-of-range into edge bins and conserves counts") {
+    val df = Seq(-10.0, 0.0, 5.0, 14.9, 15.0, 29.9, 35.0, 99.0).toDF("v")
+    val h = graft.ops.Profile.histogram(df, "v", min = 0.0, max = 30.0, bins = 2)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    // bins: [0,15) and [15,30); -10 clamps low, 35/99 clamp high
+    assert(h == Seq((0, 0.0, 15.0, 4L), (1, 15.0, 30.0, 4L)))
+  }
+
+  test("Dedup.splitLeakage reports only pairs that cross the split boundary") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "train"),
+      (2L, "alpha beta gamma delta epsilon zeta", "test"),  // leak with 1
+      (3L, "alpha beta gamma delta epsilon zeta", "train"), // same-split dup of 1 — NOT a leak
+      (4L, "totally different words here now ok", "test"),
+    ).toDF("doc_id", "text", "split")
+    val out = Dedup.splitLeakage(docs, "doc_id", "text", "split",
+        threshold = 0.8, bands = Dedup.recallExactBands(0.8))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("Sampling.sampleExact returns exactly n, stable across partitionings, no global sort") {
     val a = graft.ops.Sampling.sampleExact(
       (0 until 500).map(_.toLong).toDF("id").repartition(13), "id", 20)
