@@ -1872,6 +1872,11 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // key-skew report (the measurement before salting): top-10 heaviest
+    // order-priority keys with row share
+    "q144_skew_report" -> ((s, dir) =>
+      Skew.keySkewReport(tbl(s, dir, "orders"), "o_orderpriority", topN = 10)),
+
     // fixed-width histogram (the distribution report behind bound-picking)
     "q143_histogram" -> ((s, dir) =>
       Profile.histogram(tbl(s, dir, "lineitem"), "l_extendedprice",
@@ -3286,6 +3291,12 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q144_skew_report" ->
+      """SELECT CAST(o_orderpriority AS VARCHAR) AS key, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders), 6) AS share
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY n DESC, key ASC LIMIT 10""".stripMargin,
 
     // same clamp-to-edge uniform bucket math as q135
     "q143_histogram" ->

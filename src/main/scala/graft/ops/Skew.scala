@@ -54,4 +54,22 @@ object Skew {
     val phase1  = partial(salted.groupBy((keys :+ "__graft_salt").map(col): _*))
     merge(phase1.groupBy(keys.map(col): _*))
   }
+
+  /** Key-skew report: the top-N heaviest keys with their row share — the
+    * measurement read BEFORE reaching for [[saltedJoin]]/[[saltedAgg]]
+    * (salting an unskewed key only adds shuffle volume; the report says
+    * whether and how hard to salt). One count aggregate + a distributed
+    * top-N (`TakeOrdered`); `total` is one count job. Output:
+    * `(key, n, share)` ranked by n DESC with a key tie-break.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val total = df.count()
+    df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topN)
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / math.max(1L, total), 6).as("share"))
+  }
 }
