@@ -1872,6 +1872,15 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // BATCH sessionization — the backfill twin of q32's streaming op, same
+    // gap rule, same oracle; lag/cumsum windows are per-user, one shuffle
+    "q145_batch_sessionize" -> ((s, dir) => {
+      allowNanos(s)
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev  = ev0.select(col("user_id"), epochSec(ev0, "ts").as("sec"))
+      Sessions.sessionize(ev, "user_id", "sec", gapSeconds = 3600)
+    }),
+
     // key-skew report (the measurement before salting): top-10 heaviest
     // order-priority keys with row share
     "q144_skew_report" -> ((s, dir) =>
@@ -3291,6 +3300,20 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // identical session SQL to q32 (shared gap rule ⇒ shared oracle)
+    "q145_batch_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec FROM events),
+        |m AS (SELECT user_id, tsec,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w >= 3600
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
+        |g AS (SELECT user_id, tsec,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
+        |  CAST(max(tsec) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "q144_skew_report" ->
       """SELECT CAST(o_orderpriority AS VARCHAR) AS key, count(*) AS n,

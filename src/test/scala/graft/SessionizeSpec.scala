@@ -51,4 +51,20 @@ class SessionizeSpec extends SparkSpec {
       ("u2", "2026-01-01 00:00:05", "2026-01-01 00:00:05", 1L),
     ), rows)
   }
+
+  test("batch sessionize applies the same gap rule (boundary cases)") {
+    import spark.implicits._
+    // gaps: 10 (same), 3599 (same — < gap), 3600 (break — >= gap)
+    val ev = Seq(
+      (1L, 1000L), (1L, 1010L), (1L, 1010L + 3599L), (1L, 1010L + 3599L + 3600L),
+      (2L, 5000L),
+    ).toDF("user_id", "sec")
+    val out = graft.ops.Sessions.sessionize(ev, "user_id", "sec", gapSeconds = 3600)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1000L, 4609L, 3L),
+      (1L, 8209L, 8209L, 1L),
+      (2L, 5000L, 5000L, 1L),
+    ), out.toString)
+  }
 }
