@@ -1872,6 +1872,11 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // per-doc n-gram novelty: fraction of a doc's distinct 3-shingles seen
+    // in no other document — the diversity complement of the dedup scores
+    "q146_ngram_novelty" -> ((s, dir) =>
+      TermStats.ngramNovelty(tbl(s, dir, "documents"), "doc_id", "text", k = 3)),
+
     // BATCH sessionization — the backfill twin of q32's streaming op, same
     // gap rule, same oracle; lag/cumsum windows are per-user, one shuffle
     "q145_batch_sessionize" -> ((s, dir) => {
@@ -3300,6 +3305,19 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // q12's shingle mirror + document frequency; novel = gdf 1
+    "q146_ngram_novelty" ->
+      """WITH base AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM base),
+        |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+        |d AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
+        |FROM g JOIN d USING (gram) GROUP BY g.doc_id""".stripMargin,
 
     // identical session SQL to q32 (shared gap rule ⇒ shared oracle)
     "q145_batch_sessionize" ->

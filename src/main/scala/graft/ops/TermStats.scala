@@ -66,6 +66,32 @@ object TermStats {
       .limit(vocabSize)
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * k-word shingles that occur in NO other document —
+    * `(idCol, n_grams, n_novel, novelty)`. The diversity complement of the
+    * dedup family: near-dup scores say how much a doc repeats the corpus,
+    * novelty says how much of it is seen nowhere else (boilerplate-heavy
+    * docs score ~0, unique prose ~1) — a standard mixture-curation signal.
+    *
+    * Scale shape: shingles explode once as (id, gram) with per-doc
+    * `array_distinct` applied BEFORE the explode; gram document-frequency
+    * is one partial-agg shuffle; the re-join is by the gram key the
+    * aggregate just produced (exchange reuse). Text never shuffles.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(array_distinct(
+        graft.functions.TextFunctions.wordShingles(col(textCol), k))).as("gram"))
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    grams.join(dfreq, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+  }
+
   /** Per-document out-of-vocabulary stats against the corpus's own
     * top-`vocabSize` vocabulary — the tokenizer-coverage check run before
     * committing to a vocab size: `(idCol, n_tokens, oov_count, oov_frac)`.

@@ -231,6 +231,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map("unchanged" -> 2L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("TermStats.ngramNovelty: duplicated docs score 0, unique docs 1") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),   // exact twin of 1 → both score 0
+      (3L, "alpha beta gamma delta epsilon"),
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TermStats.ngramNovelty(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
   test("Profile.histogram clamps out-of-range into edge bins and conserves counts") {
     val df = Seq(-10.0, 0.0, 5.0, 14.9, 15.0, 29.9, 35.0, 99.0).toDF("v")
     val h = graft.ops.Profile.histogram(df, "v", min = 0.0, max = 30.0, bins = 2)
