@@ -1872,6 +1872,18 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // verbatim answer-leak scan: eval "answers" are mid-document substrings
+    // of every 97th doc; one Aho-Corasick automaton flags every doc
+    // containing any of them — catches leaks below n-gram granularity
+    "q147_answer_leak" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val answers = d.where(col("doc_id") % 97 === 0)
+        .select(substring(col("text"), 11, 20).as("ans"))
+        .where(length(col("ans")) === 20)
+        .distinct().collect().map(_.getString(0)).toSeq
+      Dedup.contaminatedSubstring(d, "doc_id", "text", answers)
+    }),
+
     // per-doc n-gram novelty: fraction of a doc's distinct 3-shingles seen
     // in no other document — the diversity complement of the dedup scores
     "q146_ngram_novelty" -> ((s, dir) =>
@@ -3305,6 +3317,16 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // mirrors contaminatedSubstring: distinct answers contained in the
+    // lowercased text, flagged docs only
+    "q147_answer_leak" ->
+      """WITH a AS (SELECT DISTINCT lower(substring(text, 11, 20)) AS ans
+        |  FROM documents WHERE doc_id % 97 = 0 AND length(substring(text, 11, 20)) = 20)
+        |SELECT d.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_hits
+        |FROM documents d JOIN a ON position(a.ans IN lower(d.text)) > 0
+        |GROUP BY d.doc_id""".stripMargin,
 
     // q12's shingle mirror + document frequency; novel = gdf 1
     "q146_ngram_novelty" ->

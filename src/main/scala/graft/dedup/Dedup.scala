@@ -174,6 +174,32 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** VERBATIM answer-leak decontamination: flag corpus docs containing ANY
+    * of the `answers` strings as a SUBSTRING of the lowercased text — the
+    * complement of the n-gram overlap checks ([[contaminated]] and
+    * friends), which cannot see answers shorter than a shingle ("42", a
+    * named entity, a short code literal). All answers compile into ONE
+    * Aho–Corasick automaton (driver-built, reference-object broadcast), so
+    * the corpus scans once at O(chars) per doc regardless of answer count —
+    * the SQL `EXISTS contains(...)` formulation is O(chars·answers).
+    * Output: `(idCol, n_hits)` for flagged docs, n_hits = distinct answers
+    * found.
+    */
+  def contaminatedSubstring(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      answers: Seq[String],
+  ): DataFrame = {
+    val automaton = new graft.functions.MultiMatchImpl.Automaton(
+      answers.map(_.toLowerCase).toArray)
+    val hits = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MultiMatchCountExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lower(col(textCol))),
+        automaton))
+    corpus.select(col(idCol), hits.as("n_hits")).where(col("n_hits") > 0)
+  }
+
   /** Train/test CONTAMINATION check: near-dup pairs whose members sit in
     * DIFFERENT splits — the leakage report run after any split and before
     * any training run (a test doc with a near-copy in train silently
