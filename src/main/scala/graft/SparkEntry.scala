@@ -1872,6 +1872,26 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // rolling event-time window (RANGE frame): per event, how many of the
+    // same user's events fall in the trailing hour — the batch rate/burst
+    // feature; rangeBetween frames are per-key, no global sort
+    "q148_rolling_window" -> ((s, dir) => {
+      allowNanos(s)
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev  = ev0.select(col("user_id"), col("event_type"), epochSec(ev0, "ts").as("sec"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600L, Window.currentRow)
+      ev.select(col("user_id"), col("sec"),
+        count(lit(1)).over(w).as("events_last_hour"))
+    }),
+
+    // CUBE grouping (all 2^n grouping-set combinations — the remaining
+    // grouping-analytics builtin next to q57's ROLLUP)
+    "q149_cube" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+
     // verbatim answer-leak scan: eval "answers" are mid-document substrings
     // of every 97th doc; one Aho-Corasick automaton flags every doc
     // containing any of them — catches leaks below n-gram granularity
@@ -3317,6 +3337,19 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // DuckDB RANGE frame mirrors Spark rangeBetween (peers by value)
+    "q148_rolling_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events)
+        |SELECT user_id, CAST(sec AS BIGINT) AS sec,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_last_hour
+        |FROM e""".stripMargin,
+
+    "q149_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     // mirrors contaminatedSubstring: distinct answers contained in the
     // lowercased text, flagged docs only
