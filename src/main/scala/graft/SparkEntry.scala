@@ -1872,6 +1872,30 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // ordered funnel: view → click-after-view → purchase-after-click per
+    // user; k bounded min-agg rounds, one row per user out
+    "q151_funnel" -> ((s, dir) => {
+      allowNanos(s)
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev  = ev0.select(col("user_id"), col("event_type"), epochSec(ev0, "ts").as("sec"))
+      Sessions.funnel(ev, "user_id", "event_type", "sec",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // embedding-space drift: per-label centroid cosine between the corpus
+    // and a half-shifted snapshot — the representation-level drift gate
+    // (q138 is the scalar-metric one). Element-wise posexplode aggregation;
+    // no group ever buffers its member vectors.
+    "q150_embedding_drift" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val after = e.withColumn("embedding",
+        when(col("vec_id") % 2 === 1,
+          transform(col("embedding"), x => (x + lit(0.2f)).cast("float")))
+          .otherwise(col("embedding")))
+      graft.similarity.EmbeddingDrift.centroidDrift(e, after, "label", "embedding",
+        roundTo = 5)
+    }),
+
     // rolling event-time window (RANGE frame): per event, how many of the
     // same user's events fall in the trailing hour — the batch rate/burst
     // feature; rangeBetween frames are per-key, no global sort
@@ -3337,6 +3361,43 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // iterative min-after-previous-step mirror; highest step wins
+    "q151_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s0 AS (SELECT user_id, min(sec) AS t0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(sec) AS t1 FROM e JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND sec >= t0 GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(sec) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec >= t1 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+        |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed
+        |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)""".stripMargin,
+
+    // element-wise means per (label, pos) both sides, cosine of the mean
+    // vectors; float addition mirrored with explicit FLOAT casts
+    "q150_embedding_drift" ->
+      """WITH b AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |  unnest(embedding) AS v FROM embeddings),
+        |bc AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS n
+        |  FROM b GROUP BY label, pos),
+        |a0 AS (SELECT label, CASE WHEN vec_id % 2 = 1
+        |    THEN list_transform(embedding, x -> CAST(x + CAST(0.2 AS FLOAT) AS FLOAT))
+        |    ELSE embedding END AS emb FROM embeddings),
+        |a AS (SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM a0),
+        |ac AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS n
+        |  FROM a GROUP BY label, pos),
+        |j AS (SELECT bc.label, bc.m AS mb, ac.m AS ma, bc.n AS nb, ac.n AS na
+        |  FROM bc JOIN ac USING (label, pos)),
+        |f AS (SELECT label, max(nb) AS n_before, max(na) AS n_after,
+        |  sum(mb * ma) AS dot, sqrt(sum(mb * mb)) AS l2b, sqrt(sum(ma * ma)) AS l2a
+        |  FROM j GROUP BY label)
+        |SELECT label, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(n_after AS BIGINT) AS n_after,
+        |  round(dot / (l2b * l2a), 5) AS centroid_cosine FROM f""".stripMargin,
 
     // DuckDB RANGE frame mirrors Spark rangeBetween (peers by value)
     "q148_rolling_window" ->

@@ -17,6 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
+  /** Ordered funnel analysis: how far each key progressed through `steps`
+    * (step i counts only at or after the completion time of step i−1 —
+    * "first view, then the first click AFTER that view, …"). Output:
+    * `(keyCol, steps_completed)` with 0 for keys that never hit step 0.
+    *
+    * Scale shape: one `min` aggregate + key join per step — k small
+    * bounded rounds; events shuffle by key, the accumulating per-key frame
+    * is one row per key. (A per-key sorted state machine would do it in
+    * one pass but buys nothing at k ≈ 3–5.)
+    */
+  def funnel(
+      df: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      secCol: String,
+      steps: Seq[String],
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc: DataFrame = df.select(col(keyCol)).distinct()
+    var prev: Option[String] = None
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val tcol = s"__t$i"
+      val stepTimes = prev match {
+        case None =>
+          df.where(col(typeCol) === st).groupBy(col(keyCol)).agg(min(col(secCol)).as(tcol))
+        case Some(p) =>
+          df.where(col(typeCol) === st)
+            .join(acc.select(col(keyCol), col(p)).where(col(p).isNotNull), Seq(keyCol))
+            .where(col(secCol) >= col(p))
+            .groupBy(col(keyCol)).agg(min(col(secCol)).as(tcol))
+      }
+      acc = acc.join(stepTimes, Seq(keyCol), "left")
+      prev = Some(tcol)
+    }
+    // build innermost-first so the HIGHEST completed step wins:
+    // when(tN, N+1).otherwise(... when(t0, 1).otherwise(0))
+    val completed = steps.indices.foldLeft(lit(0L)) { (rest, i) =>
+      when(col(s"__t$i").isNotNull, lit((i + 1).toLong)).otherwise(rest)
+    }
+    acc.select(col(keyCol), completed.as("steps_completed"))
+  }
+
   /** `(keyCol, session_start, session_end, events)` — `secCol` is epoch
     * seconds (use [[graft.SparkEntry]]-style schema-adaptive extraction for
     * timestamp columns).

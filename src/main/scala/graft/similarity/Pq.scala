@@ -15,6 +15,58 @@ case class PqCodebooks(m: Int, k: Int, dsub: Int, flat: Array[Float]) {
   require(flat.length == m * k * dsub, "codebook shape mismatch")
 }
 
+/** Embedding-space monitoring: per-group centroid drift between two corpus
+  * snapshots — the representation-level complement of
+  * [[graft.ops.Profile.drift]]'s scalar metrics (an embedding model swap or
+  * a content shift moves centroids even when row counts hold steady).
+  *
+  * Scale shape: each side reduces to one partial-agg pass (per-group
+  * element-wise sums + counts — map-side combine, groups × dim doubles);
+  * the cosine between the two centroids is driver-trivial arithmetic done
+  * in-plan. Vectors never join row-to-row.
+  */
+object EmbeddingDrift {
+  import org.apache.spark.sql.DataFrame
+
+  /** `(groupCol, n_before, n_after, centroid_cosine)` per group present on
+    * both sides; cosine rounded to `roundTo`.
+    *
+    * Centroids via element-wise aggregation: vectors posexplode to
+    * `(group, pos, value)` scalars (linear in n·dim, map-side partials),
+    * the per-(group, pos) means re-assemble into a dim-length array with a
+    * dim-BOUNDED collect_list — no group ever materializes its member
+    * vectors in one buffer.
+    */
+  def centroidDrift(
+      before: DataFrame,
+      after: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      roundTo: Int = 6,
+  ): DataFrame = {
+    def centroids(df: DataFrame, tag: String): DataFrame =
+      df.select(col(groupCol),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy(col(groupCol), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col(groupCol))
+        .agg(
+          max(col("n")).as(s"n_$tag"), // every pos sees each row once
+          transform(
+            array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+            x => x.getField("m")).as(s"c_$tag"),
+        )
+    val joined = centroids(before, "before").join(centroids(after, "after"), Seq(groupCol))
+    val dot  = aggregate(zip_with(col("c_before"), col("c_after"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    def nrm(c: Column) =
+      sqrt(aggregate(zip_with(c, c, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    joined.select(col(groupCol), col("n_before"), col("n_after"),
+      round(dot / (nrm(col("c_before")) * nrm(col("c_after"))), roundTo)
+        .as("centroid_cosine"))
+  }
+}
+
 /** Product-quantization ANN (Jégou et al., TPAMI 2011) — the 100 TB-scale
   * path for similarity search: raw float embeddings are 4·d bytes/row (256 B
   * at d=64) and can't all be rescanned per query batch; PQ codes are `m`

@@ -67,4 +67,19 @@ class SessionizeSpec extends SparkSpec {
       (2L, 5000L, 5000L, 1L),
     ), out.toString)
   }
+
+  test("funnel enforces step ORDER: a click before the first view does not count") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full funnel
+      (2L, "click", 5L), (2L, "view", 10L),                         // click precedes view: stuck at 1
+      (3L, "view", 10L), (3L, "purchase", 20L),                     // no click: stuck at 1
+      (4L, "error", 1L),                                            // never enters: 0
+      (5L, "view", 10L), (5L, "click", 10L),                        // same-second counts (>=): 2
+    ).toDF("user_id", "event_type", "sec")
+    val out = graft.ops.Sessions.funnel(ev, "user_id", "event_type", "sec",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 2L))
+  }
 }
