@@ -1872,6 +1872,17 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // weekly cohort retention anchored on first signup: distinct cohort
+    // members active again k weeks later; activity set dedups before the
+    // cohort join
+    "q152_retention" -> ((s, dir) => {
+      allowNanos(s)
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev  = ev0.select(col("user_id"), col("event_type"), epochSec(ev0, "ts").as("sec"))
+      Sessions.cohortRetention(ev, "user_id", "event_type", "sec",
+        anchorType = "signup", periodSeconds = 604800L, maxOffset = 8)
+    }),
+
     // ordered funnel: view → click-after-view → purchase-after-click per
     // user; k bounded min-agg rounds, one row per user out
     "q151_funnel" -> ((s, dir) => {
@@ -3361,6 +3372,19 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // integer week math; activity dedup before the cohort join
+    "q152_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  (epoch_ns(ts) // 1000000000) // 604800 AS p FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, p FROM e)
+        |SELECT cohort, p - cohort AS period_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_keys
+        |FROM c JOIN a USING (user_id)
+        |WHERE p - cohort BETWEEN 0 AND 8
+        |GROUP BY cohort, p - cohort""".stripMargin,
 
     // iterative min-after-previous-step mirror; highest step wins
     "q151_funnel" ->

@@ -59,6 +59,36 @@ object Sessions {
     acc.select(col(keyCol), completed.as("steps_completed"))
   }
 
+  /** Cohort retention: keys grouped by the period of their FIRST
+    * `anchorType` event (the cohort), counting distinct cohort members
+    * active again `offset` periods later —
+    * `(cohort, period_offset, active_keys)`.
+    *
+    * Scale shape: the (key, period) activity set dedups BEFORE the cohort
+    * join (volume = active key-periods, not events); the cohort table is
+    * one row per key. Integer period math throughout (engine-portable).
+    */
+  def cohortRetention(
+      df: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      secCol: String,
+      anchorType: String,
+      periodSeconds: Long = 604800L,
+      maxOffset: Int = 8,
+  ): DataFrame = {
+    require(periodSeconds > 0 && maxOffset >= 0, "bad period/offset")
+    val cohorts = df.where(col(typeCol) === anchorType)
+      .groupBy(col(keyCol))
+      .agg(min(expr(s"$secCol div ${periodSeconds}L")).as("cohort"))
+    val active = df.select(col(keyCol), expr(s"$secCol div ${periodSeconds}L").as("p")).distinct()
+    cohorts.join(active, Seq(keyCol))
+      .select(col("cohort"), (col("p") - col("cohort")).as("period_offset"), col(keyCol))
+      .where(col("period_offset").between(0, maxOffset))
+      .groupBy(col("cohort"), col("period_offset"))
+      .agg(countDistinct(col(keyCol)).as("active_keys"))
+  }
+
   /** `(keyCol, session_start, session_end, events)` — `secCol` is epoch
     * seconds (use [[graft.SparkEntry]]-style schema-adaptive extraction for
     * timestamp columns).
