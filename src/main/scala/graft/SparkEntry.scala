@@ -1872,6 +1872,20 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // batch hopping-window aggregation (window() with slide < size): every
+    // event lands in size/slide overlapping windows — the smoothing
+    // variant of q34's tumbling windows, same builtin surface at rest
+    "q153_hopping_window" -> ((s, dir) => {
+      allowNanos(s)
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev = ev0.select(col("user_id"),
+        timestamp_seconds(epochSec(ev0, "ts")).as("ts"))
+      ev.groupBy(window(col("ts"), "60 minutes", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("n_events"), col("n_users"))
+    }),
+
     // weekly cohort retention anchored on first signup: distinct cohort
     // members active again k weeks later; activity set dedups before the
     // cohort join
@@ -3372,6 +3386,15 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // each event belongs to exactly size/slide = 2 epoch-aligned hops
+    "q153_hopping_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |h AS (SELECT user_id, ((sec // 1800) - k) * 1800 AS w_start
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT CAST(w_start AS BIGINT) AS w_start, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM h GROUP BY w_start""".stripMargin,
 
     // integer week math; activity dedup before the cohort join
     "q152_retention" ->
