@@ -1872,6 +1872,23 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // source coverage curve: sources ranked by token mass with cumulative
+    // share — the Zipf-concentration report behind mixture design ("top 3
+    // sources are 80% of the tokens"). Windows run over the AGGREGATED
+    // frame (one row per source — bounded), never the corpus.
+    "q154_source_coverage" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val agg = d.groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val w = Window.orderBy(col("n_tokens").desc, col("source").asc)
+      val cum = sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val total = sum(col("n_tokens")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      agg.select(col("source"), col("n_tokens"),
+        row_number().over(w).cast("long").as("rank"),
+        round(cum.cast("double") / total, 6).as("cum_share"))
+    }),
+
     // batch hopping-window aggregation (window() with slide < size): every
     // event lands in size/slide overlapping windows — the smoothing
     // variant of q34's tumbling windows, same builtin surface at rest
@@ -3386,6 +3403,18 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // same whitespace token rule; cumulative share over (tokens DESC, source)
+    "q154_source_coverage" ->
+      """WITH a AS (SELECT source,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_tokens,
+        |  CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  round(CAST(sum(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |    (SELECT sum(n_tokens) FROM a), 6) AS cum_share
+        |FROM a WINDOW w AS (ORDER BY n_tokens DESC, source ASC)""".stripMargin,
 
     // each event belongs to exactly size/slide = 2 epoch-aligned hops
     "q153_hopping_window" ->
