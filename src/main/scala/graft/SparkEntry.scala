@@ -1872,6 +1872,22 @@ object SparkEntry {
       Profile.diff(v1, v2, "doc_id", "text")
     }),
 
+    // the BUILTIN session_window() in batch — third implementation of the
+    // same gap rule (hand-rolled batch q145, stateful streaming q32), all
+    // three sharing one oracle: the builtin merges events whose gap to the
+    // session end is < gap, exactly the flatMapGroupsWithState semantics
+    "q155_session_window_builtin" -> ((s, dir) => {
+      allowNanos(s)
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      val ev = ev0.select(col("user_id"),
+        timestamp_seconds(epochSec(ev0, "ts")).as("ts"))
+      ev.groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("events"),
+          unix_seconds(min(col("ts"))).as("session_start"),
+          unix_seconds(max(col("ts"))).as("session_end"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("events"))
+    }),
+
     // source coverage curve: sources ranked by token mass with cumulative
     // share — the Zipf-concentration report behind mixture design ("top 3
     // sources are 80% of the tokens"). Windows run over the AGGREGATED
@@ -3403,6 +3419,20 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin,
 
     "q136_bzip2_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // q145's session SQL verbatim — the gap rule is the shared contract
+    "q155_session_window_builtin" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec FROM events),
+        |m AS (SELECT user_id, tsec,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w >= 3600
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
+        |g AS (SELECT user_id, tsec,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
+        |  CAST(max(tsec) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     // same whitespace token rule; cumulative share over (tokens DESC, source)
     "q154_source_coverage" ->
