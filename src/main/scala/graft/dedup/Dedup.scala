@@ -191,8 +191,13 @@ object Dedup {
       textCol: String,
       answers: Seq[String],
   ): DataFrame = {
-    val automaton = new graft.functions.MultiMatchImpl.Automaton(
-      answers.map(_.toLowerCase).toArray)
+    val patterns = answers.map(_.toLowerCase).filter(_.nonEmpty)
+    // an empty (or all-empty-string) answer batch is a legitimate production
+    // input — it means "nothing to decontaminate", i.e. zero hits, not a
+    // failed job (the Automaton requires ≥1 non-empty pattern)
+    if (patterns.isEmpty)
+      return corpus.select(col(idCol), lit(0L).as("n_hits")).where(lit(false))
+    val automaton = new graft.functions.MultiMatchImpl.Automaton(patterns.toArray)
     val hits = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.MultiMatchCountExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(lower(col(textCol))),

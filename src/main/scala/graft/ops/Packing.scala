@@ -110,9 +110,12 @@ object Packing {
     // default order = hash-of-id: a deterministic global shuffle, so each
     // window mixes unrelated documents (what the training stream wants);
     // pass e.g. `Some(col(idCol))` for corpus order, or a curriculum score
-    val ord = orderKey.getOrElse(xxhash64(col(idCol).cast("long")))
+    // hash the RAW id column: a cast("long") here would turn non-numeric ids
+    // into nulls, silently collapsing the order key (and the tie-break) into
+    // nondeterminism instead of failing loudly
+    val ord = orderKey.getOrElse(xxhash64(col(idCol)))
     val withEos = df.select(
-      col(idCol).cast("long").as("id"),
+      col(idCol).as("id"),
       concat(col(idsCol), array(lit(eosId))).as("ids"),
       ord.as("__h"),
     )

@@ -30,7 +30,12 @@ object Sketches {
   ): Unit =
     TableIO.overwrite(spark, sketchOf(df, groupCol, valueCol, lgK), table)
 
-  /** Append a new batch's sketches (one row per group per batch). */
+  /** Append a new batch's sketches (one row per group per batch). The
+    * store's persisted `lg_k` is authoritative: an append at a different
+    * precision is a hard error, not a silent `allowDifferentLgConfigK`
+    * downgrade (a union across configs drops to the smaller lgK, breaking
+    * the documented coupon-exact regime).
+    */
   def appendDistinctStore(
       spark: SparkSession,
       df: DataFrame,
@@ -39,6 +44,13 @@ object Sketches {
       table: Table,
       lgK: Int = 12,
   ): Unit = {
+    val storeLgK = spark.table(table.qualifiedName)
+      .select(max(col("lg_k"))).collect().head
+    if (!storeLgK.isNullAt(0))
+      require(storeLgK.getInt(0) == lgK,
+        s"Sketch store ${table.qualifiedName} was built with lgK=${storeLgK.getInt(0)}; " +
+          s"appending a batch at lgK=$lgK would silently downgrade precision. " +
+          "Pass the store's lgK (or rebuild the store).")
     sketchOf(df, groupCol, valueCol, lgK)
       .write.mode("append").saveAsTable(table.qualifiedName)
     spark.catalog.refreshTable(table.qualifiedName)
@@ -47,12 +59,16 @@ object Sketches {
   private def sketchOf(df: DataFrame, groupCol: String, valueCol: String, lgK: Int): DataFrame =
     df.groupBy(col(groupCol).as("grp"))
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .withColumn("lg_k", lit(lgK))
 
   /** Distinct-count estimates from the store alone: union the per-batch
-    * sketches per group, estimate. Never touches the source data.
+    * sketches per group, estimate. Never touches the source data. The
+    * store is lgK-homogeneous by construction, so cross-config unions are
+    * rejected (allowDifferentLgConfigK=false) — precision never degrades
+    * silently.
     */
   def estimateDistinct(spark: SparkSession, table: Table): DataFrame =
     spark.table(table.qualifiedName)
       .groupBy(col("grp"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("distinct_est"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("distinct_est"))
 }

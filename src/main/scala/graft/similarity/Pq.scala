@@ -61,9 +61,15 @@ object EmbeddingDrift {
       lit(0.0), (acc, x) => acc + x)
     def nrm(c: Column) =
       sqrt(aggregate(zip_with(c, c, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    // a dim mismatch between snapshots must fail loudly — zip_with would
+    // otherwise pad with nulls and silently yield null cosines
+    val cosine = when(size(col("c_before")) === size(col("c_after")),
+      dot / (nrm(col("c_before")) * nrm(col("c_after"))))
+      .otherwise(raise_error(concat(
+        lit("centroidDrift: embedding dims differ between snapshots for group "),
+        col(groupCol).cast("string"))))
     joined.select(col(groupCol), col("n_before"), col("n_after"),
-      round(dot / (nrm(col("c_before")) * nrm(col("c_after"))), roundTo)
-        .as("centroid_cosine"))
+      round(cosine, roundTo).as("centroid_cosine"))
   }
 }
 
@@ -114,6 +120,12 @@ object Pq {
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "PQ: empty corpus")
     val dim = sample.head.length
+    // a ragged corpus must fail HERE with a clear message, not deep in the
+    // subspace copy with an opaque ArrayIndexOutOfBounds
+    val ragged = sample.indexWhere(_.length != dim)
+    require(ragged < 0,
+      s"PQ: all vectors must share one dimension; sampled vector #$ragged " +
+        s"has ${sample(ragged max 0).length} dims, expected $dim")
     require(dim % m == 0, s"PQ: m=$m must divide dim=$dim")
     val dsub = dim / m
     // normalize the sample once (cosine convention)

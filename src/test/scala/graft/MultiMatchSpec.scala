@@ -40,4 +40,12 @@ class MultiMatchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("empty (or all-empty-string) answer batch yields zero hits, not a crash") {
+    val docs = Seq((1L, "any text at all")).toDF("doc_id", "text")
+    val none  = Dedup.contaminatedSubstring(docs, "doc_id", "text", Seq.empty)
+    val blank = Dedup.contaminatedSubstring(docs, "doc_id", "text", Seq("", ""))
+    assert(none.count() == 0 && blank.count() == 0)
+    assert(none.columns.toSeq == Seq("doc_id", "n_hits"))
+  }
 }

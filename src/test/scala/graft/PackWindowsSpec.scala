@@ -106,6 +106,24 @@ class PackWindowsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("non-numeric ids pack deterministically (no silent null-collapse of the order key)") {
+    val docs = Seq(("alpha", Seq(1, 2, 3)), ("beta", Seq(4, 5)), ("gamma", (6 to 14).toSeq))
+      .toDF("doc_id", "ids")
+    def run() = Packing.packContextWindows(docs, "doc_id", "ids", 6)
+      .orderBy("window_id").as[(Long, Seq[Int], Long, Long)].collect().toSeq
+    val a = run()
+    assert(a == run()) // deterministic across runs
+    // total non-pad ids = Σ per-doc ids + one EOS per doc
+    assert(a.map(_._3).sum == (3 + 2 + 9 + 3).toLong)
+    // order follows xxhash64 of the RAW string ids (would be a single null
+    // bucket if the ids were cast to long)
+    val hashes = docs.select(col("doc_id"), xxhash64(col("doc_id")).as("h"))
+      .as[(String, Long)].collect().toMap
+    val ordered = Seq("alpha", "beta", "gamma").sortBy(hashes)
+    val expectedFirst = Map("alpha" -> 1, "beta" -> 4, "gamma" -> 6)(ordered.head)
+    assert(a.head._2.head == expectedFirst)
+  }
+
   test("end to end: BPE ids from text → fixed windows") {
     val model = Bpe.trainFromCounts(
       Array(("spark", 5L), ("data", 5L), ("pipeline", 3L)), numMerges = 8)

@@ -41,6 +41,16 @@ class PqSpec extends SparkSpec {
     assert(cb.flat.sameElements(cb2.flat) && cb.dsub == cb2.dsub)
   }
 
+  test("ragged corpus fails training with a clear dimension message") {
+    val ragged = corpus.select(col("vec_id"),
+      when(col("vec_id") === 7L, slice(col("embedding"), 1, 8))
+        .otherwise(col("embedding")).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Pq.train(ragged, "vec_id", "embedding", m = 4, k = 8)
+    }
+    assert(e.getMessage.contains("share one dimension"))
+  }
+
   test("ADC score is the LUT sum of the row's codes") {
     val row = corpus
       .select(Pq.encode(col("embedding"), cb).as("codes"),

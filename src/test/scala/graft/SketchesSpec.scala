@@ -36,6 +36,16 @@ class SketchesSpec extends SparkSpec {
     assert(est == 450.0, s"est $est")
   }
 
+  test("append at a different lgK than the store is a hard error, not a downgrade") {
+    val t = Table("graft_test_hll_lgk")
+    val a = (0 until 100).map(i => (i.toLong, "g")).toDF("id", "grp")
+    Sketches.buildDistinctStore(spark, a, "grp", "id", t, lgK = 14)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.appendDistinctStore(spark, a, "grp", "id", t, lgK = 12)
+    }
+    assert(e.getMessage.contains("lgK=14"))
+  }
+
   test("Profile.drift flags only the metrics that moved beyond threshold") {
     val v1 = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val v2 = (1 to 900).map(i => (i.toLong, i.toDouble)).toDF("id", "v") // -10% rows
