@@ -90,6 +90,8 @@ object Bench {
       sorted.foreach { case (name, fn) =>
         withBudget(spark, s"warmup-$name", budgetSec)(fn(spark, warmupDir).count())
       }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -98,6 +100,13 @@ object Bench {
         val t0 = System.nanoTime()
         val r = withBudget(spark, s"$name-p$pass", budgetSec)(fn(spark, sfDir).count())
         val sec = (System.nanoTime() - t0) / 1e9
+        // drop whatever the query pinned (cache/localCheckpoint RDDs):
+        // leftover storage blocks from earlier queries otherwise accumulate
+        // across the 155-query suite and tax later slots — round 7's
+        // "q87 regression" was exactly this, a bench-position artifact
+        // (the op itself re-measured FASTER than round 6 in isolation)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         r match {
           case Right(_) =>
             System.err.println(f"[bench] p$pass $name%-28s ${sec}%8.2f s")

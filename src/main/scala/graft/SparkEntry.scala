@@ -2144,8 +2144,13 @@ object SparkEntry {
     // tie-break
     "q128_ccnet_buckets" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      // production dial: the reference LM is PRUNED to a fixed top-K
+      // (CCNet's fixed-model shape) — both scoring joins broadcast, cost
+      // is O(docs) regardless of the train split's size; the bounds sit
+      // below the fixture's natural 31-token/~930-bigram model so the
+      // deterministic top-K tie-break is itself oracle-checked
       LangModel.perplexityBuckets(d.filter(col("doc_id") % 3 =!= 0), d,
-        "doc_id", "text", "source")
+        "doc_id", "text", "source", maxVocab = 24, maxBigrams = 600)
     }),
 
     // text sanitization battery (control/zero-width strip, CRLF normalize,
@@ -3714,16 +3719,21 @@ object SparkEntry {
         |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
 
-    // q97's scoring mirror + per-source ntile terciles (tie-break doc_id)
+    // q97's scoring mirror + per-source ntile terciles (tie-break doc_id),
+    // model pruned to top-24 unigrams / top-600 bigrams (count desc, key
+    // asc tie-break) with V = pruned vocab size — mirrors the fixed-LM dial
     "q128_ccnet_buckets" ->
       """WITH d AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
         |tr AS (SELECT toks FROM d WHERE doc_id % 3 <> 0),
         |u AS (SELECT unnest(toks) AS w FROM tr),
-        |c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+        |c1f AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+        |c1 AS (SELECT w, c1 FROM c1f QUALIFY row_number() OVER (ORDER BY c1 DESC, w) <= 24),
         |v AS (SELECT count(*) AS v FROM c1),
         |tb AS (SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
         |  FROM tr WHERE len(toks) >= 2),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2),
+        |c12f AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2),
+        |c12 AS (SELECT w1, w2, c12 FROM c12f
+        |  QUALIFY row_number() OVER (ORDER BY c12 DESC, w1, w2) <= 600),
         |db AS (SELECT doc_id, len(toks) AS n_tokens,
         |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
         |  FROM d WHERE len(toks) >= 2),

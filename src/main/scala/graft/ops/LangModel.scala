@@ -42,6 +42,17 @@ object LangModel {
     * `(idCol, n_tokens, n_bigrams, n_unseen, bits_per_bigram)` — counts
     * exact integers, `bits_per_bigram` = -mean log2 P rounded to
     * `roundTo`, 0.0 for docs with no bigram.
+    *
+    * `maxVocab` / `maxBigrams` bound the MODEL, not the corpus: keep only
+    * the top-K unigrams/bigrams by count (ties broken by key, so the
+    * pruned model is deterministic and engine-portable — DuckDB mirrors it
+    * with a `QUALIFY row_number()`), everything pruned scores as unseen,
+    * and V in the add-one smoothing is the PRUNED vocab size. This is
+    * CCNet's own production shape — a FIXED reference LM whose size does
+    * not grow with the training split — and it turns both scoring joins
+    * into broadcasts: at 100 TB the corpus streams past a few-MB model
+    * instead of shuffling by bigram key. Defaults (unbounded) preserve the
+    * exact self-scoring dial.
     */
   def scoreBigram(
       train: DataFrame,
@@ -49,15 +60,27 @@ object LangModel {
       idCol: String,
       textCol: String,
       roundTo: Int = 3,
+      maxVocab: Int = Int.MaxValue,
+      maxBigrams: Int = Int.MaxValue,
   ): DataFrame = {
+    require(maxVocab > 0 && maxBigrams > 0, "model bounds must be positive")
     val trainToks = train.select(
       explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("w"))
-    val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val uniFull = trainToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // top-K = orderBy+limit → TakeOrderedAndProject: a distributed heap
+    // per partition + one K-row merge, never a full sort
+    val uni =
+      if (maxVocab == Int.MaxValue) uniFull
+      else uniFull.orderBy(col("c1").desc, col("w")).limit(maxVocab)
     val vocab = uni.count() // one small job; V is a scalar in the formula
-    val bi = train.select(
+    val biFull = train.select(
         explode(bigrams(graft.functions.TextFunctions.tokens(lower(col(textCol))))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bi =
+      if (maxBigrams == Int.MaxValue) biFull
+      else biFull.orderBy(col("c12").desc, col("w1"), col("w2")).limit(maxBigrams)
+    val pruned = maxVocab != Int.MaxValue || maxBigrams != Int.MaxValue
 
     val docToks = docs.select(col(idCol),
       graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
@@ -66,9 +89,13 @@ object LangModel {
     val docBi = counts.select(col(idCol), col("n_tokens"),
         explode_outer(bigrams(col("toks"))).as("b"))
       .select(col(idCol), col("n_tokens"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // a bounded model is broadcast-safe BY CONSTRUCTION — hint it so the
+    // doc scan never shuffles; the unbounded dial lets Catalyst/AQE decide
+    val uniJ = { val u = uni.withColumnRenamed("w", "w1"); if (pruned) broadcast(u) else u }
+    val biJ  = if (pruned) broadcast(bi) else bi
     val scored = docBi
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
-      .join(bi, Seq("w1", "w2"), "left")
+      .join(uniJ, Seq("w1"), "left")
+      .join(biJ, Seq("w1", "w2"), "left")
       .withColumn("__p",
         (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
           (coalesce(col("c1"), lit(0L)) + vocab).cast("double"))
@@ -138,9 +165,12 @@ object LangModel {
       textCol: String,
       groupCol: String,
       buckets: Int = 3,
+      maxVocab: Int = Int.MaxValue,
+      maxBigrams: Int = Int.MaxValue,
   ): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
-    val scored = scoreBigram(train, docs, idCol, textCol)
+    val scored = scoreBigram(train, docs, idCol, textCol,
+        maxVocab = maxVocab, maxBigrams = maxBigrams)
       .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))

@@ -47,6 +47,39 @@ class LangModelSpec extends SparkSpec {
     assert(out.head === ((6L, 2L, 1L, 1L, 1.0)))
   }
 
+  test("model bounds at/above the natural size change nothing") {
+    val d = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val full    = LangModel.scoreBigram(d, d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val bounded = LangModel.scoreBigram(d, d, "doc_id", "text", maxVocab = 3, maxBigrams = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(bounded == full)
+  }
+
+  test("pruned model: dropped entries score as unseen with V = pruned vocab") {
+    // c1 = {a:3, b:2, c:1}; top-2 vocab keeps {a,b}, V=2
+    // c12 = {(a,b):2, (b,a):1, (b,c):1}; top-1 keeps (a,b)
+    val train = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val docs  = Seq((3L, "a b c")).toDF("doc_id", "text")
+    val out = LangModel.scoreBigram(train, docs, "doc_id", "text",
+        maxVocab = 2, maxBigrams = 1)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // (a,b): kept, P=(2+1)/(3+2)=.6; (b,c): pruned -> unseen, P=(0+1)/(2+2)=.25
+    val bits = (-math.log(0.6) / math.log(2) + 2.0) / 2
+    assert(out.head === ((3L, 3L, 2L, 1L,
+      BigDecimal(bits).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("top-K pruning breaks count ties by key, deterministically") {
+    // b and c tie at count 1: maxVocab=2 must keep {a, b} (key asc on ties)
+    val train = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val docs  = Seq((2L, "c a")).toDF("doc_id", "text")
+    // (c,a): bigram unseen either way; c1(c)=0 iff c was pruned -> P=1/(0+2)
+    val out = LangModel.scoreBigram(train, docs, "doc_id", "text", maxVocab = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.head._5 === 1.0) // -log2(1/2): proves c1(c)=0, i.e. c pruned not b
+  }
+
   test("approx perplexity buckets agree with exact terciles away from threshold ties") {
     val rnd   = new scala.util.Random(23)
     val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
