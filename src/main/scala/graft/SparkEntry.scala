@@ -32,6 +32,13 @@ object SparkEntry {
   /** Scratch space for round-trip fixtures (inside the repo per the brief). */
   private val scratch = "/root/repo/target/graft-scratch"
 
+  /** Fixed materialization path for q156: Spark writes the production-dial
+    * ANN result here and reads it back, and the DuckDB oracle reads the
+    * SAME table — making approximate-search recall hash-checkable (each
+    * engine brings its own exact top-k to the join).
+    */
+  private val annRecallPath = s"$scratch/q156_ann"
+
   /** All fixture reads flow through the real loadFile operator. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     LoadFile.toDataFrame(s, File(s"$dir/$name.parquet"))
@@ -1888,6 +1895,48 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"), col("events"))
     }),
 
+    // Z-ORDER SKIPPING, end to end: write lineitem clustered on
+    // (l_partkey, l_suppkey) via the Morton curve, then run a 2-D range
+    // filter over the clustered files. The oracle checks the rewrite
+    // preserved the data exactly (same filter on the original table); the
+    // row-group PRUNING ratio itself — clustered scan materializes a
+    // fraction of what the unclustered layout reads — is asserted on scan
+    // metrics in LayoutSpec ("2-D range filter reads a fraction...").
+    "q157_zorder_skipping" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val z = Layout.zValue(Seq(
+        Layout.uniformBucket(col("l_partkey"), 0, 2000, 8),
+        Layout.uniformBucket(col("l_suppkey"), 0, 100, 8)), bits = 8)
+      val path = s"$scratch/q157_zorder"
+      Layout.clusterByZ(li, z, numFiles = 16).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .where(col("l_partkey") < 250 && col("l_suppkey") < 12)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"))
+    }),
+
+    // ANN recall@10, ORACLE-CHECKED: the production-dial IVF search
+    // (nprobe < cells) is materialized to a fixed parquet path, then BOTH
+    // engines read that same table and join it against their OWN
+    // independently-computed exact top-10 sets — a hash match proves the
+    // exact sets agree across engines AND the recall arithmetic is honest.
+    // This is the oracle-backed evidence for what q19 (rows-only) claims.
+    "q156_ann_recall" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.ivfTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10,
+          numCentroids = 8, nprobe = 6)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(annRecallPath)
+      val ann   = s.read.parquet(annRecallPath).withColumn("__hit", lit(1L))
+      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / 10.0).as("r"))
+        .select(col("query_id"), round(col("r"), 3).as("recall_at_10"))
+    }),
+
     // source coverage curve: sources ranked by token mass with cumulative
     // share — the Zipf-concentration report behind mixture design ("top 3
     // sources are 80% of the tokens"). Windows run over the AGGREGATED
@@ -3438,6 +3487,36 @@ object SparkEntry {
         |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
         |  CAST(max(tsec) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // the clustered rewrite must be LOSSLESS: the 2-D range filter over
+    // the z-ordered files equals the same filter on the original table
+    "q157_zorder_skipping" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
+        |FROM lineitem WHERE l_partkey < 250 AND l_suppkey < 12""".stripMargin,
+
+    // recall@10 of the materialized production-dial ANN table against
+    // DuckDB's OWN exact top-10 (same tie-break as q18: cos DESC, id DESC);
+    // the ANN table is the parquet the Spark side wrote and read back
+    "q156_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10),
+        |ann AS (SELECT DISTINCT query_id, neighbor_id
+        |  FROM read_parquet('$annRecallPath/*.parquet'))
+        |SELECT e.query_id,
+        |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
+        |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
 
     // same whitespace token rule; cumulative share over (tokens DESC, source)
     "q154_source_coverage" ->

@@ -74,4 +74,46 @@ class LayoutSpec extends SparkSpec {
     assert(zWidthX < 128 && zWidthY < 128, s"z widths $zWidthX / $zWidthY")
     assert(zWidthY < sWidthY / 2, s"z must beat single-sort on the other dim: $zWidthY vs $sWidthY")
   }
+
+  test("2-D range filter reads a fraction of the z-clustered files (scan-metric pruning)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+    // rows the parquet scan MATERIALIZED — after row-group min/max skipping,
+    // before the residual Filter; each small file is one row group, so this
+    // is the files-read evidence the layout exists for
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    val rnd = new scala.util.Random(29)
+    val df = (0 until 8000).map(_ => (rnd.nextInt(256), rnd.nextInt(256), rnd.nextLong()))
+      .toDF("x", "y", "payload")
+    val z = Layout.zValue(Seq(
+      Layout.uniformBucket(col("x"), 0, 256, 8),
+      Layout.uniformBucket(col("y"), 0, 256, 8)), bits = 8)
+
+    val zPath = s"${tmpDir()}/zclustered"
+    val uPath = s"${tmpDir()}/unclustered"
+    Layout.clusterByZ(df, z, numFiles = 16).write.parquet(zPath)
+    df.repartition(16).write.parquet(uPath) // same file count, random layout
+
+    def filtered(path: String) = spark.read.parquet(path)
+      .where(col("x") < 64 && col("y") < 64) // top-left 1/16 quadrant
+    // both layouts return the same answer...
+    assert(filtered(zPath).count() == filtered(uPath).count())
+    val zRows = scannedRows(filtered(zPath))
+    val uRows = scannedRows(filtered(uPath))
+    // ...but the random layout materializes every row group (all rows),
+    // while z-order prunes to the row groups covering the quadrant
+    assert(uRows == 8000L, s"unclustered scan read $uRows")
+    assert(zRows <= uRows / 3, s"z-clustered scan read $zRows of $uRows — no pruning?")
+  }
 }
