@@ -129,8 +129,9 @@ object Bench {
     // also persist the complete per-query table into the repo: the driver
     // captures stdout with a bounded tail, which truncated round 6's table
     // below q64 — a committed file makes every round comparable query-by-query
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCHFULL.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCHFULL.json: $e") }
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCHFULL_OUT", "/root/repo/BENCHFULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $fullOut: $e") }
     spark.stop()
     // non-daemon Spark threads (e.g. an interrupted streaming query) must not
     // keep the JVM alive past the report — the round-4 failure mode was an
