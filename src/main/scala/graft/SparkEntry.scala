@@ -1902,6 +1902,22 @@ object SparkEntry {
     // row-group PRUNING ratio itself — clustered scan materializes a
     // fraction of what the unclustered layout reads — is asserted on scan
     // metrics in LayoutSpec ("2-D range filter reads a fraction...").
+    // HEAVY HITTERS, proven exact: single-pass Misra-Gries sketch (bounded
+    // memory, map-side partial agg) finds candidates, an exact recount of
+    // the <=capacity survivors ranks them, and the MG coverage bound
+    // (kth count > N/(capacity+1)) is ASSERTED so the sketch path returns
+    // the same answer a full-dictionary groupBy would — without ever
+    // shuffling the dictionary. Oracle = DuckDB's exact top-k.
+    "q158_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.topKTerms(tbl(s, dir, "documents"), "text", k = 15, capacity = 4096)),
+
+    // BLOCKED FUZZY SELF-JOIN (record linkage): part names within 2 edits,
+    // candidates limited to same-first-token blocks with a deterministic
+    // bucket cap — the blocking+verify linkage shape, never all-pairs.
+    "q159_fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.fuzzySelfJoin(tbl(s, dir, "part"), "p_partkey", "p_name",
+        split(col("p_name"), " ").getItem(0), maxDistance = 2)),
+
     "q157_zorder_skipping" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val z = Layout.zValue(Seq(
@@ -3487,6 +3503,22 @@ object SparkEntry {
         |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
         |  CAST(max(tsec) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // exact top-k by the q76 token rule, deterministic (n DESC, term ASC)
+    "q158_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 15""".stripMargin,
+
+    // same blocking + verify semantics, declaratively: equal first token,
+    // ordered pair, levenshtein <= 2
+    "q159_fuzzy_join" ->
+      """WITH k AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS b FROM part)
+        |SELECT a.p_partkey AS id_a, b2.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
+        |FROM k a JOIN k b2 ON a.b = b2.b AND a.p_partkey < b2.p_partkey
+        |WHERE levenshtein(a.p_name, b2.p_name) <= 2""".stripMargin,
 
     // the clustered rewrite must be LOSSLESS: the 2-D range filter over
     // the z-ordered files equals the same filter on the original table

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{FuzzyJoin, HeavyHitters}
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKTerms equals the exact full-dictionary top-k (with tie-break)") {
+    val docs = Seq(
+      (1L, "a a a a b b b c c d"),
+      (2L, "b b a a c e e e e e"),
+      (3L, "f g h a b"),
+    ).toDF("doc_id", "text")
+    val got = HeavyHitters.topKTerms(docs, "text", k = 4, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    // exact counts: a=7 b=6 e=5 c=3 d=1 f=1 g=1 h=1
+    assert(got == Seq(("a", 7L), ("b", 6L), ("e", 5L), ("c", 3L)))
+  }
+
+  test("topKTerms ties break deterministically by term") {
+    val docs = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    val got = HeavyHitters.topKTerms(docs, "text", k = 2, capacity = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 2L), ("y", 2L)))
+  }
+
+  test("under-capacity corpora fail loudly instead of silently approximating") {
+    // 12 distinct terms, capacity 2, k 2 and near-uniform counts: the MG
+    // coverage bound (kth > N/(cap+1)) cannot hold, so the op must refuse
+    val docs = Seq((1L, (1 to 12).map(i => s"t$i t$i").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.topKTerms(docs, "text", k = 2, capacity = 2)
+    }
+    assert(e.getMessage.contains("raise capacity"))
+  }
+
+  test("empty corpus yields an empty result") {
+    val docs = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(HeavyHitters.topKTerms(docs, "text", k = 3, capacity = 8).count() == 0)
+  }
+
+  test("fuzzySelfJoin finds within-block pairs under the distance bound only") {
+    val rows = Seq(
+      (1L, "red widget"),  // dist(1,2)=1  same block "red"
+      (2L, "red widgey"),
+      (3L, "red sprocket"), // dist to widget = 6 > 2
+      (4L, "blue widget"),  // different block — never compared to 1/2
+      (5L, "blue widgett"), // dist(4,5)=1
+    ).toDF("id", "name")
+    val got = FuzzyJoin.fuzzySelfJoin(rows, "id", "name",
+        split(col("name"), " ").getItem(0), maxDistance = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (4L, 5L, 1L)))
+  }
+
+  test("fuzzySelfJoin bucket cap truncates a hot block deterministically") {
+    // 6 identical-block rows, cap 3: only ids 1..3 survive into the join
+    val rows = (1L to 6L).map(i => (i, s"k name$i")).toDF("id", "name")
+    val got = FuzzyJoin.fuzzySelfJoin(rows, "id", "name",
+        split(col("name"), " ").getItem(0), maxDistance = 2, maxBucketSize = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.flatMap(p => Set(p._1, p._2)).subsetOf(Set(1L, 2L, 3L)))
+    assert(got.nonEmpty) // name1..name3 are within 1 edit of each other
+  }
+}
