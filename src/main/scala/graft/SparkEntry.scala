@@ -1664,10 +1664,16 @@ object SparkEntry {
     // byte-identical frames ⇒ closed-form pairs; seed spacing (×1000) keeps
     // frame sequences of different groups disjoint
     "q119_video_neardup" -> ((s, dir) => {
+      // group = floor(doc_id/20): CONSTANT group size at every scale, so the
+      // pair-report output (all intra-group pairs — videos in a group share
+      // all frames) grows LINEARLY with the corpus. The earlier doc_id%25
+      // dial made group size — and the true answer — grow with the corpus,
+      // which probes output volume, not the operator (SCALE.md, r8).
       val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val vg = floor(col("doc_id") / 20)
       val gifs = graft.multimodal.Multimodal.synthAnimatedGifs(d,
-        seed = (col("doc_id") % 25) * 1000,
-        nFrames = (col("doc_id") % 25) % 3 + 3, width = 16, height = 12)
+        seed = vg * 1000,
+        nFrames = vg % 3 + 3, width = 16, height = 12)
       graft.multimodal.Multimodal.videoNearDupPairs(gifs, "doc_id", "gif_bytes",
         sampleFrames = 4, minShared = 2)
     }),
@@ -3430,9 +3436,9 @@ object SparkEntry {
     // sampling picks min(4, n) of them
     "q119_video_neardup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |CAST(least(4, (a.doc_id % 25) % 3 + 3) AS BIGINT) AS shared_frames
+        |CAST(least(4, (a.doc_id // 20) % 3 + 3) AS BIGINT) AS shared_frames
         |FROM documents a JOIN documents b
-        |ON a.doc_id < b.doc_id AND a.doc_id % 25 = b.doc_id % 25""".stripMargin,
+        |ON a.doc_id < b.doc_id AND a.doc_id // 20 = b.doc_id // 20""".stripMargin,
 
     // min id survives per doc_id%30 audio seed group
     "q120_audio_dedup" ->

@@ -814,11 +814,29 @@ object Dedup {
       maxBucketSize: Int = 1000,
       maxIter: Int = 20,
   ): DataFrame = {
-    val pairs = nearDupPairsHash64(df, idCol, hashCol, maxHamming, maxBucketSize)
+    // EXACT-EQUAL PRE-COLLAPSE: hamming(x,x)=0, so rows sharing a hash value
+    // are one component member-set by definition — collapse each distinct
+    // hash to its min-id representative BEFORE the pigeonhole pairing.
+    // Web-scale corpora carry mega-clusters (the same logo/tile duplicated
+    // millions of times); without this the chunk join pairs every member
+    // against every other and candidate volume grows with rows², while the
+    // collapsed form grows with DISTINCT hashes² — the difference between a
+    // linear shuffle and a quadratic one at 100 TB. Output is unchanged:
+    // each transitive component (over rows) keeps exactly its min id.
+    val groups = df.select(col(idCol).cast("long").as("__gid"), col(hashCol).as("__ghash"))
+      .where(col("__ghash").isNotNull)
+    val reps = groups.groupBy(col("__ghash")).agg(min(col("__gid")).as("__rid"))
+    val pairs = nearDupPairsHash64(reps, "__rid", "__ghash", maxHamming, maxBucketSize)
       .select(col("id_a"), col("id_b"))
-    val losers = connectedComponents(pairs, maxIter)
-      .filter(col("id") =!= col("label"))
-      .select(col("id").as("__loser"))
+    // component label per representative (isolated reps label themselves),
+    // broadcast back over the hash groups: the ONLY surviving row of a
+    // component is the one whose id equals the component's min rep id
+    val cc = connectedComponents(pairs, maxIter)
+    val keep = reps.join(cc, reps("__rid") === cc("id"), "left")
+      .select(col("__ghash"), coalesce(col("label"), col("__rid")).as("__keep"))
+    val losers = groups.join(keep, Seq("__ghash"))
+      .filter(col("__gid") =!= col("__keep"))
+      .select(col("__gid").as("__loser"))
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
