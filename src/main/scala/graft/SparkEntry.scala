@@ -1917,12 +1917,20 @@ object SparkEntry {
     "q158_heavy_hitters" -> ((s, dir) =>
       HeavyHitters.topKTerms(tbl(s, dir, "documents"), "text", k = 15, capacity = 4096)),
 
-    // BLOCKED FUZZY SELF-JOIN (record linkage): part names within 2 edits,
-    // candidates limited to same-first-token blocks with a deterministic
-    // bucket cap — the blocking+verify linkage shape, never all-pairs.
-    "q159_fuzzy_join" -> ((s, dir) =>
-      FuzzyJoin.fuzzySelfJoin(tbl(s, dir, "part"), "p_partkey", "p_name",
-        split(col("p_name"), " ").getItem(0), maxDistance = 2)),
+    // BLOCKED FUZZY SELF-JOIN (record linkage): key-derived customer codes
+    // within 1 edit, candidates limited to same-prefix blocks (all but the
+    // last 2 chars — CONSTANT 100-member blocks at every scale, so the true
+    // answer grows linearly; the first dial blocked low-vocabulary part
+    // names, whose block size grew with the corpus — same density trap as
+    // q119's first dial, 165 s at sf1). The levenshtein bound discriminates:
+    // one differing trailing digit passes, two rejects.
+    "q159_fuzzy_join" -> ((s, dir) => {
+      val named = tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 12, "0")).as("code"))
+      FuzzyJoin.fuzzySelfJoin(named, "c_custkey", "code",
+        expr("substring(code, 1, length(code) - 2)"), maxDistance = 1)
+    }),
 
     "q157_zorder_skipping" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -3517,14 +3525,18 @@ object SparkEntry {
         |SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 15""".stripMargin,
 
-    // same blocking + verify semantics, declaratively: equal first token,
-    // ordered pair, levenshtein <= 2
+    // same blocking + verify semantics, declaratively: equal all-but-last-2
+    // prefix, ordered pair, levenshtein <= 1
     "q159_fuzzy_join" ->
-      """WITH k AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS b FROM part)
-        |SELECT a.p_partkey AS id_a, b2.p_partkey AS id_b,
-        |  CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
-        |FROM k a JOIN k b2 ON a.b = b2.b AND a.p_partkey < b2.p_partkey
-        |WHERE levenshtein(a.p_name, b2.p_name) <= 2""".stripMargin,
+      """WITH k AS (SELECT c_custkey,
+        |    'Customer#' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS code
+        |  FROM customer)
+        |SELECT a.c_custkey AS id_a, b2.c_custkey AS id_b,
+        |  CAST(levenshtein(a.code, b2.code) AS BIGINT) AS dist
+        |FROM k a JOIN k b2
+        |  ON substring(a.code, 1, length(a.code) - 2) = substring(b2.code, 1, length(b2.code) - 2)
+        |  AND a.c_custkey < b2.c_custkey
+        |WHERE levenshtein(a.code, b2.code) <= 1""".stripMargin,
 
     // the clustered rewrite must be LOSSLESS: the 2-D range filter over
     // the z-ordered files equals the same filter on the original table

@@ -49,10 +49,13 @@ object FuzzyJoin {
     a.join(b, Seq("fz_block"))
       .filter(col("id_a") < col("id_b"))
       // cheap codegen'd length prefilter: |len(a)-len(b)| > d ⇒ dist > d,
-      // skips the O(len²) DP for most candidates
+      // skips the edit-distance DP for most candidates
       .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDistance)
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
-      .filter(col("dist") <= maxDistance)
+      // BANDED levenshtein (threshold form): O(d·len) instead of O(len²),
+      // -1 when the distance exceeds d — the same rewrite
+      // plans.LevenshteinThresholdRewrite applies to user SQL
+      .withColumn("dist", expr(s"levenshtein(t_a, t_b, $maxDistance)").cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

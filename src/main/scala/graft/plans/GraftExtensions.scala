@@ -23,10 +23,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * point: one tree node per call, no HOF expansion (see HashExpressions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
+  }
 }
 
 object GraftFunctions {
@@ -162,9 +164,14 @@ object GraftFunctions {
     },
   )
 
-  /** Register (or re-register) every graft function on a live session. */
+  /** Register (or re-register) every graft function on a live session, plus
+    * the optimizer rules (idempotently — extraOptimizations accretes).
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (ident, inf, builder) => reg.registerFunction(ident, inf, builder) }
+    if (!spark.experimental.extraOptimizations.contains(LevenshteinThresholdRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinThresholdRewrite
   }
 }

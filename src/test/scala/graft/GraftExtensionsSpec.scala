@@ -89,4 +89,33 @@ class GraftExtensionsSpec extends SparkSpec {
     val api = df.select(NativeFunctions.srpBucket(col("v"), 8, 42L).as("b")).collect()(0).getLong(0)
     assert(sql == api)
   }
+
+  test("optimizer rewrites levenshtein(a,b) <= k to the banded threshold form") {
+    // parquet-backed (a LocalRelation would be constant-folded away before
+    // the user-provided optimizer batch runs)
+    val path = s"${tmpDir()}/lev_pairs"
+    Seq(
+      ("kitten", "sitting"), // dist 3
+      ("kitten", "kitten"),  // dist 0
+      ("abc", "xyz"),        // dist 3
+      (null.asInstanceOf[String], "x"), // null in => null predicate => dropped
+    ).toDF("a", "b").write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("lev_pairs")
+    // whole-tree scan for the 3-arg (banded) Levenshtein
+    def banded(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.flatMap(_.expressions.toList).flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Levenshtein if l.threshold.isDefined => l
+      })
+    val q = spark.sql("SELECT a, b FROM lev_pairs WHERE levenshtein(a, b) <= 2")
+    val optimized = q.queryExecution.optimizedPlan
+    assert(banded(optimized).nonEmpty, optimized.toString)
+    assert(q.as[(String, String)].collect().toSet == Set(("kitten", "kitten")))
+    // strict < and the mirrored literal-first shape rewrite too, same answers
+    val lt = spark.sql("SELECT count(*) FROM lev_pairs WHERE levenshtein(a, b) < 4")
+    assert(banded(lt.queryExecution.optimizedPlan).nonEmpty,
+      lt.queryExecution.optimizedPlan.toString)
+    assert(lt.as[Long].head() == 3L)
+    val ge = spark.sql("SELECT count(*) FROM lev_pairs WHERE 3 >= levenshtein(a, b)")
+    assert(ge.as[Long].head() == 3L)
+  }
 }
