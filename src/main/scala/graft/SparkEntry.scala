@@ -1311,9 +1311,14 @@ object SparkEntry {
     // Cross-seed images sit ~32 hamming bits apart (floor asserted in
     // ImageCodecSpec), far above maxHamming=4.
     "q90_image_neardup" -> ((s, dir) => {
+      // constant 20-member image groups (floor(doc_id/20)) so the pair-list
+      // answer grows linearly with the corpus — the %40 dial made group
+      // size, and therefore the true answer, quadratic in rows (47x at the
+      // sf1 sweep). Brightness deltas stay: dHash is gradient-based, so the
+      // brightened variants still land in the same near-dup component.
       val d = tbl(s, dir, "documents").select(col("doc_id"))
       val imgs = graft.multimodal.Multimodal.synthGrayImages(d,
-        seed = col("doc_id") % 40, width = lit(32), height = lit(24),
+        seed = floor(col("doc_id") / 20), width = lit(32), height = lit(24),
         brightenDelta = (col("doc_id") % 3) * 10)
       val hashed = graft.multimodal.Multimodal.imageDHash(imgs, "img_bytes")
       Dedup.nearDupPairsHash64(hashed, "doc_id", "dhash",
@@ -1908,6 +1913,16 @@ object SparkEntry {
     // row-group PRUNING ratio itself — clustered scan materializes a
     // fraction of what the unclustered layout reads — is asserted on scan
     // metrics in LayoutSpec ("2-D range filter reads a fraction...").
+    // WEIGHTED SAMPLE (A-ES, Efraimidis-Spirakis): exactly 100 docs drawn
+    // proportionally to n_chars, deterministically (uniforms derive from
+    // md5 of the key, mirrored bit-for-bit in the oracle) — the
+    // token-weighted document sampler a mixture builder uses when "sample
+    // 1% of tokens" matters more than "1% of documents".
+    "q160_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 100)),
+
     // HEAVY HITTERS, proven exact: single-pass Misra-Gries sketch (bounded
     // memory, map-side partial agg) finds candidates, an exact recount of
     // the <=capacity survivors ranks them, and the MG coverage bound
@@ -3034,7 +3049,7 @@ object SparkEntry {
     "q90_image_neardup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM documents a JOIN documents b
-        |ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id""".stripMargin,
+        |ON a.doc_id // 20 = b.doc_id // 20 AND a.doc_id < b.doc_id""".stripMargin,
 
     // decode → bilinear 16×12 → re-encode round trip: constant output header
     "q91_image_resize" ->
@@ -3517,6 +3532,15 @@ object SparkEntry {
         |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
         |  CAST(max(tsec) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // the same A-ES rank formula, term by term: uniform = (md5_32 + 0.5)/2^32,
+    // rank = u^(1/w), top-100 by rank with key tie-break
+    "q160_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
+        |ORDER BY pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |  / 4294967296.0, 1.0 / n_chars) DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // exact top-k by the q76 token rule, deterministic (n DESC, term ASC)
     "q158_heavy_hitters" ->

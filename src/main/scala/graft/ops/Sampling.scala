@@ -56,6 +56,30 @@ object Sampling {
     df.orderBy(hashBucket(col(keyCol)), col(keyCol)).limit(n)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement, exactly n rows —
+    * Efraimidis–Spirakis A-ES (IPL 2006): each row ranks by u^(1/w) for a
+    * uniform u, and the top-n ranks are a weight-proportional sample without
+    * replacement. The uniform comes from the row's key hash
+    * ((md5_32(key) + 0.5) / 2³²), not an RNG, so the same rows are chosen on
+    * any partitioning, rerun, or cluster size — the property every other
+    * sampler in this file guarantees. Rows with null/non-positive weight are
+    * excluded (a zero-weight row must never be sampled; a negative weight is
+    * meaningless in A-ES).
+    *
+    * Scale: orderBy+limit executes as distributed TakeOrdered (per-partition
+    * top-n, driver merges n·partitions candidates) — no full sort, no
+    * single-partition window, same shape as [[sampleExact]].
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    val rank = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .orderBy(rank.desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Deterministic train/val/test-style split assignment. `cuts` are
     * (name, cumulativeUpperFraction) pairs in ascending order; the last
     * name catches the remainder. E.g.

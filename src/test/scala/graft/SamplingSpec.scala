@@ -112,4 +112,38 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(out == Set((2L, "b", 0L), (2L, "b", 1L), (3L, "c", 0L), (3L, "c", 1L)))
   }
+
+  test("weightedSample: exact n, deterministic under repartitioning") {
+    val df = (1L to 1000L).map(i => (i, (i % 7 + 1) * 10)).toDF("doc_id", "w")
+    val a  = Sampling.weightedSample(df, "doc_id", "w", 50).as[(Long, Long)].collect().toSeq
+    val b  = Sampling.weightedSample(df.repartition(13), "doc_id", "w", 50)
+      .as[(Long, Long)].collect().toSeq
+    assert(a.length == 50 && a == b)
+  }
+
+  test("weightedSample: scaling every weight by a constant keeps the same sample") {
+    // u^(1/(c*w)) is a monotone transform of u^(1/w), so A-ES ranks are
+    // order-invariant under global weight scaling
+    val df = (1L to 500L).map(i => (i, i % 11 + 1)).toDF("doc_id", "w")
+    val base   = Sampling.weightedSample(df, "doc_id", "w", 40).as[(Long, Long)].collect().map(_._1)
+    val scaled = Sampling.weightedSample(
+      df.withColumn("w", col("w") * 1000), "doc_id", "w", 40)
+      .as[(Long, Long)].collect().map(_._1)
+    assert(base.toSeq == scaled.toSeq)
+  }
+
+  test("weightedSample: heavy-weight rows dominate; zero/negative/null excluded") {
+    // 500 rows at weight 1, 500 at weight 100: the heavy half should own
+    // almost all of a 50-row sample (deterministic given the fixture)
+    val df = (1L to 1000L).map(i => (i, if (i <= 500) 1L else 100L)).toDF("doc_id", "w")
+    val picked = Sampling.weightedSample(df, "doc_id", "w", 50).as[(Long, Long)].collect()
+    assert(picked.count(_._2 == 100L) >= 45, picked.count(_._2 == 100L).toString)
+
+    val withBad = df.union(Seq((2001L, 0L), (2002L, -5L)).toDF("doc_id", "w"))
+      .union(Seq(2003L).toDF("doc_id").withColumn("w", lit(null).cast("long")))
+    val ids = Sampling.weightedSample(withBad, "doc_id", "w", 1000)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(!ids.exists(_ >= 2001L))
+    assert(ids.size == 1000)
+  }
 }
