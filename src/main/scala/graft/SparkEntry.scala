@@ -1913,6 +1913,15 @@ object SparkEntry {
     // row-group PRUNING ratio itself — clustered scan materializes a
     // fraction of what the unclustered layout reads — is asserted on scan
     // metrics in LayoutSpec ("2-D range filter reads a fraction...").
+    // STRATIFIED WEIGHTED SAMPLE: 20 docs per language, weight-proportional
+    // to n_chars within each stratum, deterministic — the per-language
+    // token-weighted pick a mixture builder uses to keep small languages
+    // represented. Window ranks run per group, never a global sort.
+    "q161_weighted_sample_grouped" -> ((s, dir) =>
+      Sampling.weightedSamplePerGroup(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", "n_chars", nPerGroup = 20)),
+
     // WEIGHTED SAMPLE (A-ES, Efraimidis-Spirakis): exactly 100 docs drawn
     // proportionally to n_chars, deterministically (uniforms derive from
     // md5 of the key, mirrored bit-for-bit in the oracle) — the
@@ -3532,6 +3541,14 @@ object SparkEntry {
         |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
         |  CAST(max(tsec) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // per-language QUALIFY over the same A-ES rank formula
+    "q161_weighted_sample_grouped" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |    / 4294967296.0, 1.0 / n_chars) DESC, doc_id) <= 20""".stripMargin,
 
     // the same A-ES rank formula, term by term: uniform = (md5_32 + 0.5)/2^32,
     // rank = u^(1/w), top-100 by rank with key tie-break

@@ -72,12 +72,35 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .orderBy(aesRank(keyCol, weightCol).desc, col(keyCol))
+      .limit(n)
+  }
+
+  /** The A-ES rank u^(1/w) with the deterministic md5-derived uniform —
+    * shared by [[weightedSample]] and [[weightedSamplePerGroup]].
+    */
+  private def aesRank(keyCol: String, weightCol: String): Column = {
     val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("double") +
       lit(0.5)) / lit(4294967296.0)
-    val rank = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    pow(u, lit(1.0) / col(weightCol).cast("double"))
+  }
+
+  /** Stratified [[weightedSample]]: exactly `nPerGroup` rows per group (or
+    * the whole group when smaller), weight-proportional within each group,
+    * deterministic. One shuffle by group + per-group sort for the
+    * `row_number` rank — the standard stratified-sample shape; groups
+    * partition across executors, no global sort.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame, groupCol: String, keyCol: String, weightCol: String,
+      nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1, "nPerGroup must be >= 1")
+    val w = Window.partitionBy(col(groupCol)).orderBy(aesRank(keyCol, weightCol).desc, col(keyCol))
     df.where(col(weightCol).isNotNull && col(weightCol) > 0)
-      .orderBy(rank.desc, col(keyCol))
-      .limit(n)
+      .withColumn("__aes_rn", row_number().over(w))
+      .where(col("__aes_rn") <= nPerGroup)
+      .drop("__aes_rn")
   }
 
   /** Deterministic train/val/test-style split assignment. `cuts` are

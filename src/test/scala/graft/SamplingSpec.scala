@@ -132,6 +132,20 @@ class SamplingSpec extends SparkSpec {
     assert(base.toSeq == scaled.toSeq)
   }
 
+  test("weightedSamplePerGroup: exact n per stratum, whole group when smaller, consistent ranks") {
+    val df = ((1L to 100L).map(i => (i, "big", i % 5 + 1)) ++
+      (201L to 203L).map(i => (i, "tiny", 1L))).toDF("doc_id", "grp", "w")
+    val out = Sampling.weightedSamplePerGroup(df, "grp", "doc_id", "w", 10)
+      .as[(Long, String, Long)].collect()
+    assert(out.count(_._2 == "big") == 10)
+    assert(out.count(_._2 == "tiny") == 3) // whole group when smaller than n
+    // within-group selection must agree with the ungrouped sampler run on
+    // that group alone (same rank formula, same tie-break)
+    val bigOnly = Sampling.weightedSample(df.filter(col("grp") === "big"), "doc_id", "w", 10)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    assert(out.filter(_._2 == "big").map(_._1).toSet == bigOnly)
+  }
+
   test("weightedSample: heavy-weight rows dominate; zero/negative/null excluded") {
     // 500 rows at weight 1, 500 at weight 100: the heavy half should own
     // almost all of a 50-row sample (deterministic given the fixture)
