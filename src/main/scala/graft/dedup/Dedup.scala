@@ -821,9 +821,14 @@ object Dedup {
     // millions of times); without this the chunk join pairs every member
     // against every other and candidate volume grows with rows², while the
     // collapsed form grows with DISTINCT hashes² — the difference between a
-    // linear shuffle and a quadratic one at 100 TB. Output is unchanged:
-    // each transitive component (over rows) keeps exactly its min id.
-    val groups = df.select(col(idCol).cast("long").as("__gid"), col(hashCol).as("__ghash"))
+    // linear shuffle and a quadratic one at 100 TB. Each transitive
+    // component (over rows) keeps exactly its min id; the one behavior
+    // change vs the pre-collapse-free form is deliberate: an exact-equal
+    // mega-cluster larger than maxBucketSize previously overflowed every
+    // chunk bucket and survived undeduped — now its non-min members are
+    // collapsed unconditionally. Ids stay in their NATIVE type (min and
+    // the component labeling only need an ordering), so string ids work.
+    val groups = df.select(col(idCol).as("__gid"), col(hashCol).as("__ghash"))
       .where(col("__ghash").isNotNull)
     val reps = groups.groupBy(col("__ghash")).agg(min(col("__gid")).as("__rid"))
     val pairs = nearDupPairsHash64(reps, "__rid", "__ghash", maxHamming, maxBucketSize)

@@ -35,6 +35,38 @@ class HeavyHittersSpec extends SparkSpec {
     assert(e.getMessage.contains("raise capacity"))
   }
 
+  test("fewer than k distinct terms with a large token count is exact, not an error") {
+    // 3 distinct terms repeated 40x each: N=120 >> capacity+1, but the
+    // sketch never evicts (3 <= capacity), so the candidate set is the full
+    // dictionary and a <k-row result is provably exact — no spurious throw
+    val docs = Seq((1L, Seq.fill(40)("aa bb cc").mkString(" "))).toDF("doc_id", "text")
+    val got = HeavyHitters.topKTerms(docs, "text", k = 5, capacity = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("aa", 40L), ("bb", 40L), ("cc", 40L)))
+  }
+
+  test("topKNgrams counts word bigrams exactly; short docs produce no grams") {
+    val docs = Seq(
+      (1L, "the quick brown fox the quick red fox"),
+      (2L, "the quick brown dog"),
+      (3L, "solo"), // 1 token < n: contributes nothing
+      (4L, "  "),   // empty: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = HeavyHitters.topKNgrams(docs, "text", n = 2, k = 3, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    // "the quick"=3, "quick brown"=2, then ties at 1 break by term asc
+    assert(got == Seq(("the quick", 3L), ("quick brown", 2L), ("brown dog", 1L)))
+  }
+
+  test("topKNgrams n=1 degenerates to topKTerms") {
+    val docs = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
+    val uni  = HeavyHitters.topKNgrams(docs, "text", n = 1, k = 3, capacity = 16)
+      .as[(String, Long)].collect().toSeq
+    val terms = HeavyHitters.topKTerms(docs, "text", k = 3, capacity = 16)
+      .as[(String, Long)].collect().toSeq
+    assert(uni == terms && uni == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("empty corpus yields an empty result") {
     val docs = Seq((1L, "   ")).toDF("doc_id", "text")
     assert(HeavyHitters.topKTerms(docs, "text", k = 3, capacity = 8).count() == 0)

@@ -158,6 +158,22 @@ class ImageCodecSpec extends SparkSpec {
     assert(survivors === Set(0L, 1L, 2L, 99L)) // group minima + the null-hash row
   }
 
+  test("dedupHash64Transitive supports string ids (native-type collapse, no long cast)") {
+    import spark.implicits._
+    // two exact-equal hash groups + one isolated + one null hash; ids are strings
+    val rows = Seq(
+      ("doc-b", java.lang.Long.valueOf(5L)), ("doc-a", java.lang.Long.valueOf(5L)),
+      ("doc-c", java.lang.Long.valueOf(5L)),
+      ("doc-x", java.lang.Long.valueOf(1024L)), ("doc-y", java.lang.Long.valueOf(1024L)),
+      ("doc-z", java.lang.Long.valueOf(9999L)),
+      ("doc-n", null.asInstanceOf[java.lang.Long]),
+    ).toDF("id", "h")
+    val survivors = Dedup.dedupHash64Transitive(rows, "id", "h", maxHamming = 2)
+      .select($"id").as[String].collect().toSet
+    // min string id per group survives; the null-hash row always survives
+    assert(survivors === Set("doc-a", "doc-x", "doc-z", "doc-n"))
+  }
+
   test("synthGrayImages renders per-row deterministic payloads (q89's fixture contract)") {
     import spark.implicits._
     val df = Seq(3L, 20L).toDF("doc_id")
