@@ -39,6 +39,18 @@ object SparkEntry {
     */
   private val annRecallPath = s"$scratch/q156_ann"
 
+  /** Fixed materialization paths for the round-9 quality gates — same
+    * pattern as [[annRecallPath]]: the Spark query runs the PRODUCTION
+    * dial, writes its engine-specific output here, and both engines then
+    * independently measure it against their own exact computation, so the
+    * quality metric (not just a row count) is hash-checked.
+    */
+  private val pqRecallPath     = s"$scratch/q124_pq"
+  private val dedupProdPath    = s"$scratch/q77_prod"
+  private val keepBestProdPath = s"$scratch/q78_prod"
+  private val substrProdPath   = s"$scratch/q92_prod"
+  private val removeProdPath   = s"$scratch/q93_prod"
+
   /** All fixture reads flow through the real loadFile operator. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     LoadFile.toDataFrame(s, File(s"$dir/$name.parquet"))
@@ -252,11 +264,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // SimHash near-dup, ORACLE-CHECKED (round 9 — replaces the rows-only
+    // check): the portable md5-token-hash variant makes every step — per-bit
+    // majority vote, 64-bit packing, pigeonhole chunk blocking, bucket cap,
+    // hamming verify — expressible in DuckDB SQL, so the full pipeline
+    // hash-checks. Blocking/verify are hash-agnostic: the oracle on this
+    // variant covers the identical logic the xxhash default runs.
     "q13_neardup_simhash" -> ((s, dir) => {
       val d   = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"))
-      Dedup.nearDupPairsSimHash(d.unionByName(dup), "doc_id", "text", maxHamming = 3)
+      Dedup.nearDupPairsSimHash(d.unionByName(dup), "doc_id", "text", maxHamming = 3,
+          portable = true)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
     // embedding near-dup. The planted dups are IDENTICAL vectors (cosine 1.0
@@ -1132,13 +1152,17 @@ object SparkEntry {
     "q76_term_stats" -> ((s, dir) =>
       TermStats.termStats(tbl(s, dir, "documents"), "doc_id", "text", minDf = 2)),
 
-    // PRODUCTION-DIAL twin of q29: same corpus, default r=4 banding
-    // (bands=32, the 100 TB setting) instead of the recall-exact r=2 the
-    // oracle run uses. At threshold 0.5 the r=4 S-curve midpoint is ~0.42,
-    // so recall is high-but-<1 by design and the survivor set is
-    // engine/parameter-specific — rows-only check (completeness is q29's
-    // job). Exists so the BENCH measures the candidate-volume regime a
-    // production corpus sees, not just the deliberately-flooded oracle one.
+    // PRODUCTION-DIAL dedup QUALITY GATE (round 9, the q156 pattern —
+    // replaces the rows-only check this slot carried through round 8). The
+    // r=4-banding production dial (bands=32, the 100 TB setting) runs first
+    // and its survivor set is materialized to a fixed parquet; then BOTH
+    // engines independently compute the EXACT survivor set (Spark via
+    // recall-exact r=2 banding = q29's dial; DuckDB via the recursive-CTE
+    // Jaccard closure) and emit per-doc removal flags for every doc either
+    // run removed. The hash match proves the exact sets agree AND the
+    // production dial's precision/recall evidence is honest — shared43-style
+    // invariants (prod removals ⊆ exact removals, i.e. precision 1.0 since
+    // r=4 can only MISS edges, never invent them) are visible in the data.
     "q77_dedup_transitive_prod" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 5 === 0)
@@ -1146,13 +1170,26 @@ object SparkEntry {
         concat(col("text"), lit(" chain link one two three")).as("text"))
       val c = b.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" more drift four five six")).as("text"))
-      Dedup.dedupNearTransitive(d.unionByName(b).unionByName(c), "doc_id", "text",
-          threshold = 0.5)
+      val corpus = d.unionByName(b).unionByName(c)
+      Dedup.dedupNearTransitive(corpus, "doc_id", "text", threshold = 0.5)
         .select(col("doc_id"))
+        .write.mode("overwrite").parquet(dedupProdPath)
+      val prodSurv  = s.read.parquet(dedupProdPath).withColumn("__p", lit(1))
+      val exactSurv = Dedup.dedupNearTransitive(corpus, "doc_id", "text",
+          threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+        .select(col("doc_id")).withColumn("__e", lit(1))
+      corpus.select(col("doc_id"))
+        .join(exactSurv, Seq("doc_id"), "left")
+        .join(prodSurv, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__e").isNull, 1L).otherwise(0L).as("exact_removed"),
+          when(col("__p").isNull, 1L).otherwise(0L).as("prod_removed"))
+        .where(col("exact_removed") === 1L || col("prod_removed") === 1L)
     }),
 
-    // PRODUCTION-DIAL twin of q73 (keep-best survivor rule, r=4 banding) —
-    // same rationale as q77: rows-only, measures the 100 TB path.
+    // PRODUCTION-DIAL keep-best QUALITY GATE — q77's construction with the
+    // keep-best (longest-text) survivor rule; exact side = q73's dial in
+    // Spark, q73's ranked recursive closure in DuckDB.
     "q78_dedup_keep_best_prod" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 5 === 0)
@@ -1160,10 +1197,24 @@ object SparkEntry {
         concat(col("text"), lit(" chain link one two three")).as("text"))
       val c = b.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" more drift four five six")).as("text"))
-      Dedup.dedupNearKeepBest(d.unionByName(b).unionByName(c), "doc_id", "text",
+      val corpus = d.unionByName(b).unionByName(c)
+      Dedup.dedupNearKeepBest(corpus, "doc_id", "text",
           orderBy = Seq(length(col("text")).desc),
           threshold = 0.5)
         .select(col("doc_id"))
+        .write.mode("overwrite").parquet(keepBestProdPath)
+      val prodSurv  = s.read.parquet(keepBestProdPath).withColumn("__p", lit(1))
+      val exactSurv = Dedup.dedupNearKeepBest(corpus, "doc_id", "text",
+          orderBy = Seq(length(col("text")).desc),
+          threshold = 0.5, bands = Dedup.recallExactBands(0.5))
+        .select(col("doc_id")).withColumn("__e", lit(1))
+      corpus.select(col("doc_id"))
+        .join(exactSurv, Seq("doc_id"), "left")
+        .join(prodSurv, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__e").isNull, 1L).otherwise(0L).as("exact_removed"),
+          when(col("__p").isNull, 1L).otherwise(0L).as("prod_removed"))
+        .where(col("exact_removed") === 1L || col("prod_removed") === 1L)
     }),
 
     // Atomic publication (round 6): publish v1 under a view-backed name,
@@ -1339,20 +1390,54 @@ object SparkEntry {
           col("meta.channels").cast("long").as("channels"), col("meta.format"))
     }),
 
-    // ---- round 7: production-dial twins for the substring family ----
-    // (mirror of q77/q78's rationale: q85/q88 bench the winnowWindow=1
-    // verification dial — O(every char) window keys; these bench the
-    // winnowed dial the 100 TB path runs, whose sampled fingerprints are
-    // engine-specific → rows-only by design; candidate-volume ratio is
-    // asserted in SubstringDupSpec)
+    // ---- winnowed substring dials, ORACLE-CHECKED (round 9, the q156
+    // pattern — replaces round 7's rows-only twins). q85/q88 verify the
+    // winnowWindow=1 dial; these run the winnowed (w=4) 100 TB dial, whose
+    // sampled fingerprints are engine-specific — so the GATE materializes
+    // the winnowed output to a fixed parquet and both engines measure it
+    // against their own exact pair sets at minLen=40 and minLen+w-1=43.
+    // The winnowing guarantee (every >=43-char shared run is caught) and
+    // verification soundness (every emitted pair really shares a 40-char
+    // window) become visible, hash-checked columns: shared43=1 ⇒
+    // prod_caught=1 and prod_caught=1 ⇒ shared40=1 on every row.
 
-    "q92_substring_dup_prod" -> ((s, dir) =>
-      Dedup.substringDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        minLen = 40, winnowWindow = 4)),
+    "q92_substring_dup_prod" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.substringDupPairs(docs, "doc_id", "text", minLen = 40, winnowWindow = 4)
+        .write.mode("overwrite").parquet(substrProdPath)
+      val prod = s.read.parquet(substrProdPath)
+        .select(col("id_a"), col("id_b")).withColumn("__p", lit(1))
+      val exact40 = Dedup.substringDupPairs(docs, "doc_id", "text", minLen = 40)
+        .withColumn("__e40", lit(1))
+      val exact43 = Dedup.substringDupPairs(docs, "doc_id", "text", minLen = 43)
+        .withColumn("__e43", lit(1))
+      exact40.join(exact43, Seq("id_a", "id_b"), "full")
+        .join(prod, Seq("id_a", "id_b"), "full")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("__e40"), lit(0)).cast("long").as("shared40"),
+          coalesce(col("__e43"), lit(0)).cast("long").as("shared43"),
+          coalesce(col("__p"), lit(0)).cast("long").as("prod_caught"))
+    }),
 
-    "q93_remove_substrings_prod" -> ((s, dir) =>
-      Dedup.removeSharedSubstrings(tbl(s, dir, "documents"), "doc_id", "text",
-        minLen = 40, winnowWindow = 4)),
+    // span-REMOVAL gate: clean-text lengths under the winnowed dial must
+    // sit between the exact minLen=40 cut (cuts most) and the exact
+    // minLen=43 cut (the winnowing guarantee's floor) — the sandwich is an
+    // oracle-checked column, per doc
+    "q93_remove_substrings_prod" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.removeSharedSubstrings(docs, "doc_id", "text", minLen = 40, winnowWindow = 4)
+        .write.mode("overwrite").parquet(removeProdPath)
+      val prod = s.read.parquet(removeProdPath)
+        .select(col("doc_id"), length(col("clean_text")).cast("long").as("len_prod"))
+      val e40 = Dedup.removeSharedSubstrings(docs, "doc_id", "text", minLen = 40)
+        .select(col("doc_id"), length(col("clean_text")).cast("long").as("len_exact40"))
+      val e43 = Dedup.removeSharedSubstrings(docs, "doc_id", "text", minLen = 43)
+        .select(col("doc_id"), length(col("clean_text")).cast("long").as("len_exact43"))
+      e40.join(prod, Seq("doc_id")).join(e43, Seq("doc_id"))
+        .select(col("doc_id"), col("len_exact40"), col("len_prod"), col("len_exact43"),
+          (col("len_exact40") <= col("len_prod") && col("len_prod") <= col("len_exact43"))
+            .cast("long").as("sandwich_ok"))
+    }),
 
     // ---- round 7: REAL audio codec (javax.sound.sampled) ----
 
@@ -1734,13 +1819,28 @@ object SparkEntry {
     // (32× fewer bytes than raw 64-d floats), each row scores as 8 LUT
     // lookups, and only the top-40 ADC pool per query is re-ranked exactly.
     // The 100 TB regime this measures: bytes-scanned-per-query-batch.
+    // PQ-ANN recall@10, ORACLE-CHECKED (round 9, the q156 pattern): the
+    // production-dial PQ search (ADC shortlist of 40, exact re-rank — no
+    // full-corpus exact pass) is materialized to a fixed parquet; BOTH
+    // engines read that same table and join it against their OWN
+    // independently-computed exact top-10. The hash match proves the exact
+    // sets agree across engines AND the recall arithmetic is honest —
+    // replacing the rows-only check this slot carried through round 8.
     "q124_pq_ann" -> ((s, dir) => {
       val e       = tbl(s, dir, "embeddings")
-      val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
       val cb      = graft.similarity.Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
       graft.similarity.Pq.pqTopK(e, queries, "vec_id", "embedding", "qid", "embedding", cb,
           k = 10, rerank = 40)
-        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(pqRecallPath)
+      val ann   = s.read.parquet(pqRecallPath).withColumn("__hit", lit(1L))
+      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / 10.0).as("r"))
+        .select(col("query_id"), round(col("r"), 3).as("recall_at_10"))
     }),
 
     // persisted IVF-PQ index at the recall-exact dial (nprobe = all cells,
@@ -2381,6 +2481,33 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""".stripMargin,
 
+    // full SimHash mirror on the md5-token-hash variant: per-token 64-bit
+    // hash = first 8 md5 bytes big-endian; per-bit majority vote packs the
+    // doc hash (token-less docs = all-ones, like HashImpl.simHash64Md5);
+    // pigeonhole 16-bit chunk join + bucket cap + popcount(xor) <= 3 —
+    // each step the exact arithmetic twin of Dedup.nearDupPairsSimHash
+    "q13_neardup_simhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents),
+        |t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM corpus WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, list_transform(toks,
+        |  tok -> ('0x' || substring(md5(tok), 1, 16))::UBIGINT) AS hs FROM t),
+        |sim AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN 18446744073709551615::UBIGINT
+        |  ELSE CAST(list_sum(list_transform(generate_series(0, 63), i ->
+        |    CASE WHEN list_sum(list_transform(hs, x ->
+        |      CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+        |    THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS UBIGINT) END AS sim FROM h),
+        |ch AS (SELECT doc_id, sim, j, (sim >> (j * 16)) & 65535 AS val
+        |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) b
+        |  QUALIFY count(*) OVER (PARTITION BY j, val) <= 1000)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM ch a JOIN ch b ON a.j = b.j AND a.val = b.val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+
     // exact all-pairs cosine: planted dups are identical vectors and the
     // fixture's max non-planted cosine is ≤0.60 — see the q14 query comment.
     "q14_neardup_embedding" ->
@@ -2889,6 +3016,74 @@ object SparkEntry {
     "q74_compact" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
 
+    // q29's recursive-CTE exact closure gives DuckDB its OWN exact survivor
+    // set; the production-dial survivors are the parquet Spark materialized.
+    // Per-doc removal flags for docs removed by either run — the hash match
+    // proves the exact sets agree and the r=4 dial's precision/recall is
+    // honestly measured.
+    "q77_dedup_transitive_prod" ->
+      s"""WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text || ' chain link one two three' FROM d
+        |  UNION ALL SELECT doc_id + 2000000, text || ' chain link one two three more drift four five six' FROM d),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t),
+        |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (SELECT src, dst FROM e0
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src WHERE e.dst <> r.src),
+        |lab AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src),
+        |exact AS (SELECT c.doc_id FROM corpus c LEFT JOIN lab ON c.doc_id = lab.id
+        |  WHERE lab.id IS NULL OR lab.mn > c.doc_id),
+        |prod AS (SELECT doc_id FROM read_parquet('$dedupProdPath/*.parquet'))
+        |SELECT c.doc_id,
+        |  CASE WHEN e.doc_id IS NULL THEN 1 ELSE 0 END AS exact_removed,
+        |  CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END AS prod_removed
+        |FROM corpus c
+        |LEFT JOIN exact e ON c.doc_id = e.doc_id
+        |LEFT JOIN prod p ON c.doc_id = p.doc_id
+        |WHERE e.doc_id IS NULL OR p.doc_id IS NULL""".stripMargin,
+
+    // q73's ranked closure (keep-best = longest text, doc_id tie-break) as
+    // the exact side; same flags contract as q77
+    "q78_dedup_keep_best_prod" ->
+      s"""WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text || ' chain link one two three' FROM d
+        |  UNION ALL SELECT doc_id + 2000000, text || ' chain link one two three more drift four five six' FROM d),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t),
+        |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (SELECT src, dst FROM e0
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src WHERE e.dst <> r.src),
+        |lab AS (SELECT src AS id, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+        |exact AS (SELECT doc_id FROM (
+        |  SELECT c.doc_id, row_number() OVER (PARTITION BY coalesce(l.comp, c.doc_id)
+        |    ORDER BY length(c.text) DESC, c.doc_id) AS rn
+        |  FROM corpus c LEFT JOIN lab l ON c.doc_id = l.id) ranked
+        |  WHERE rn = 1),
+        |prod AS (SELECT doc_id FROM read_parquet('$keepBestProdPath/*.parquet'))
+        |SELECT c.doc_id,
+        |  CASE WHEN e.doc_id IS NULL THEN 1 ELSE 0 END AS exact_removed,
+        |  CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END AS prod_removed
+        |FROM corpus c
+        |LEFT JOIN exact e ON c.doc_id = e.doc_id
+        |LEFT JOIN prod p ON c.doc_id = p.doc_id
+        |WHERE e.doc_id IS NULL OR p.doc_id IS NULL""".stripMargin,
+
     // mirrors Dedup.stripBoilerplateLines: line frequency over distinct
     // docs, cutoff max(2, ceil(0.01*n)), order-preserving reconstruction
     "q75_boilerplate" ->
@@ -3025,6 +3220,64 @@ object SparkEntry {
         |FROM tg JOIN eg USING (gram)
         |GROUP BY doc_id, n_grams
         |HAVING count(*) >= 2 AND count(*) >= n_grams * 0.01""".stripMargin,
+
+    // q85's window join at BOTH 40 and 43 chars gives DuckDB its own exact
+    // pair sets; the winnowed-dial pairs are the parquet Spark materialized.
+    // Flags over the union — winnowing guarantee and verification soundness
+    // are hash-checked data
+    "q92_substring_dup_prod" ->
+      s"""WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+        |w40 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN length(norm) <= 40 THEN [norm]
+        |  ELSE list_transform(generate_series(1, length(norm) - 39), i -> substr(norm, i, 40)) END)) AS win FROM t),
+        |e40 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w40 a JOIN w40 b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |w43 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN length(norm) <= 43 THEN [norm]
+        |  ELSE list_transform(generate_series(1, length(norm) - 42), i -> substr(norm, i, 43)) END)) AS win FROM t),
+        |e43 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w43 a JOIN w43 b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |prod AS (SELECT DISTINCT id_a, id_b FROM read_parquet('$substrProdPath/*.parquet')),
+        |u AS (SELECT id_a, id_b FROM e40 UNION SELECT id_a, id_b FROM e43
+        |  UNION SELECT id_a, id_b FROM prod)
+        |SELECT u.id_a, u.id_b,
+        |  CASE WHEN x40.id_a IS NOT NULL THEN 1 ELSE 0 END AS shared40,
+        |  CASE WHEN x43.id_a IS NOT NULL THEN 1 ELSE 0 END AS shared43,
+        |  CASE WHEN pp.id_a IS NOT NULL THEN 1 ELSE 0 END AS prod_caught
+        |FROM u
+        |LEFT JOIN e40 x40 ON u.id_a = x40.id_a AND u.id_b = x40.id_b
+        |LEFT JOIN e43 x43 ON u.id_a = x43.id_a AND u.id_b = x43.id_b
+        |LEFT JOIN prod pp ON u.id_a = pp.id_a AND u.id_b = pp.id_b""".stripMargin,
+
+    // q88's covered-position arithmetic at 40 and 43 chars: clean length =
+    // norm length minus covered positions — no string rebuild needed for
+    // the length sandwich; prod lengths come from the materialized parquet
+    "q93_remove_substrings_prod" ->
+      s"""WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+        |p40 AS (SELECT doc_id, unnest(CASE WHEN length(norm) >= 40
+        |  THEN generate_series(1, length(norm) - 39) ELSE []::BIGINT[] END) AS pos FROM t),
+        |w40 AS (SELECT p.doc_id, p.pos, substr(t.norm, CAST(p.pos AS INT), 40) AS win
+        |  FROM p40 p JOIN t USING (doc_id)),
+        |d40 AS (SELECT win FROM (SELECT win, count(DISTINCT doc_id) AS n FROM w40 GROUP BY win) WHERE n > 1),
+        |cov40 AS (SELECT DISTINCT w.doc_id, w.pos FROM w40 w JOIN d40 USING (win)),
+        |cc40 AS (SELECT DISTINCT doc_id, pos + unnest(generate_series(0, 39)) AS cpos FROM cov40),
+        |n40 AS (SELECT doc_id, count(*) AS nc FROM cc40 GROUP BY doc_id),
+        |p43 AS (SELECT doc_id, unnest(CASE WHEN length(norm) >= 43
+        |  THEN generate_series(1, length(norm) - 42) ELSE []::BIGINT[] END) AS pos FROM t),
+        |w43 AS (SELECT p.doc_id, p.pos, substr(t.norm, CAST(p.pos AS INT), 43) AS win
+        |  FROM p43 p JOIN t USING (doc_id)),
+        |d43 AS (SELECT win FROM (SELECT win, count(DISTINCT doc_id) AS n FROM w43 GROUP BY win) WHERE n > 1),
+        |cov43 AS (SELECT DISTINCT w.doc_id, w.pos FROM w43 w JOIN d43 USING (win)),
+        |cc43 AS (SELECT DISTINCT doc_id, pos + unnest(generate_series(0, 42)) AS cpos FROM cov43),
+        |n43 AS (SELECT doc_id, count(*) AS nc FROM cc43 GROUP BY doc_id),
+        |prod AS (SELECT doc_id, length(clean_text) AS len_prod
+        |  FROM read_parquet('$removeProdPath/*.parquet'))
+        |SELECT t.doc_id,
+        |  CAST(length(t.norm) - coalesce(n40.nc, 0) AS BIGINT) AS len_exact40,
+        |  CAST(p.len_prod AS BIGINT) AS len_prod,
+        |  CAST(length(t.norm) - coalesce(n43.nc, 0) AS BIGINT) AS len_exact43,
+        |  CASE WHEN length(t.norm) - coalesce(n40.nc, 0) <= p.len_prod
+        |    AND p.len_prod <= length(t.norm) - coalesce(n43.nc, 0) THEN 1 ELSE 0 END AS sandwich_ok
+        |FROM t JOIN prod p USING (doc_id)
+        |LEFT JOIN n40 USING (doc_id) LEFT JOIN n43 USING (doc_id)""".stripMargin,
 
     // windows shared across docs -> covered char positions -> residual
     // string rebuilt char-by-char in position order; docs shorter than 40
@@ -3604,6 +3857,30 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10),
         |ann AS (SELECT DISTINCT query_id, neighbor_id
         |  FROM read_parquet('$annRecallPath/*.parquet'))
+        |SELECT e.query_id,
+        |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
+        |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
+
+    // recall@10 of the materialized PQ production dial (ADC shortlist +
+    // exact re-rank) against DuckDB's OWN exact top-10 — identical shape to
+    // q156; the ANN table is the parquet the Spark side wrote and read back
+    "q124_pq_ann" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10),
+        |ann AS (SELECT DISTINCT query_id, neighbor_id
+        |  FROM read_parquet('$pqRecallPath/*.parquet'))
         |SELECT e.query_id,
         |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
         |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id

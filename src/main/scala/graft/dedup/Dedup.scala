@@ -729,11 +729,26 @@ object Dedup {
     */
   def simHash(text: Column): Column = NativeFunctions.simHash64(text)
 
+  /** [[simHash]] with an md5-derived token hash — same vote/packing
+    * semantics, but every step is expressible in portable SQL, so results
+    * built on it are oracle-checkable end-to-end (see
+    * [[graft.functions.HashImpl.simHash64Md5]] for the exact contract).
+    * The xxhash [[simHash]] stays the throughput default.
+    */
+  def simHashPortable(text: Column): Column = NativeFunctions.simHash64Md5(text)
+
   /** SimHash near-dup pairs: pigeonhole blocking — split the 64-bit hash into
     * `maxHamming + 1` chunks; any pair within `maxHamming` bits shares at
     * least one exact chunk, so candidates come from chunk-equality joins
     * (never all-pairs), then verify popcount(xor) ≤ maxHamming. The 64-bit
     * `sim` value rides the explode (it IS the payload — 8 bytes).
+    *
+    * `portable = true` swaps the token hash for the md5-derived
+    * [[simHashPortable]] variant (SQL-mirrorable, so the full pipeline —
+    * votes, packing, pigeonhole blocking, hamming verify — hash-checks
+    * against a declarative oracle); blocking and verification are
+    * hash-agnostic, so everything this operator does is exercised
+    * identically under either variant.
     */
   def nearDupPairsSimHash(
       df: DataFrame,
@@ -741,10 +756,13 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
-  ): DataFrame =
+      portable: Boolean = false,
+  ): DataFrame = {
+    val h = if (portable) simHashPortable(col(textCol)) else simHash(col(textCol))
     nearDupPairsHash64(
-      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")),
+      df.select(col(idCol).as("id"), h.as("sim")),
       "id", "sim", maxHamming, maxBucketSize)
+  }
 
   /** Generic pigeonhole near-dup over ANY precomputed 64-bit hash column —
     * the blocking engine behind [[nearDupPairsSimHash]] (text) and

@@ -187,6 +187,48 @@ object HashImpl {
     sim
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash with an md5-derived token hash — bit-for-bit mirrorable
+    * in portable SQL (DuckDB: `('0x' || substring(md5(tok), 1, 16))::UBIGINT`
+    * is exactly "first 8 md5 bytes, big-endian"), which makes SimHash
+    * near-dup output oracle-checkable end-to-end. Same tokenizer and vote
+    * semantics as [[simHash64]] — including all-bits-set for token-less
+    * text — only the per-token hash differs. The xxhash variant stays the
+    * throughput default (md5 is ~10× costlier per token); the ALGORITHM
+    * under test is identical either way, so the oracle on this variant
+    * covers the vote/packing/blocking logic both variants share.
+    */
+  def simHash64Md5(text: UTF8String): Long = {
+    val toks  = tokenize(text)
+    val votes = new Array[Int](64)
+    val md    = md5Local.get()
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var i   = 0
+    while (i < 64) {
+      if (votes(i) >= 0) sim |= (1L << i)
+      i += 1
+    }
+    sim
+  }
+
   private def mix64(z0: Long): Long = {
     // splitmix64 finalizer — deterministic ±1 hyperplane weights, no RNG
     // state and no broadcast weight matrix.
@@ -393,6 +435,16 @@ case class SimHash64Expr(child: Expression) extends GraftUnaryCodegen {
     copy(child = newChild)
 }
 
+case class SimHash64Md5Expr(child: Expression) extends GraftUnaryCodegen {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.simHash64Md5(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.HashImpl.simHash64Md5($c)"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Md5Expr =
+    copy(child = newChild)
+}
+
 case class SrpBucketExpr(child: Expression, bits: Int, seed: Long) extends GraftUnaryCodegen {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
@@ -476,6 +528,7 @@ object NativeFunctions {
     c(MinHashSigExpr(x(sh), numHashes))
   def bandBuckets(sig: Column, bands: Int = 32): Column = c(BandBucketsExpr(x(sig), bands))
   def simHash64(text: Column): Column                   = c(SimHash64Expr(x(text)))
+  def simHash64Md5(text: Column): Column                = c(SimHash64Md5Expr(x(text)))
   def srpBucket(vec: Column, bits: Int, seed: Long): Column =
     c(SrpBucketExpr(x(vec), bits, seed))
   def dot(a: Column, b: Column): Column    = c(DotExpr(x(a), x(b)))

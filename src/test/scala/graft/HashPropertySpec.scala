@@ -74,6 +74,21 @@ class HashPropertySpec extends SparkSpec {
     })
   }
 
+  test("simHash64Md5: single-token text packs the md5-derived hash verbatim; empty is all-ones") {
+    // one token ⇒ every bit vote is that token's hash bit ⇒ sim == tokenHash.
+    // 0x5d41402abc4b2a76 = first 8 bytes of md5("hello"), big-endian — the
+    // exact value DuckDB's ('0x' || substring(md5(tok), 1, 16))::UBIGINT
+    // yields, which is the q13 oracle's parity contract.
+    assert(HashImpl.simHash64Md5(UTF8String.fromString("hello")) == 0x5d41402abc4b2a76L)
+    assert(HashImpl.simHash64Md5(UTF8String.fromString("  HELLO\t")) == 0x5d41402abc4b2a76L)
+    assert(HashImpl.simHash64Md5(UTF8String.fromString("")) == -1L)
+    assert(HashImpl.simHash64Md5(UTF8String.fromString("  \t ")) == -1L)
+    // same vote semantics as the xxhash variant: near-identical streams stay close
+    val a = HashImpl.simHash64Md5(UTF8String.fromString("the quick brown fox jumps over the dog"))
+    val b = HashImpl.simHash64Md5(UTF8String.fromString("the quick brown fox jumps over the dog zz"))
+    assert(java.lang.Long.bitCount(a ^ b) <= 16)
+  }
+
   test("cosine: native equals Column-API HOF formulation bit-for-bit") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
     check(forAll(vec, vec) { (a, b) =>
