@@ -2041,6 +2041,16 @@ object SparkEntry {
     "q158_heavy_hitters" -> ((s, dir) =>
       HeavyHitters.topKTerms(tbl(s, dir, "documents"), "text", k = 15, capacity = 4096)),
 
+    // n-gram heavy hitters (round 9): the same Misra-Gries sketch + exact
+    // recount + runtime coverage proof over the word-BIGRAM stream — the
+    // phrase-mining op curation pipelines want (boilerplate templates,
+    // common spans). Pure-codegen gram generation, no UDF; bigram
+    // dictionaries are flatter than unigram ones, so capacity carries a
+    // larger margin for the MG bound.
+    "q162_ngram_hitters" -> ((s, dir) =>
+      HeavyHitters.topKNgrams(tbl(s, dir, "documents"), "text", n = 2, k = 10,
+        capacity = 16384)),
+
     // BLOCKED FUZZY SELF-JOIN (record linkage): key-derived customer codes
     // within 1 edit, candidates limited to same-prefix blocks (all but the
     // last 2 chars — CONSTANT 100-member blocks at every scale, so the true
@@ -3818,6 +3828,16 @@ object SparkEntry {
         |  FROM documents WHERE trim(text) <> '')
         |SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 15""".stripMargin,
+
+    // exact top-k word bigrams, occurrence-counted (one gram per adjacent
+    // token pair, not per distinct-per-doc), same deterministic order
+    "q162_ngram_hitters" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1])) AS term FROM t WHERE len(toks) >= 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n FROM g
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin,
 
     // same blocking + verify semantics, declaratively: equal all-but-last-2
     // prefix, ordered pair, levenshtein <= 1
