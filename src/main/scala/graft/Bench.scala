@@ -89,7 +89,19 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c            => c.toString
     }
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Sweep protocol (round 9): exact dials that are super-linear BY
+    // CONSTRUCTION (they exist to give an approximate operator a bit-exact
+    // oracle) run only at the oracle SF band (<= 0.1); above it they are
+    // skipped LOUDLY (pinned_skipped in the JSON) and the production-dial
+    // twins in SparkEntry.benchOnly — which run at every SF — carry the
+    // slope story instead. SF parses from the dir name's trailing sf<N>.
+    val sf = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val pinnedSkipped =
+      if (sf > 0.105) SparkEntry.exactDialPinnedToOracleSf else Set.empty[String]
+    pinnedSkipped.foreach(n =>
+      System.err.println(s"[bench] $n pinned to the oracle SF (exact dial), skipped at sf=$sf"))
+    val sorted = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => pinnedSkipped.contains(n) }
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
       sorted.foreach { case (name, fn) =>
@@ -133,8 +145,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val pinnedJson = pinnedSkipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"pinned_skipped":$pinnedJson,"sf":"$sfDir"}"""
     println(line)
     // also persist the complete per-query table into the repo: the driver
     // captures stdout with a bounded tail, which truncated round 6's table

@@ -18,7 +18,7 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
+    val df = SparkEntry.queries.getOrElse(name, SparkEntry.benchOnly(name))(spark, sfDir)
     if (explain) df.explain("formatted")
     val n = df.count()
     println(f"[runone] $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1fs")

@@ -2379,6 +2379,56 @@ object SparkEntry {
     }),
   )
 
+  /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
+    * exist to give an approximate operator a bit-exact oracle (q137 probes
+    * every IVF cell so the answer equals brute force; q12 runs recall-exact
+    * r=2 banding so LSH output equals the all-pairs Jaccard set). That
+    * construction is the whole point at the ORACLE SF and a bench-protocol
+    * bug above it: at sf10 the q137 exact dial extrapolates to ~21 h of
+    * corpus² cosines measuring nothing the 100 TB path would ever run.
+    * Bench sweeps above sf0.1 skip these (loudly — they land in the JSON's
+    * `pinned_skipped` list) and measure [[benchOnly]]'s production twins
+    * instead; correctness runs (Verify, sf0.01) always execute them.
+    */
+  val exactDialPinnedToOracleSf: Set[String] =
+    Set("q137_knn_join", "q12_neardup_minhash")
+
+  /** Bench-only production-dial twins — the dials the 100 TB path actually
+    * runs, measured at EVERY sweep SF (the exact dials above stay pinned to
+    * the oracle SF). Not part of the Verify contract: their quality
+    * evidence is the oracle-checked gates (q156/q124 recall, q77/q78 dedup
+    * flags) and the recall-pinning specs (AnnIndexSpec,
+    * DedupSimilaritySpec); their job HERE is the slope, not the hash.
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF kNN self-join at CONSTANT CELL SIZE: cells scale with the corpus
+    // (C = n/256), so candidate volume per row is nprobe*256 = constant and
+    // total work is linear — the only sizing that survives decades (a fixed
+    // C is n²*nprobe/C: the first twin dial measured 19x/decade before this
+    // redial). Assignment stays sub-linear per row via the two-level
+    // centroid hierarchy (Ann.cellAssign, O(√C)); recall of partial-probe
+    // dials is pinned in AnnIndexSpec.
+    "q137_knn_join_prod" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val c = math.max(8L, e.count() / 256L).toInt
+      Ann.knnJoin(e, e, "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, numCentroids = c, nprobe = 2, excludeSelf = true)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // r=4 banding + default bucket caps on the RAW documents fixture — the
+    // exact high-similarity regime whose r=2 oracle dial measured 41x at
+    // sf10; the production answer to that regime is THIS dial
+    "q12_neardup_minhash_prod" -> ((s, dir) => {
+      val d   = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing token")).as("text"))
+      Dedup.nearDupPairsMinHash(d.unionByName(dup), "doc_id", "text", threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+  )
+
   /** DuckDB oracles. Notes on cross-engine parity:
     *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
     *    replace-all semantics.

@@ -364,6 +364,93 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  private def cosineToCent(vec: ArrayData, cent: Array[Float]): Double = {
+    val n    = math.min(vec.numElements(), cent.length)
+    var dotv = 0.0
+    var nc   = 0.0
+    var nv   = 0.0
+    var j    = 0
+    while (j < n) {
+      val x = vec.getFloat(j).toDouble
+      val y = cent(j).toDouble
+      dotv += x * y; nc += y * y; nv += x * x
+      j += 1
+    }
+    if (nc == 0.0 || nv == 0.0) -2.0 else dotv / math.sqrt(nc * nv)
+  }
+
+  /** Two-level nearest-centroid assignment: rank the `wprobe` nearest of G
+    * group reps first, then exact cosine only over those groups' member
+    * centroids — O(G + wprobe·C/G) per row instead of O(C), which is what
+    * keeps CONSTANT-CELL-SIZE IVF (C ∝ corpus) linear end-to-end: flat
+    * assignment would reintroduce an n·C = n²/cellSize term that dominates
+    * by the second decade. Returns GLOBAL centroid ids, top-`nprobe` by
+    * cosine among the candidate union (fewer if the probed groups hold
+    * fewer members — mirrors the flat variant's min(nprobe, C)). Standard
+    * IVF-hierarchy trade: a vector near a group boundary can miss its true
+    * nearest cell; wprobe > 1 is the dial that bounds that miss.
+    */
+  def nearestCentroidsTwoLevel(
+      vec: ArrayData,
+      reps: Array[Array[Float]],
+      members: Array[Array[Int]],
+      cents: Array[Array[Float]],
+      nprobe: Int,
+      wprobe: Int): ArrayData = {
+    val g       = reps.length
+    val repSims = new Array[Double](g)
+    var i = 0
+    while (i < g) { repSims(i) = cosineToCent(vec, reps(i)); i += 1 }
+    val w        = math.min(wprobe, g)
+    val repUsed  = new Array[Boolean](g)
+    var cand     = 0
+    val topGroups = new Array[Int](w)
+    var r = 0
+    while (r < w) {
+      var best = -1
+      var j    = 0
+      while (j < g) {
+        if (!repUsed(j) && (best < 0 || repSims(j) > repSims(best))) best = j
+        j += 1
+      }
+      repUsed(best) = true
+      topGroups(r) = best
+      cand += members(best).length
+      r += 1
+    }
+    val candIds  = new Array[Int](cand)
+    val candSims = new Array[Double](cand)
+    var c = 0
+    r = 0
+    while (r < w) {
+      val m = members(topGroups(r))
+      var j = 0
+      while (j < m.length) {
+        candIds(c) = m(j)
+        candSims(c) = cosineToCent(vec, cents(m(j)))
+        c += 1
+        j += 1
+      }
+      r += 1
+    }
+    val p    = math.min(nprobe, cand)
+    val out  = new Array[Int](p)
+    val used = new Array[Boolean](cand)
+    r = 0
+    while (r < p) {
+      var best = -1
+      var j    = 0
+      while (j < cand) {
+        if (!used(j) && (best < 0 || candSims(j) > candSims(best))) best = j
+        j += 1
+      }
+      used(best) = true
+      out(r) = candIds(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Squared Euclidean distance, double accumulation. */
   def sqDistF(a: ArrayData, b: ArrayData): Double = {
     val n   = math.min(a.numElements(), b.numElements())
@@ -472,6 +559,29 @@ case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]
     copy(child = newChild)
 }
 
+case class NearestCentroidsTwoLevelExpr(
+    child: Expression,
+    reps: Array[Array[Float]],
+    members: Array[Array[Int]],
+    cents: Array[Array[Float]],
+    nprobe: Int,
+    wprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.nearestCentroidsTwoLevel(
+      input.asInstanceOf[ArrayData], reps, members, cents, nprobe, wprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val repsRef    = ctx.addReferenceObj("reps", reps, "float[][]")
+    val membersRef = ctx.addReferenceObj("members", members, "int[][]")
+    val centsRef   = ctx.addReferenceObj("cents", cents, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpl.nearestCentroidsTwoLevel($c, $repsRef, $membersRef, $centsRef, $nprobe, $wprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsTwoLevelExpr =
+    copy(child = newChild)
+}
+
 private[graft] abstract class GraftBinaryDouble extends BinaryExpression {
   protected def staticName: String
   override def dataType: DataType = DoubleType
@@ -536,6 +646,10 @@ object NativeFunctions {
   def sqDist(a: Column, b: Column): Column = c(SqDistExpr(x(a), x(b)))
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     c(NearestCentroidsExpr(x(vec), centroids, nprobe))
+  def nearestCentroidsTwoLevel(vec: Column, reps: Array[Array[Float]],
+      members: Array[Array[Int]], centroids: Array[Array[Float]],
+      nprobe: Int, wprobe: Int): Column =
+    c(NearestCentroidsTwoLevelExpr(x(vec), reps, members, centroids, nprobe, wprobe))
   def jaccardSorted(a: Column, b: Column): Column = c(JaccardSortedExpr(x(a), x(b)))
   def sigAgreement(a: Column, b: Column): Column  = c(SigAgreementExpr(x(a), x(b)))
   def textStats(text: Column): Column             = c(TextStatsExpr(x(text)))

@@ -182,12 +182,12 @@ object Ann {
     val corpusCells = corpus.select(
       col(corpusId).as("__nid"),
       col(corpusVec).as("__nvec"),
-      element_at(NativeFunctions.nearestCentroids(col(corpusVec), cents, 1), 1).as("cell"),
+      element_at(cellAssign(col(corpusVec), cents, 1), 1).as("cell"),
     )
     val queryCells = queries.select(
       col(queryId).as("query_id"),
       col(queryVec).as("__qvec"),
-      explode(NativeFunctions.nearestCentroids(col(queryVec), cents, nprobe)).as("cell"),
+      explode(cellAssign(col(queryVec), cents, nprobe)).as("cell"),
     )
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
@@ -224,12 +224,12 @@ object Ann {
     val rightCells = right.select(
       col(rightId).as("__nid"),
       col(rightVec).as("__nvec"),
-      element_at(NativeFunctions.nearestCentroids(col(rightVec), cents, 1), 1).as("cell"),
+      element_at(cellAssign(col(rightVec), cents, 1), 1).as("cell"),
     )
     val leftCells = left.select(
       col(leftId).as("query_id"),
       col(leftVec).as("__qvec"),
-      explode(NativeFunctions.nearestCentroids(col(leftVec), cents, nprobe)).as("cell"),
+      explode(cellAssign(col(leftVec), cents, nprobe)).as("cell"),
     )
     val paired = leftCells.join(rightCells, Seq("cell"))
     val nonSelf = if (excludeSelf) paired.where(col("query_id") =!= col("__nid")) else paired
@@ -237,6 +237,67 @@ object Ann {
       .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
     topKOf(scored, k)
   }
+
+  /** C at or above this uses two-level assignment. Below it the flat scan
+    * is both faster (no group indirection) and EXACT, which keeps every
+    * oracle-dial plan (C = 8 everywhere in SparkEntry) bit-identical.
+    */
+  private val TwoLevelThreshold = 64
+
+  private def driverCosine(a: Array[Float], b: Array[Float]): Double = {
+    val n    = math.min(a.length, b.length)
+    var dotv = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dotv += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -2.0 else dotv / math.sqrt(na * nb)
+  }
+
+  /** Driver-side centroid hierarchy for two-level assignment: G = ⌈√C⌉
+    * group reps (the first G of the hash-ordered centroid sample — an
+    * unbiased subsample), every centroid attached to its nearest rep.
+    * O(C·G) = O(C^1.5) driver flops over a CONFIG-BOUNDED array (C ≤ ~10⁵
+    * even at 100 TB cell sizing), never data-proportional.
+    */
+  private[similarity] def buildTwoLevel(
+      cents: Array[Array[Float]]): (Array[Array[Float]], Array[Array[Int]]) = {
+    val g    = math.ceil(math.sqrt(cents.length.toDouble)).toInt.max(1)
+    val reps = cents.take(g)
+    val buckets = Array.fill(g)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var ci = 0
+    while (ci < cents.length) {
+      var best = 0
+      var bs   = driverCosine(cents(ci), reps(0))
+      var gi   = 1
+      while (gi < g) {
+        val s = driverCosine(cents(ci), reps(gi))
+        if (s > bs) { bs = s; best = gi }
+        gi += 1
+      }
+      buckets(best) += ci
+      ci += 1
+    }
+    (reps, buckets.map(_.toArray))
+  }
+
+  /** Cell-assignment column: flat exact scan for small C, two-level
+    * (O(√C)-per-row, wprobe=2 group probing) once C reaches
+    * [[TwoLevelThreshold]] — the piece that keeps constant-cell-size IVF
+    * (C ∝ corpus) linear; see
+    * [[graft.functions.HashImpl.nearestCentroidsTwoLevel]].
+    */
+  private def cellAssign(
+      vec: org.apache.spark.sql.Column,
+      cents: Array[Array[Float]],
+      nprobe: Int): org.apache.spark.sql.Column =
+    if (cents.length < TwoLevelThreshold) NativeFunctions.nearestCentroids(vec, cents, nprobe)
+    else {
+      val (reps, members) = buildTwoLevel(cents)
+      NativeFunctions.nearestCentroidsTwoLevel(vec, reps, members, cents, nprobe, wprobe = 2)
+    }
 
   /** Public handle on the deterministic coarse-centroid sample — shared by
     * the IVF paths here and [[graft.dedup.Dedup.semanticDedup]]'s

@@ -56,6 +56,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt, "scan did not skip any bucket")
   }
 
+  test("two-level assignment (C >= threshold) keeps knnJoin recall on clustered data") {
+    // C = 64 crosses Ann.TwoLevelThreshold, so assignment runs through the
+    // O(√C) group hierarchy — the constant-cell-size production path. On
+    // the 4-anchor clustered corpus the probed cells still carve the
+    // anchors, so recall vs exact brute force must stay high even though
+    // per-row assignment only scans ~2√C of the 64 centroids.
+    val exact = Ann.bruteForceTopK(corpus, corpus.select(col("vec_id").as("qid"), col("embedding")),
+        "vec_id", "embedding", "qid", "embedding", k = 4)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").desc)))
+      .where(col("rk") <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val twoLevel = Ann.knnJoin(corpus, corpus, "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, numCentroids = 64, nprobe = 8, excludeSelf = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(twoLevel).size.toDouble / exact.size
+    assert(recall >= 0.85, s"two-level recall $recall")
+  }
+
   test("knnJoin exact dial equals per-row brute force; partial probe keeps recall; no broadcast of either side") {
     val exact = Ann.bruteForceTopK(corpus, corpus.select(col("vec_id").as("qid"), col("embedding")),
         "vec_id", "embedding", "qid", "embedding", k = 4)
