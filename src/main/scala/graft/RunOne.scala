@@ -17,11 +17,24 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries.getOrElse(name, SparkEntry.benchOnly(name))(spark, sfDir)
-    if (explain) df.explain("formatted")
-    val n = df.count()
-    println(f"[runone] $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    // reps=N re-runs the query N times in THIS warm JVM and prints each +
+    // the min — the isolated re-measure recipe for watch items (cold-JVM
+    // single runs bake ~5 s of startup into the number; warm bench slots
+    // are what the per-round artifact reports)
+    val reps = args.collectFirst { case a if a.startsWith("reps=") => a.drop(5).toInt }.getOrElse(1)
+    val fn   = SparkEntry.queries.getOrElse(name, SparkEntry.benchOnly(name))
+    val times = (1 to reps).map { r =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      if (explain && r == 1) df.explain("formatted")
+      val n   = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      println(f"[runone] $name rows=$n in $sec%.1fs")
+      sec
+    }
+    if (reps > 1) println(f"[runone] $name min of $reps: ${times.min}%.2fs")
     spark.stop()
   }
 }

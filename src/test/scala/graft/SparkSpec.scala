@@ -8,8 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SharedSpark {
   lazy val spark: SparkSession = {
+    // local[threads, maxTaskFailures]: retries ON (plain local[4] pins
+    // maxFailures to 1) so FailureInjectionSpec can prove a mid-write task
+    // failure retries and converges — the cluster default behavior.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
