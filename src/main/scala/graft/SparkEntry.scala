@@ -50,6 +50,9 @@ object SparkEntry {
   private val keepBestProdPath = s"$scratch/q78_prod"
   private val substrProdPath   = s"$scratch/q92_prod"
   private val removeProdPath   = s"$scratch/q93_prod"
+  private val bpeModelPath     = s"$scratch/q126_bpe_model"
+  private val bpeModelPath132  = s"$scratch/q132_bpe_model"
+  private val ivfCentroidPath  = s"$scratch/q19_centroids"
 
   /** All fixture reads flow through the real loadFile operator. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
@@ -387,9 +390,23 @@ object SparkEntry {
     // on clustered real corpora the same operator probes far fewer cells.
     // (SRP-LSH with multiprobe stays available as Ann.lshTopK and is
     // recall-tested on a clustered fixture in DedupSimilaritySpec.)
+    // ORACLE-CHECKED (round 9, the q126 learned-model pattern): the one
+    // engine-side artifact — the deterministic hash-ordered centroid
+    // sample — materializes to parquet, and DuckDB REPLAYS the whole IVF
+    // search declaratively (assign every corpus row to its argmax-cosine
+    // cell, probe each query's top-nprobe cells, exact cosine top-k over
+    // the probed candidates), mirroring the quantizer's tie-breaks
+    // (first-index on equal cosine, dot/sqrt(nc*nv) accumulation) exactly.
     "q19_topk_ann" -> ((s, dir) => {
-      val e       = tbl(s, dir, "embeddings")
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings")
+      val cents = Ann.coarseCentroids(e, "vec_id", "embedding", numCentroids = 8)
+      cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(ivfCentroidPath)
       val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      // ivfTopK re-derives the identical centroid sample (hash-ordered,
+      // deterministic) — the parquet above is the oracle's copy of it
       Ann.ivfTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10,
         numCentroids = 8, nprobe = 6)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -1862,17 +1879,26 @@ object SparkEntry {
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
-    // real BPE token accounting (rows-only BY DESIGN — merge learning is
-    // not SQL-expressible; the algorithm itself is oracle-tested in BpeSpec
-    // on the classic Sennrich corpus). Trains on the distributed word-count
-    // dictionary, persists the merge table, re-loads it (the cross-session
-    // production shape: train once, meter every later batch), and counts
-    // via the codegen'd kernel.
+    // real BPE token accounting, ORACLE-CHECKED (round 9 — replaces the
+    // rows-only check): merge LEARNING stays engine-side (the sequential
+    // driver loop, oracle-tested in BpeSpec on the Sennrich corpus), but
+    // the learned merge list is materialized to a fixed parquet and the
+    // DuckDB oracle REPLAYS the encoding declaratively — a recursive CTE
+    // applies the lowest-rank-present merge one occurrence at a time
+    // (provably the same fixpoint as the codegen'd kernel's batch passes),
+    // so every document's token count hash-checks. Trains on the
+    // distributed word-count dictionary, persists the merge table,
+    // re-loads it (the cross-session production shape: train once, meter
+    // every later batch), and counts via the codegen'd kernel.
     "q126_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
       val d     = tbl(s, dir, "documents")
       val model = Bpe.train(d, "text", numMerges = 200)
       val t     = Table("graft_q126_bpe_model")
       Bpe.saveModel(s, model, t)
+      model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "lhs", "rhs")
+        .write.mode("overwrite").parquet(bpeModelPath)
       val loaded = Bpe.loadModel(s, t)
       d.select(col("doc_id"), loaded.countTokens(col("text")).as("n_bpe_tokens"))
     }),
@@ -1957,15 +1983,24 @@ object SparkEntry {
           col("n_tokens"), col("n_docs"))
     }),
 
-    // the real dial: BPE token ids (persisted q126 model semantics),
-    // hash-order global shuffle — rows-only BY DESIGN (BPE ids are not
-    // SQL-expressible; the packing machinery itself is oracle-checked by
-    // q131 and pinned against a naive reference in PackWindowsSpec)
+    // the real dial, ORACLE-CHECKED (round 9): BPE token ids through the
+    // hash-order global-shuffle packing. The order key is the md5-derived
+    // hash (same global-mix semantics as the xxhash default, but
+    // SQL-mirrorable — the q160 trick), and the learned merges materialize
+    // to parquet, so DuckDB can replay the encode (recursive CTE), rebuild
+    // the token stream in the same order, and window it — (window_id,
+    // n_tokens, n_docs) hash-check end-to-end. The full id VALUES path is
+    // pinned against a naive reference in PackWindowsSpec/BpeSpec.
     "q132_pack_bpe_ids" -> ((s, dir) => {
+      import s.implicits._
       val d     = tbl(s, dir, "documents")
       val model = Bpe.train(d, "text", numMerges = 200)
+      model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "lhs", "rhs")
+        .write.mode("overwrite").parquet(bpeModelPath132)
       val withIds = d.select(col("doc_id"), model.encodeIds(col("text")).as("ids"))
-      Packing.packContextWindows(withIds, "doc_id", "ids", windowSize = 512)
+      Packing.packContextWindows(withIds, "doc_id", "ids", windowSize = 512,
+          orderKey = Some(substring(md5(col("doc_id").cast("string")), 1, 8)))
         .select(col("window_id"), col("n_tokens"), col("n_docs"))
     }),
 
@@ -2050,6 +2085,7 @@ object SparkEntry {
     "q162_ngram_hitters" -> ((s, dir) =>
       HeavyHitters.topKNgrams(tbl(s, dir, "documents"), "text", n = 2, k = 10,
         capacity = 16384)),
+
 
     // BLOCKED FUZZY SELF-JOIN (record linkage): key-derived customer codes
     // within 1 edit, candidates limited to same-prefix blocks (all but the
@@ -3908,6 +3944,45 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
         |FROM lineitem WHERE l_partkey < 250 AND l_suppkey < 12""".stripMargin,
 
+    // full declarative REPLAY of the IVF search against the materialized
+    // centroid sample (the only engine-side artifact): corpus rows assign
+    // to their argmax-cosine cell, queries probe their top-6 cells, exact
+    // cosine top-10 within the probed candidates. Mirrors the quantizer
+    // bit-for-bit: assignment cosine is dot/sqrt(nc*nv) (ONE sqrt of the
+    // product — HashImpl.nearestCentroids), ties keep the LOWEST cell
+    // index (cos DESC, cell ASC); final scoring is dot/(sqrt·sqrt)
+    // (HashImpl.cosineF) with the q18 tie-break (cos DESC, id DESC).
+    "q19_topk_ann" ->
+      s"""WITH cents AS (SELECT cell, centroid FROM read_parquet('$ivfCentroidPath/*.parquet')),
+        |ca AS (SELECT vec_id, embedding, cell,
+        |  CASE WHEN nc = 0 OR nv = 0 THEN -2.0 ELSE dotv / sqrt(nc * nv) END AS cos
+        |  FROM (SELECT e.vec_id, e.embedding, c.cell,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))) AS dotv,
+        |    list_sum(list_transform(generate_series(1, len(c.centroid)),
+        |      i -> CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))) AS nc,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS nv
+        |  FROM embeddings e CROSS JOIN cents c)),
+        |ecell AS (SELECT vec_id AS neighbor_id, embedding AS nvec, cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+        |  FROM ca) WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+        |  FROM ca WHERE vec_id < 5) WHERE rn <= 6),
+        |sims AS (SELECT q.query_id, e.neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.nvec[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.nvec)),
+        |    i -> CAST(e.nvec[i] AS DOUBLE) * CAST(e.nvec[i] AS DOUBLE))))) AS cos
+        |  FROM qprobe q JOIN ecell e USING (cell))
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10""".stripMargin,
+
     // recall@10 of the materialized production-dial ANN table against
     // DuckDB's OWN exact top-10 (same tie-break as q18: cos DESC, id DESC);
     // the ANN table is the parquet the Spark side wrote and read back
@@ -3931,6 +4006,76 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
         |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         |GROUP BY e.query_id""".stripMargin,
+
+    // declarative REPLAY of the learned BPE merges: the recursive CTE
+    // applies the lowest-rank pair PRESENT in each word, one leftmost
+    // occurrence per step (each step shrinks the word by exactly one
+    // symbol, so the final state per word is its min-length row). This is
+    // the same fixpoint as BpeImpl.bpeWord's batch passes: merging one
+    // occurrence of the lowest-rank pair cannot create any lower-rank pair
+    // (a training-order merge product can only appear in LATER-rank pairs),
+    // so the next step picks the same pair's next occurrence — i.e. the
+    // batch pass, one splice at a time.
+    "q126_bpe_tokens" ->
+      s"""WITH RECURSIVE mm AS (SELECT rank, lhs, rhs FROM read_parquet('$bpeModelPath/*.parquet')),
+        |t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks FROM documents),
+        |wocc AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |init AS (SELECT DISTINCT word FROM wocc),
+        |enc(word, syms) AS (
+        |  SELECT word, list_append(string_split(word, ''), '</w>') FROM init
+        |  UNION ALL
+        |  SELECT word, syms[1:p-1] || [lhs || rhs] || syms[p+2:] FROM (
+        |    SELECT e.word, e.syms, m.lhs, m.rhs,
+        |      list_position(list_transform(generate_series(1, len(e.syms) - 1),
+        |        i -> e.syms[i] || ' ' || e.syms[i+1]), m.lhs || ' ' || m.rhs) AS p,
+        |      row_number() OVER (PARTITION BY e.word ORDER BY m.rank) AS rn
+        |    FROM enc e JOIN mm m ON list_contains(list_transform(generate_series(1, len(e.syms) - 1),
+        |      i -> e.syms[i] || ' ' || e.syms[i+1]), m.lhs || ' ' || m.rhs)
+        |  ) WHERE rn = 1
+        |),
+        |fin AS (SELECT word, len(syms) AS n FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY len(syms) ASC) = 1),
+        |ds AS (SELECT w.doc_id, sum(c.n) AS s FROM wocc w JOIN fin c USING (word) GROUP BY w.doc_id)
+        |SELECT t.doc_id, CAST(coalesce(ds.s, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM t LEFT JOIN ds USING (doc_id)""".stripMargin,
+
+    // same merge replay (q132's own persisted model), then the packing
+    // mirror: per-doc stream length = BPE symbols + 1 EOS, exclusive
+    // prefix sum in (md5-hash, doc_id) order, interval/window overlap
+    // arithmetic for (n_tokens, n_docs) per 512-token window
+    "q132_pack_bpe_ids" ->
+      s"""WITH RECURSIVE mm AS (SELECT rank, lhs, rhs FROM read_parquet('$bpeModelPath132/*.parquet')),
+        |t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks FROM documents),
+        |wocc AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |init AS (SELECT DISTINCT word FROM wocc),
+        |enc(word, syms) AS (
+        |  SELECT word, list_append(string_split(word, ''), '</w>') FROM init
+        |  UNION ALL
+        |  SELECT word, syms[1:p-1] || [lhs || rhs] || syms[p+2:] FROM (
+        |    SELECT e.word, e.syms, m.lhs, m.rhs,
+        |      list_position(list_transform(generate_series(1, len(e.syms) - 1),
+        |        i -> e.syms[i] || ' ' || e.syms[i+1]), m.lhs || ' ' || m.rhs) AS p,
+        |      row_number() OVER (PARTITION BY e.word ORDER BY m.rank) AS rn
+        |    FROM enc e JOIN mm m ON list_contains(list_transform(generate_series(1, len(e.syms) - 1),
+        |      i -> e.syms[i] || ' ' || e.syms[i+1]), m.lhs || ' ' || m.rhs)
+        |  ) WHERE rn = 1
+        |),
+        |fin AS (SELECT word, len(syms) AS n FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY len(syms) ASC) = 1),
+        |ds AS (SELECT t.doc_id, CAST(coalesce(s.s, 0) + 1 AS BIGINT) AS len FROM t
+        |  LEFT JOIN (SELECT w.doc_id, sum(c.n) AS s FROM wocc w JOIN fin c USING (word)
+        |    GROUP BY w.doc_id) s USING (doc_id)),
+        |o AS (SELECT doc_id, len,
+        |  CAST(coalesce(sum(len) OVER (ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM ds),
+        |w AS (SELECT doc_id, off, len,
+        |  unnest(generate_series(off // 512, (off + len - 1) // 512)) AS window_id FROM o)
+        |SELECT CAST(window_id AS BIGINT) AS window_id,
+        |  CAST(sum(least((window_id + 1) * 512, off + len) - greatest(window_id * 512, off)) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM w GROUP BY window_id""".stripMargin,
 
     // recall@10 of the materialized PQ production dial (ADC shortlist +
     // exact re-rank) against DuckDB's OWN exact top-10 — identical shape to
