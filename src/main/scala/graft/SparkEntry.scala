@@ -53,6 +53,7 @@ object SparkEntry {
   private val bpeModelPath     = s"$scratch/q126_bpe_model"
   private val bpeModelPath132  = s"$scratch/q132_bpe_model"
   private val ivfCentroidPath  = s"$scratch/q19_centroids"
+  private val knnProdPath      = s"$scratch/q164_knn"
 
   /** All fixture reads flow through the real loadFile operator. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
@@ -2086,6 +2087,40 @@ object SparkEntry {
       HeavyHitters.topKNgrams(tbl(s, dir, "documents"), "text", n = 2, k = 10,
         capacity = 16384)),
 
+    // kNN label classification (round 9): majority-vote label from the 10
+    // nearest neighbors, leave-one-out (excludeSelf — the prediction never
+    // sees the row's own label). EXACT dial (nprobe = C, each pair meets
+    // once) so the whole prediction — neighbor sets, vote counts, the
+    // (votes DESC, label ASC) tie-break — hash-checks against the oracle.
+    // The weak-supervision primitive: tag unlabeled crawl from a seed set.
+    "q163_knn_classify" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 200).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.knnClassify(e, queries, "vec_id", "embedding", "label", "qid", "embedding",
+        k = 10, numCentroids = 8, nprobe = 8, excludeSelf = true)
+    }),
+
+    // production-dial kNN classification, ORACLE-CHECKED via the q156
+    // materialize-and-measure gate: the IVF dial (nprobe 6 < C 8 — scans
+    // ~3/4 of the corpus per query here, far less on clustered real
+    // corpora) writes its predictions to a fixed parquet; BOTH engines
+    // then join that same table against their OWN exact predictions, so
+    // the per-query agreement arithmetic is hash-checked, not asserted.
+    "q164_knn_agree" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 200).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.knnClassify(e, queries, "vec_id", "embedding", "label", "qid", "embedding",
+          k = 10, numCentroids = 8, nprobe = 6, excludeSelf = true)
+        .select(col("query_id"), col("label").as("label_ann"))
+        .write.mode("overwrite").parquet(knnProdPath)
+      val ann = s.read.parquet(knnProdPath)
+      val exact = Ann.knnClassify(e, queries, "vec_id", "embedding", "label", "qid", "embedding",
+          k = 10, numCentroids = 8, nprobe = 8, excludeSelf = true)
+        .select(col("query_id"), col("label").as("label_exact"))
+      exact.join(ann, Seq("query_id"))
+        .select(col("query_id"), col("label_exact"), col("label_ann"),
+          when(col("label_ann") === col("label_exact"), 1L).otherwise(0L).as("agree"))
+    }),
 
     // BLOCKED FUZZY SELF-JOIN (record linkage): key-derived customer codes
     // within 1 edit, candidates limited to same-prefix blocks (all but the
@@ -3924,6 +3959,58 @@ object SparkEntry {
         |  i -> toks[i] || ' ' || toks[i+1])) AS term FROM t WHERE len(toks) >= 2)
         |SELECT term, CAST(count(*) AS BIGINT) AS n FROM g
         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin,
+
+    // exact leave-one-out kNN vote, declaratively: cosine of every
+    // (query, non-self corpus row) pair, top-10 by (cos DESC, id DESC) —
+    // the TopKAggregator's exact ordering — then the (votes DESC, label
+    // ASC) majority vote
+    "q163_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 200),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |nb AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10),
+        |v AS (SELECT nb.query_id, e.label, count(*) AS votes
+        |  FROM nb JOIN embeddings e ON nb.neighbor_id = e.vec_id GROUP BY 1, 2)
+        |SELECT query_id, label, votes FROM (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |  FROM v) WHERE rn = 1""".stripMargin,
+
+    // the q156 gate shape: DuckDB recomputes the exact leave-one-out
+    // prediction itself and joins it against the parquet the production
+    // dial materialized — agreement arithmetic hash-checked end-to-end
+    "q164_knn_agree" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 200),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |nb AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10),
+        |v AS (SELECT nb.query_id, e.label, count(*) AS votes
+        |  FROM nb JOIN embeddings e ON nb.neighbor_id = e.vec_id GROUP BY 1, 2),
+        |x AS (SELECT query_id, label FROM (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |  FROM v) WHERE rn = 1)
+        |SELECT x.query_id, x.label AS label_exact, a.label_ann,
+        |  CAST(CASE WHEN a.label_ann = x.label THEN 1 ELSE 0 END AS BIGINT) AS agree
+        |FROM x JOIN read_parquet('$knnProdPath/*.parquet') a USING (query_id)""".stripMargin,
 
     // same blocking + verify semantics, declaratively: equal all-but-last-2
     // prefix, ordered pair, levenshtein <= 1

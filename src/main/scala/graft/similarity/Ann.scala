@@ -238,6 +238,59 @@ object Ann {
     topKOf(scored, k)
   }
 
+  /** Majority-vote label prediction from a neighbor table: joins each
+    * (query_id, neighbor_id) edge to the corpus label and keeps the
+    * most-voted label per query, tie-broken deterministically (votes DESC,
+    * label ASC — SQL-mirrorable, no RNG).
+    *
+    * Scale shape: `neighbors` is |queries|·k rows; the label join shuffles
+    * by id (AQE broadcasts whichever side is small), and the vote window
+    * runs over ≤ k rows per query — bounded regardless of corpus size.
+    */
+  def voteLabels(
+      neighbors: DataFrame,
+      labels: DataFrame,
+      labelId: String,
+      labelCol: String,
+  ): DataFrame = {
+    val joined = neighbors.select(col("query_id"), col("neighbor_id"))
+      .join(labels.select(col(labelId).as("neighbor_id"), col(labelCol).as("label")), Seq("neighbor_id"))
+    val votes = joined.groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("votes"))
+    val w     = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("query_id"), col("label"), col("votes"))
+  }
+
+  /** kNN label classification: predict every query row's label by majority
+    * vote over its k nearest corpus neighbors (cosine). Built on
+    * [[knnJoin]], so both dials come for free — `nprobe >= numCentroids`
+    * is EXACT (the oracle dial), `nprobe < numCentroids` is the IVF
+    * production dial that scans ≈ nprobe/C of the corpus per query.
+    * `excludeSelf` drops same-id pairs BEFORE the top-k, making
+    * corpus-as-queries a leave-one-out evaluation (the prediction never
+    * sees the row's own label). Beyond-reference component: the
+    * label-propagation / weak-supervision primitive ("tag the unlabeled
+    * web crawl from the curated seed set").
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      corpusLabel: String,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      numCentroids: Int = 256,
+      nprobe: Int = 16,
+      excludeSelf: Boolean = true,
+  ): DataFrame = {
+    val nbrs = knnJoin(queries, corpus, queryId, queryVec, corpusId, corpusVec,
+      k, numCentroids, nprobe, excludeSelf)
+    voteLabels(nbrs, corpus, corpusId, corpusLabel)
+  }
+
   /** C at or above this uses two-level assignment. Below it the flat scan
     * is both faster (no group indirection) and EXACT, which keeps every
     * oracle-dial plan (C = 8 everywhere in SparkEntry) bit-identical.

@@ -108,4 +108,43 @@ class AnnIndexSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** The clustered corpus with its generating anchor index as the label —
+    * leave-one-out kNN over well-separated clusters must recover it.
+    */
+  private lazy val labeled =
+    corpus.withColumn("label", (col("vec_id") % 4).cast("int"))
+
+  test("leave-one-out kNN classification recovers cluster labels (exact dial)") {
+    val qs = labeled.select(col("vec_id").as("qid"), col("embedding"))
+    val pred = Ann.knnClassify(labeled, qs, "vec_id", "embedding", "label", "qid", "embedding",
+        k = 10, numCentroids = 8, nprobe = 8, excludeSelf = true)
+      .as[(Long, Int, Long)].collect()
+    assert(pred.length == 100)
+    pred.foreach { case (qid, label, votes) =>
+      assert(label == (qid % 4).toInt, s"query $qid predicted $label")
+      // 25-member clusters, k=10: every neighbor comes from the same cluster
+      assert(votes == 10L, s"query $qid votes $votes")
+    }
+  }
+
+  test("IVF production dial agrees with exact classification on clustered data") {
+    val qs = labeled.select(col("vec_id").as("qid"), col("embedding"))
+    val prod = Ann.knnClassify(labeled, qs, "vec_id", "embedding", "label", "qid", "embedding",
+        k = 10, numCentroids = 8, nprobe = 2, excludeSelf = true)
+      .select("query_id", "label").as[(Long, Int)].collect().toMap
+    assert(prod.size == 100)
+    val agree = prod.count { case (qid, label) => label == (qid % 4).toInt }
+    assert(agree >= 90, s"agreement $agree/100")
+  }
+
+  test("vote tie-break is deterministic: votes DESC, then label ASC") {
+    // query 7 sees two labels with 2 votes each -> the smaller label wins
+    val nbrs = Seq((7L, 1L), (7L, 2L), (7L, 3L), (7L, 4L))
+      .toDF("query_id", "neighbor_id")
+    val labels = Seq((1L, 9), (2L, 9), (3L, 4), (4L, 4)).toDF("id", "lab")
+    val out = Ann.voteLabels(nbrs, labels, "id", "lab")
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSeq == Seq((7L, 4, 2L)))
+  }
 }
