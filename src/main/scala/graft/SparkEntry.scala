@@ -2122,6 +2122,19 @@ object SparkEntry {
           when(col("label_ann") === col("label_exact"), 1L).otherwise(0L).as("agree"))
     }),
 
+    // BM25 ranked retrieval (round 9): Lucene-variant scoring, probe-set
+    // queries broadcast against the corpus inverted stats, bounded-heap
+    // top-10 per query. Score is rounded BEFORE ranking so the order is
+    // engine-deterministic (see TermStats.bm25TopK).
+    "q165_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val d = tbl(s, dir, "documents")
+      val qs = Seq((1L, "spark window merge"), (2L, "customer filter join"),
+        (3L, "hash table scan"), (4L, "stream batch dup"), (5L, "vector query order"))
+        .toDF("qid", "qtext")
+      TermStats.bm25TopK(d, "doc_id", "text", qs, "qid", "qtext", k = 10)
+    }),
+
     // BLOCKED FUZZY SELF-JOIN (record linkage): key-derived customer codes
     // within 1 edit, candidates limited to same-prefix blocks (all but the
     // last 2 chars — CONSTANT 100-member blocks at every scale, so the true
@@ -4011,6 +4024,33 @@ object SparkEntry {
         |SELECT x.query_id, x.label AS label_exact, a.label_ann,
         |  CAST(CASE WHEN a.label_ann = x.label THEN 1 ELSE 0 END AS BIGINT) AS agree
         |FROM x JOIN read_parquet('$knnProdPath/*.parquet') a USING (query_id)""".stripMargin,
+
+    // the full BM25 pipeline declaratively: whitespace tokens, per-(doc,
+    // term) tf, per-term df, N/avgdl over ALL docs (avgdl sums integers —
+    // exact in double regardless of order), the Lucene idf variant, and
+    // the same round-before-rank + id-DESC tie-break as the engine
+    "q165_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (1, 'spark window merge'), (2, 'customer filter join'),
+        |  (3, 'hash table scan'), (4, 'stream batch dup'), (5, 'vector query order')),
+        |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        |  unnest(regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term FROM q),
+        |t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |  SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1),
+        |sc AS (SELECT qt.query_id, tfc.doc_id,
+        |  round(sum(ln(1.0 + (st.n - dfc.df + 0.5) / (dfc.df + 0.5)) * tfc.tf * 2.2 /
+        |    (tfc.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM tfc JOIN qt USING (term) JOIN dfc USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN st GROUP BY 1, 2)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id DESC) AS rn
+        |  FROM sc) WHERE rn <= 10""".stripMargin,
 
     // same blocking + verify semantics, declaratively: equal all-but-last-2
     // prefix, ordered pair, levenshtein <= 1

@@ -66,6 +66,84 @@ object TermStats {
       .limit(vocabSize)
   }
 
+  /** BM25 ranked retrieval: top-`k` documents per query —
+    * `(query_id, rank, doc_id, score)`. The keyword-search primitive of a
+    * curation/RAG pipeline ("pull the corpus passages for this probe set"),
+    * complementing the embedding-space search in [[graft.similarity.Ann]].
+    *
+    * Scoring is the Lucene-variant BM25: per matched term,
+    * `ln(1 + (N - df + 0.5)/(df + 0.5)) · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))`
+    * with `N`/`avgdl` over ALL corpus docs (empty docs count toward both;
+    * they can never match). Query terms are de-duplicated; ranking
+    * tie-breaks deterministically (score DESC, doc id DESC — the
+    * [[graft.similarity.TopKAggregator]] order).
+    *
+    * Scale shape: the probe vocabulary (distinct query terms — tiny)
+    * broadcasts and filters the exploded token stream BEFORE any shuffle,
+    * so the (doc, term) tf aggregation only ever moves tokens that match a
+    * query term — never the corpus dictionary. df for those terms falls
+    * out of the same pruned tf (df(t) counts docs containing t; pruning to
+    * t ∈ queries keeps every such row), so no full-dictionary aggregation
+    * exists anywhere in the plan. Doc length is `size(tokens)` computed
+    * in-scan (no second explode); N/avgdl is a 1-row agg cross-joined in.
+    * Per-query top-k is the bounded-heap partial aggregate — the shuffle
+    * after scoring moves at most |queries|·k·|partitions| rows.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders => E}
+    require(k >= 1, "k must be >= 1")
+    val toksCol = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+    val dl = docs.select(col(idCol).as("__did"), size(toksCol).as("dl"))
+    val corpusStats = dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("dl")).as("__avgdl"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(queryTextCol)))).as("term"))
+      .distinct()
+    val probeVocab = qterms.select(col("term")).distinct()
+    val tf = docs
+      .select(col(idCol).as("__did"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .join(broadcast(probeVocab), Seq("term"))
+      .groupBy(col("__did"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(docFreq), Seq("term"))
+      .join(dl, Seq("__did"))
+      .crossJoin(broadcast(corpusStats))
+      .select(col("query_id"), col("__did"),
+        (log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+          .as("__contrib"))
+      .groupBy(col("query_id"), col("__did"))
+      // rounded BEFORE ranking: the per-doc sum's association order is
+      // engine-dependent (1-ulp wiggle); ranking the rounded value plus the
+      // id tie-break keeps the top-k deterministic across engines
+      .agg(round(sum(col("__contrib")), 6).as("__score"))
+    val topk = udaf(new graft.similarity.TopKAggregator(k),
+      E.tuple(E.scalaDouble, E.scalaLong))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("__score"), col("__did").cast("long")).as("top"))
+      .select(col("query_id"),
+        posexplode(arrays_zip(col("top.sims").as("score"), col("top.ids").as("doc_id"))))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_id").as("doc_id"), col("col.score").as("score"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * k-word shingles that occur in NO other document —
     * `(idCol, n_grams, n_novel, novelty)`. The diversity complement of the

