@@ -4,7 +4,7 @@ import graft.dedup.{Dedup, IncrementalDedup}
 import graft.functions.TextFunctions
 import graft.model._
 import graft.ops._
-import graft.similarity.Ann
+import graft.similarity.{Ann, Clustering}
 import graft.streaming.StreamingLoad
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -54,6 +54,52 @@ object SparkEntry {
   private val bpeModelPath132  = s"$scratch/q132_bpe_model"
   private val ivfCentroidPath  = s"$scratch/q19_centroids"
   private val knnProdPath      = s"$scratch/q164_knn"
+  private val kmeansInitPath   = s"$scratch/q166_kmeans_init"
+  private val kmeansInitPath167 = s"$scratch/q167_kmeans_init"
+
+  /** Declarative replay of [[graft.similarity.Clustering.kmeans]] for the
+    * DuckDB oracle — the q126/q19 learned-model pattern applied to Lloyd
+    * iterations: `iters` unrolled (assign → quantized-mean update) rounds
+    * from the materialized init table, then the final assignment. Kept in
+    * lockstep with the operator's reproducibility contract: index-order
+    * double accumulation, (cos DESC, cell ASC) argmax tie-break, the
+    * explicit `floor(x·1e6 + 0.5)/1e6` centroid quantizer, and empty cells
+    * retaining their previous centroid (the LEFT JOIN COALESCE).
+    */
+  private def kmeansReplaySql(initPath: String, iters: Int,
+      finalSelect: String =
+        "SELECT vec_id, CAST(cell AS INTEGER) AS cluster, round(cos, 6) AS cosine FROM af"): String = {
+    def assignSel(cTbl: String) =
+      s"""SELECT vec_id, cell,
+         |  CASE WHEN nv = 0 OR nc = 0 THEN -2.0 ELSE dotv / (sqrt(nv) * sqrt(nc)) END AS cos
+         |FROM (SELECT ev.vec_id, c.cell, ev.nv,
+         |    list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * c.centroid[i])) AS dotv,
+         |    list_sum(list_transform(c.centroid, x -> x * x)) AS nc
+         |  FROM ev CROSS JOIN $cTbl c)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |ev AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nv FROM e),
+              |c0 AS (SELECT cell, centroid FROM read_parquet('$initPath/*.parquet'))""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |a$t AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+                |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+                |  FROM (${assignSel(s"c${t - 1}")})) WHERE rn = 1),
+                |m$t AS (SELECT cell, list(mv ORDER BY i) AS centroid FROM (
+                |  SELECT cell, i, floor(sum(val) / count(*) * 1000000 + 0.5) / 1000000 AS mv FROM (
+                |    SELECT a.cell, unnest(generate_series(1, len(ev.v))) AS i, unnest(ev.v) AS val
+                |    FROM a$t a JOIN ev USING (vec_id)) GROUP BY cell, i) GROUP BY cell),
+                |c$t AS (SELECT p.cell, COALESCE(m.centroid, p.centroid) AS centroid
+                |  FROM c${t - 1} p LEFT JOIN m$t m USING (cell))""".stripMargin
+    }
+    sb ++= s""",
+              |af AS (SELECT vec_id, cell, cos FROM (
+              |  SELECT vec_id, cell, cos,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |  FROM (${assignSel(s"c$iters")})) WHERE rn = 1)
+              |$finalSelect""".stripMargin
+    sb.toString
+  }
 
   /** All fixture reads flow through the real loadFile operator. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
@@ -2122,6 +2168,40 @@ object SparkEntry {
           when(col("label_ann") === col("label_exact"), 1L).otherwise(0L).as("agree"))
     }),
 
+    // distributed k-means (round 9): 3 Lloyd iterations, cosine
+    // assignment, quantized-mean update — the SemDeDup / cluster-balanced
+    // sampling primitive. Init (the one engine-side artifact) materializes
+    // to parquet; the oracle replays every iteration declaratively (see
+    // kmeansReplaySql). Assignment is a zero-shuffle codegen'd projection;
+    // each update is one bounded groupBy(cell) shuffle.
+    "q166_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val e    = tbl(s, dir, "embeddings")
+      val init = Clustering.spreadInit(e, "vec_id", "embedding", k = 8)
+      init.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(kmeansInitPath)
+      val (assigned, _) = Clustering.kmeans(e, "vec_id", "embedding", init, iters = 3)
+      assigned
+    }),
+
+    // cluster-balanced sampling (round 9): the kmeans assignment composed
+    // with the deterministic per-group sampler — 10 vectors per semantic
+    // cluster, the diversity-preserving curation pick ("don't let one
+    // dense topic eat the whole sample"). Oracle replays the clustering
+    // AND the md5-rank pick in one statement.
+    "q167_cluster_sample" -> ((s, dir) => {
+      import s.implicits._
+      val e    = tbl(s, dir, "embeddings")
+      val init = Clustering.spreadInit(e, "vec_id", "embedding", k = 8)
+      init.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(kmeansInitPath167)
+      val (assigned, _) = Clustering.kmeans(e, "vec_id", "embedding", init, iters = 2)
+      Sampling.sampleByGroup(assigned.select(col("vec_id"), col("cluster")),
+        Seq("cluster"), "vec_id", n = 10)
+    }),
+
     // BM25 ranked retrieval (round 9): Lucene-variant scoring, probe-set
     // queries broadcast against the corpus inverted stats, bounded-heap
     // top-10 per query. Score is rounded BEFORE ranking so the order is
@@ -4024,6 +4104,15 @@ object SparkEntry {
         |SELECT x.query_id, x.label AS label_exact, a.label_ann,
         |  CAST(CASE WHEN a.label_ann = x.label THEN 1 ELSE 0 END AS BIGINT) AS agree
         |FROM x JOIN read_parquet('$knnProdPath/*.parquet') a USING (query_id)""".stripMargin,
+
+    "q166_kmeans" -> kmeansReplaySql(kmeansInitPath, iters = 3),
+
+    // kmeans replay + the md5-rank per-cluster pick (Sampling.sampleByGroup
+    // semantics: order by hex-hash string, then key)
+    "q167_cluster_sample" -> kmeansReplaySql(kmeansInitPath167, iters = 2,
+      finalSelect = """SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM af
+        |QUALIFY row_number() OVER (PARTITION BY cell
+        |  ORDER BY substring(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id) <= 10""".stripMargin),
 
     // the full BM25 pipeline declaratively: whitespace tokens, per-(doc,
     // term) tf, per-term df, N/avgdl over ALL docs (avgdl sums integers —
