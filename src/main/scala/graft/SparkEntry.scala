@@ -56,6 +56,7 @@ object SparkEntry {
   private val knnProdPath      = s"$scratch/q164_knn"
   private val kmeansInitPath   = s"$scratch/q166_kmeans_init"
   private val kmeansInitPath167 = s"$scratch/q167_kmeans_init"
+  private val kmeansInitPath168 = s"$scratch/q168_kmeans_init"
 
   /** Declarative replay of [[graft.similarity.Clustering.kmeans]] for the
     * DuckDB oracle — the q126/q19 learned-model pattern applied to Lloyd
@@ -68,7 +69,8 @@ object SparkEntry {
     */
   private def kmeansReplaySql(initPath: String, iters: Int,
       finalSelect: String =
-        "SELECT vec_id, CAST(cell AS INTEGER) AS cluster, round(cos, 6) AS cosine FROM af"): String = {
+        "SELECT vec_id, CAST(cell AS INTEGER) AS cluster, round(cos, 6) AS cosine FROM af",
+      sourceSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     def assignSel(cTbl: String) =
       s"""SELECT vec_id, cell,
          |  CASE WHEN nv = 0 OR nc = 0 THEN -2.0 ELSE dotv / (sqrt(nv) * sqrt(nc)) END AS cos
@@ -77,7 +79,7 @@ object SparkEntry {
          |    list_sum(list_transform(c.centroid, x -> x * x)) AS nc
          |  FROM ev CROSS JOIN $cTbl c)""".stripMargin
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    sb ++= s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM ($sourceSql)),
               |ev AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nv FROM e),
               |c0 AS (SELECT cell, centroid FROM read_parquet('$initPath/*.parquet'))""".stripMargin
     for (t <- 1 to iters) {
@@ -2202,6 +2204,28 @@ object SparkEntry {
         Seq("cluster"), "vec_id", n = 10)
     }),
 
+    // SemDeDup (round 9, arXiv:2303.09540): cluster, then drop
+    // within-cluster cosine near-dups keeping the smallest id. The corpus
+    // is embeddings plus an id-shifted exact copy of itself — every copy
+    // MUST die (cosine 1 to its original in the same cluster) and any
+    // natural >0.95 original pairs dedup too. Pair cosines reuse the
+    // assignment's index-order double formula, so the threshold cut is
+    // engine-deterministic with no rounding. Candidate volume is
+    // per-cluster quadratic only (production sizing: k grows with the
+    // corpus, constant cluster size — the IVF cell story).
+    "q168_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val init = Clustering.spreadInit(corpus, "vec_id", "embedding", k = 8)
+      init.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(kmeansInitPath168)
+      Clustering.semDedup(corpus, "vec_id", "embedding", init, iters = 2,
+        threshold = 0.95)
+    }),
+
     // BM25 ranked retrieval (round 9): Lucene-variant scoring, probe-set
     // queries broadcast against the corpus inverted stats, bounded-heap
     // top-10 per query. Score is rounded BEFORE ranking so the order is
@@ -4113,6 +4137,20 @@ object SparkEntry {
       finalSelect = """SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM af
         |QUALIFY row_number() OVER (PARTITION BY cell
         |  ORDER BY substring(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id) <= 10""".stripMargin),
+
+    // kmeans replay over the duplicated corpus + the NOT EXISTS near-dup
+    // cut: survivor = no smaller-id same-cluster row above 0.95 cosine
+    "q168_semdedup" -> kmeansReplaySql(kmeansInitPath168, iters = 2,
+      sourceSql = """SELECT vec_id, embedding FROM embeddings
+        |UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings""".stripMargin,
+      finalSelect = """SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cluster
+        |FROM (SELECT f.vec_id, f.cell, ev.v, ev.nv FROM af f JOIN ev USING (vec_id)) a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (SELECT f.vec_id, f.cell, ev.v, ev.nv FROM af f JOIN ev USING (vec_id)) b
+        |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+        |    AND (CASE WHEN a.nv = 0 OR b.nv = 0 THEN -2.0
+        |         ELSE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+        |              / (sqrt(a.nv) * sqrt(b.nv)) END) > 0.95)""".stripMargin),
 
     // the full BM25 pipeline declaratively: whitespace tokens, per-(doc,
     // term) tf, per-term df, N/avgdl over ALL docs (avgdl sums integers —

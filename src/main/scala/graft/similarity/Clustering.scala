@@ -139,6 +139,46 @@ object Clustering {
     */
   private def quantize(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering then removing within-cluster near-duplicates. Runs
+    * [[kmeans]], self-joins each cluster, and drops every row that has a
+    * SMALLER-id neighbor above `threshold` cosine — the deterministic
+    * "keep the first copy" rule. Returns surviving `(idCol, cluster)`.
+    *
+    * Scale shape: the pair join shuffles by cluster only — candidate
+    * volume is Σ|cluster|², never corpus²; production sizing keeps k ∝
+    * corpus (constant cluster size), the same constant-cell-size story as
+    * the IVF dials. Pair cosine uses the identical index-order double
+    * formula as assignment, so the SQL replay sees bit-equal values and
+    * the threshold cut is engine-deterministic with no rounding.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      init: Array[Array[Double]],
+      iters: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val (assigned0, model) = kmeans(df, idCol, vecCol, init, iters)
+    val withVec = assign(df, idCol, vecCol, model.centroids)
+      .select(col("__id"), col("__vd"), col("__nv"), col("cell"))
+    val a = withVec.select(col("__id").as("__ida"), col("__vd").as("__vda"),
+      col("__nv").as("__nva"), col("cell"))
+    val b = withVec.select(col("__id").as("__idb"), col("__vd").as("__vdb"),
+      col("__nv").as("__nvb"), col("cell"))
+    val dot = aggregate(zip_with(col("__vda"), col("__vdb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val cos = when(col("__nva") === lit(0.0) || col("__nvb") === lit(0.0), lit(-2.0))
+      .otherwise(dot / (sqrt(col("__nva")) * sqrt(col("__nvb"))))
+    val losers = a.join(b, Seq("cell"))
+      .where(col("__idb") < col("__ida") && cos > lit(threshold))
+      .select(col("__ida").as("__id"))
+      .distinct()
+    assigned0.join(losers, assigned0(idCol) === losers("__id"), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
   /** `iters` Lloyd iterations from `init`, then a final assignment against
     * the converged centroids: returns the assignment frame
     * `(idCol, cluster, cosine)` (cosine to the assigned centroid, rounded

@@ -49,6 +49,25 @@ class ClusteringSpec extends SparkSpec {
     assert(model.centroids(2).toSeq == Seq(-1.0, 0.0), model.centroids(2).toSeq)
   }
 
+  test("semDedup kills exact copies and within-threshold jitter, keeps the smallest id") {
+    // corpus + an exact copy at id+1000: every copy must die; the tight
+    // jitter inside each anchor blob sits above 0.99 cosine, so with
+    // threshold 0.99 each cluster also collapses toward its smallest ids
+    val doubled = corpus.unionByName(
+      corpus.select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    val init = Clustering.spreadInit(doubled, "vec_id", "embedding", k = 4)
+    val survivors = Clustering.semDedup(doubled, "vec_id", "embedding", init,
+        iters = 3, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.forall(_ < 1000L), "an exact copy survived")
+    // every anchor keeps at least its smallest-id member
+    (0 until 4).foreach(g => assert(survivors.contains(g.toLong), s"anchor $g lost its head"))
+    // survivors are pairwise below threshold within each cluster: no two
+    // survivors share an anchor AND exceed 0.95 unless in different cells;
+    // cheap proxy: the duplicate count is exactly halved or better
+    assert(survivors.size <= 100)
+  }
+
   test("updated centroid components are exact 1e-6 quantiles (the replay contract)") {
     val init = Clustering.hashSampleInit(corpus, "vec_id", "embedding", k = 4)
     val (_, model) = Clustering.kmeans(corpus, "vec_id", "embedding", init, iters = 3)
