@@ -2579,7 +2579,7 @@ object SparkEntry {
     * instead; correctness runs (Verify, sf0.01) always execute them.
     */
   val exactDialPinnedToOracleSf: Set[String] =
-    Set("q137_knn_join", "q12_neardup_minhash")
+    Set("q137_knn_join", "q12_neardup_minhash", "q168_semdedup")
 
   /** Bench-only production-dial twins — the dials the 100 TB path actually
     * runs, measured at EVERY sweep SF (the exact dials above stay pinned to
@@ -2603,6 +2603,28 @@ object SparkEntry {
           k = 3, numCentroids = c, nprobe = 2, excludeSelf = true)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // production SemDeDup: the q168 exact dial holds k at the oracle-
+    // replayable 8 (cluster size grows with the corpus — per-cluster
+    // quadratic BY CONSTRUCTION, so it pins to the oracle SF band); the
+    // 100 TB path is approximate-neighbor SemDeDup on the constant-cell-
+    // size IVF join — cells scale with the corpus, per-row candidates stay
+    // constant, assignment is the two-level O(sqrt C) hierarchy — then the
+    // same smaller-id threshold cut on the discovered neighbor pairs.
+    // Exact-dial agreement on the copy-kill contract lives in
+    // ClusteringSpec; this twin's job is the slope.
+    "q168_semdedup_prod" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val c = math.max(8L, corpus.count() / 256L).toInt
+      val losers = Ann.knnJoin(corpus, corpus, "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, numCentroids = c, nprobe = 2, excludeSelf = true)
+        .where(col("neighbor_id") < col("query_id") && col("cosine") > 0.95)
+        .select(col("query_id")).distinct()
+      corpus.join(losers, corpus("vec_id") === losers("query_id"), "left_anti")
+        .select(col("vec_id"))
     }),
 
     // r=4 banding + default bucket caps on the RAW documents fixture — the
