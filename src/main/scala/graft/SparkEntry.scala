@@ -2565,6 +2565,56 @@ object SparkEntry {
       d.select(col("doc_id"), clean.as("text_clean"),
         (length(noisy) - length(clean)).cast("long").as("n_chars_removed"))
     }),
+
+    // CORPUS-level exact line dedup (round 9, CCNet-style): a line's
+    // corpus-wide FIRST occurrence survives; blank lines are structure and
+    // always kept. Lines synthesized as in q121 (one word per line, a
+    // repeated HEADER, a blank separator), so cross-document repeats are
+    // real: HEADER and every shared word survive only in their min-
+    // (doc, ord) document. No window over the line key — first occurrence
+    // is a combiner-friendly groupBy min (Dedup.dedupLinesCorpus), so a
+    // billion-copy boilerplate line costs tasks-many shuffle rows; blanks
+    // ride the same single-scan aggregate under per-row unique keys.
+    "q169_dedup_lines_corpus" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents")
+      val lined = concat(lit("HEADER\n"), regexp_replace(col("text"), " ", "\n"),
+        lit("\n\nHEADER"))
+      Dedup.dedupLinesCorpus(d, "doc_id", lined)
+    }),
+
+    // hard-negative mining (round 9): for each query vector, the top-5
+    // nearest corpus embeddings with a DIFFERENT label — the "close in
+    // embedding space, wrong class" rows a contrastive bi-encoder learns
+    // most from. Execution is one broadcast corpus pass with the label
+    // inequality as a codegen'd filter on the streamed side + bounded-heap
+    // top-k; mining negatives costs the same as plain search.
+    "q170_hard_negatives" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"), col("label"))
+      Ann.hardNegativesTopK(e, queries, "vec_id", "embedding", "label",
+          "qid", "embedding", "label", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // semantic decontamination (round 9): max cosine of every training row
+    // against the broadcast test/benchmark set, flagged at the threshold —
+    // the embedding analog of q65/q83/q87's n-gram gates, catching
+    // PARAPHRASED benchmark leakage exact n-grams miss. One narrow corpus
+    // pass; the per-row max collapses map-side before the unique-id
+    // shuffle. The threshold cut is on the raw double (the index-order
+    // cosine both engines share — the q168 precedent), rounding only the
+    // reported score.
+    "q171_semantic_decontaminate" -> ((s, dir) => {
+      val e     = tbl(s, dir, "embeddings")
+      val test  = e.filter(col("vec_id") < 30)
+      val train = e.filter(col("vec_id") >= 30)
+      Dedup.contaminatedEmbedding(train, test, "vec_id", "embedding",
+          threshold = 0.35)
+        .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"),
+          col("contaminated").cast("long").as("contaminated"))
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -4731,5 +4781,67 @@ object SparkEntry {
         |f AS (SELECT doc_id, t, trim(c, ' ' || chr(10)) AS clean FROM s5)
         |SELECT doc_id, clean AS text_clean,
         |  CAST(length(t) - length(clean) AS BIGINT) AS n_chars_removed FROM f""".stripMargin,
+
+    // corpus-level first-occurrence line dedup: first = row_number over the
+    // LINE partition ordered (doc_id, ord) — the declarative mirror of the
+    // engine's groupBy-min; blanks (space/tab/CR trim, the q121 rule) are
+    // always kept
+    "q169_dedup_lines_corpus" ->
+      """WITH lined AS (SELECT doc_id,
+        |  'HEADER' || chr(10) || replace(text, ' ', chr(10)) ||
+        |  chr(10) || chr(10) || 'HEADER' AS t FROM documents),
+        |l AS (SELECT doc_id,
+        |  unnest(string_split(t, chr(10))) AS line,
+        |  generate_subscripts(string_split(t, chr(10)), 1) AS ord FROM lined),
+        |f AS (SELECT doc_id, line, ord,
+        |  trim(line, ' ' || chr(9) || chr(13)) = '' AS blank FROM l),
+        |kept AS (
+        |  SELECT doc_id, line, ord FROM (
+        |    SELECT doc_id, line, ord,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+        |    FROM f WHERE NOT blank) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, line, ord FROM f WHERE blank),
+        |agg AS (SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY ord) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_lines_kept FROM kept GROUP BY doc_id),
+        |cnt AS (SELECT doc_id,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines_in FROM lined)
+        |SELECT a.doc_id, a.text_dedup, c.n_lines_in, a.n_lines_kept
+        |FROM agg a JOIN cnt c USING (doc_id)""".stripMargin,
+
+    // q18's exact-cosine oracle with the label-inequality predicate — the
+    // same dot/(sqrt*sqrt) double formula, ties neighbor_id DESC
+    "q170_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 20),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.label <> q.ql)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 5""".stripMargin,
+
+    // max over the test set of the same index-order cosine; the threshold
+    // cut compares the RAW double (q168 precedent), only the report rounds
+    "q171_semantic_decontaminate" ->
+      """WITH t AS (SELECT embedding AS tv FROM embeddings WHERE vec_id < 30),
+        |tr AS (SELECT vec_id, embedding AS ev FROM embeddings WHERE vec_id >= 30),
+        |m AS (SELECT tr.vec_id, max(
+        |  list_sum(list_transform(generate_series(1, len(tr.ev)),
+        |    i -> CAST(tr.ev[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(tr.ev)),
+        |    i -> CAST(tr.ev[i] AS DOUBLE) * CAST(tr.ev[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(t.tv)),
+        |    i -> CAST(t.tv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))))) AS mc
+        |  FROM tr CROSS JOIN t GROUP BY tr.vec_id)
+        |SELECT vec_id, round(mc, 6) AS max_cos,
+        |  CAST(mc >= 0.35 AS BIGINT) AS contaminated FROM m""".stripMargin,
   )
 }

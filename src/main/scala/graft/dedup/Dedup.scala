@@ -909,6 +909,94 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Corpus-level exact line dedup (CCNet-style: a line's corpus-wide FIRST
+    * occurrence survives, every later copy is removed; cf. the reference's
+    * transform-based cleanup ops, python-sdk/src/astro/sql/operators/
+    * transform.py:1, generalized to line granularity).
+    *
+    * Semantics: blank lines (whitespace-only per the space/tab/CR trim rule
+    * shared with [[graft.functions.TextFunctions.dedupLines]]) are structure,
+    * not content — they are always kept. A non-blank line is kept iff its
+    * (idCol, ordinal) is the corpus-wide minimum for that exact line string.
+    *
+    * 100 TB design: NO window over the line partition, and ONE scan of the
+    * text column. First-occurrence is `groupBy(key).agg(min(struct(id, ord,
+    * line)))` — map-side partial aggregation collapses each task's copies
+    * of a duplicated line to ONE shuffle row, so a boilerplate line
+    * repeated a billion times costs a billion-row shuffle partition under
+    * a window but only tasks-many rows here. Blank lines get a per-row
+    * unique key (the "B"/"C" prefixes keep the two key spaces disjoint no
+    * matter what bytes a content line holds) so they ride the SAME
+    * aggregate and always survive — the alternative (a separate filtered
+    * branch unioned back in) reads and explodes the corpus twice, which at
+    * 100 TB costs far more than shuffling the skew-free ~24-byte blank
+    * rows. The per-doc input line count rides the explode as one extra
+    * long instead of a second scan+join of the text column, so reassembly
+    * is just the second groupBy on the doc id — ONE corpus scan and two
+    * linear shuffles total, both combiner-friendly. A document whose every
+    * line is owned elsewhere (no blanks, all content seen first in other
+    * docs) has no kept rows and drops from the output — the honest answer
+    * for a fully-duplicated document.
+    */
+  def dedupLinesCorpus(df: DataFrame, idCol: String, lineText: Column): DataFrame = {
+    val arr = df.select(col(idCol).as("__id"), split(lineText, "\n", -1).as("__arr"))
+    val lines = arr
+      .select(col("__id"), size(col("__arr")).cast("long").as("__n"),
+        posexplode(col("__arr")))
+      .toDF("__id", "__n", "__ord", "__line")
+    val isBlank = trim(col("__line"), " \t\r") === ""
+    val key = when(isBlank,
+      concat(lit("B"), col("__id").cast("string"), lit("_"), col("__ord").cast("string")))
+      .otherwise(concat(lit("C"), col("__line")))
+    val kept = lines
+      .groupBy(key.as("__k"))
+      .agg(min(struct(col("__id").as("i"), col("__ord").as("o"), col("__line").as("l"),
+        col("__n").as("n"))).as("m"))
+      .select(col("m.i").as("__id"), col("m.o").as("__ord"), col("m.l").as("__line"),
+        col("m.n").as("__n"))
+    kept
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__ord").as("o"), col("__line").as("l")))),
+            x => x.getField("l")),
+          "\n").as("text_dedup"),
+        min(col("__n")).as("n_lines_in"), // constant within the doc group
+        count(lit(1)).cast("long").as("n_lines_kept"),
+      )
+      .select(col("__id").as(idCol), col("text_dedup"), col("n_lines_in"),
+        col("n_lines_kept"))
+  }
+
+  /** Semantic (embedding-space) decontamination: score every training row by
+    * its max cosine against a benchmark/test embedding set and flag rows at
+    * or above `threshold` — the embedding analog of [[contaminated]]'s
+    * n-gram overlap gate, catching paraphrased benchmark leakage that exact
+    * n-grams miss.
+    *
+    * 100 TB design: the test set is a benchmark (thousands of rows, not
+    * corpus-scale) and is BROADCAST; the corpus streams through one
+    * narrow pass, and the per-row max collapses map-side before the
+    * trivial unique-id shuffle. Nothing here is corpus × corpus.
+    */
+  def contaminatedEmbedding(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val t = test.select(col(vecCol).as("__tvec"))
+    train
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(t))
+      .groupBy(col("__id"))
+      .agg(max(NativeFunctions.cosine(col("__vec"), col("__tvec"))).as("max_cos"))
+      .select(col("__id").as(idCol), col("max_cos"),
+        (col("max_cos") >= lit(threshold)).as("contaminated"))
+  }
+
   /** Embedding-cosine near-dup: SRP-LSH bucket join (multi-table for recall)
     * + exact cosine verify. Candidates only within equal buckets; vectors
     * re-join by id after the candidate pairs are known, so the `tables`×

@@ -99,6 +99,41 @@ object Ann {
     topKOf(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most-similar corpus rows whose label DIFFERS from the query's —
+    * "close in embedding space, different class" is exactly the negative a
+    * bi-encoder learns the most from. Same execution shape as
+    * [[bruteForceTopK]] (queries broadcast, corpus streams once, bounded-heap
+    * top-k); the label inequality is a codegen'd filter on the streamed side,
+    * so mining negatives costs the same single corpus pass as plain search.
+    * For corpora where even one pass is too much, run the same filter over
+    * [[ivfTopK]]'s probed candidates instead (widen k to survive the filter).
+    */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      corpusLabel: String,
+      queryId: String,
+      queryVec: String,
+      queryLabel: String,
+      k: Int = 10,
+  ): DataFrame = {
+    val scored = corpus
+      .select(col(corpusId).as("__nid"), col(corpusVec).as("__nvec"),
+        col(corpusLabel).as("__nlab"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qvec"), col(queryLabel).as("__qlab"))))
+      .where(col("__nlab") =!= col("__qlab"))
+      .select(
+        col("query_id"),
+        col("__nid"),
+        cosine(col("__qvec"), col("__nvec")).as("__sim"),
+      )
+    topKOf(scored, k)
+  }
+
   /** groupBy(query_id) bounded-heap top-k over (`__sim`, `__nid`) rows →
     * (query_id, rank, neighbor_id, cosine).
     */

@@ -253,4 +253,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.recallExactBands(0.6) == 64)
     assert(Dedup.recallExactBands(0.7, numHashes = 256) == 64)
   }
+
+  test("corpus-level line dedup keeps first occurrence, blanks, and line order") {
+    val df = Seq(
+      (1L, "alpha\nshared\n\nbeta"),
+      (2L, "shared\ngamma\n\ndelta"), // "shared" first seen in doc 1 ord 1
+      (3L, "\ngamma\nepsilon"),       // "gamma" first seen in doc 2
+    ).toDF("doc_id", "body")
+    val out = Dedup.dedupLinesCorpus(df, "doc_id", col("body"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "alpha\nshared\n\nbeta", 4L, 4L)))
+    // doc 2 loses "shared" (doc 1 owns it) but keeps its blank line
+    assert(out(1) == ((2L, "gamma\n\ndelta", 4L, 3L)))
+    // doc 3 loses "gamma" (doc 2 owns it) and keeps its leading blank
+    assert(out(2) == ((3L, "\nepsilon", 3L, 2L)))
+  }
+
+  test("corpus-level line dedup: whitespace-only lines count as blank and all survive") {
+    val df  = Seq((1L, " \t\nsame"), (2L, " \t\nsame")).toDF("doc_id", "body")
+    val out = Dedup.dedupLinesCorpus(df, "doc_id", col("body"))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, " \t\nsame", 2L, 2L)))
+    assert(out(1) == ((2L, " \t", 2L, 1L))) // only the blank survives
+  }
+
+  test("hard negatives exclude the query's own label and rank by cosine") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),   // query, label 0
+      (2L, Array(1f, 0.01f), 0),   // closest overall but SAME label — excluded
+      (3L, Array(1f, 0.1f), 1),    // closest different-label
+      (4L, Array(0.5f, 1f), 1),
+      (5L, Array(0f, 1f), 2),
+    ).toDF("vec_id", "embedding", "label")
+    val q = vecs.filter($"vec_id" === 1L)
+      .select($"vec_id".as("qid"), $"embedding", $"label")
+    val out = Ann.hardNegativesTopK(vecs, q, "vec_id", "embedding", "label",
+        "qid", "embedding", "label", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(3L, 4L))
+  }
+
+  test("embedding decontamination flags only rows within threshold of the test set") {
+    val train = Seq(
+      (10L, Array(1f, 0f, 0f)),  // identical to a test vector → cos 1
+      (11L, Array(0f, 0f, 1f)),  // orthogonal to both test vectors → cos 0
+      (12L, Array(1f, 1f, 0f)),  // cos 1/sqrt(2) ≈ 0.707 to test #1
+    ).toDF("vec_id", "embedding")
+    val test = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.contaminatedEmbedding(train, test, "vec_id", "embedding",
+        threshold = 0.9)
+      .orderBy("vec_id").as[(Long, Double, Boolean)].collect()
+    assert(out(0)._3 && math.abs(out(0)._2 - 1.0) < 1e-9)
+    assert(!out(1)._3 && math.abs(out(1)._2) < 1e-9)
+    assert(!out(2)._3 && math.abs(out(2)._2 - math.sqrt(0.5)) < 1e-6)
+  }
 }
