@@ -103,6 +103,58 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Declarative replay of greedy MMR selection (the q166 unrolled-iteration
+    * pattern): exact top-`candidateK` per query, a per-query candidate-pair
+    * cosine table, then `k` unrolled pick steps — each scores the remaining
+    * candidates λ·simq − (1−λ)·max-cos-to-selected and takes the arg-max
+    * (score DESC, id ASC), exactly [[graft.functions.HashImpl.mmrSelect]].
+    * All cosines are the index-order double formula (dot / (na·nb)); the λ
+    * and 1−λ literals interpolate from the SAME doubles the engine uses, so
+    * pick order matches bit-for-bit with no rounding anywhere.
+    */
+  private def mmrReplaySql(nQueries: Int, candidateK: Int, k: Int, lambda: Double): String = {
+    val lam  = s"$lambda"
+    val oneM = s"${1.0 - lambda}"
+    val sb   = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |ev AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM ev WHERE vec_id < $nQueries),
+              |sims AS (SELECT q.query_id, e2.vec_id AS id, e2.v AS vec, e2.nrm AS vn,
+              |  list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * e2.v[i]))
+              |    / (q.qn * e2.nrm) AS simq
+              |  FROM q CROSS JOIN ev e2),
+              |cand AS (SELECT query_id, id, vec, vn, simq FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, id DESC) AS rn
+              |  FROM sims) WHERE rn <= $candidateK),
+              |pairc AS (SELECT a.query_id, a.id AS ia, b.id AS ib,
+              |  list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i]))
+              |    / (a.vn * b.vn) AS c
+              |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id),
+              |p1 AS (SELECT query_id, id FROM (SELECT query_id, id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY $lam * simq DESC, id ASC) AS rn
+              |  FROM cand) WHERE rn = 1),
+              |s1 AS (SELECT query_id, id, 1 AS pick FROM p1)""".stripMargin
+    for (t <- 2 to k) {
+      sb ++= s""",
+                |r$t AS (SELECT c.query_id, c.id, c.simq, max(pc.c) AS relax
+                |  FROM cand c
+                |  JOIN s${t - 1} s ON s.query_id = c.query_id
+                |  JOIN pairc pc ON pc.query_id = c.query_id AND pc.ia = c.id AND pc.ib = s.id
+                |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} x
+                |    WHERE x.query_id = c.query_id AND x.id = c.id)
+                |  GROUP BY c.query_id, c.id, c.simq),
+                |p$t AS (SELECT query_id, id FROM (SELECT query_id, id,
+                |    row_number() OVER (PARTITION BY query_id
+                |      ORDER BY ($lam * simq - $oneM * relax) DESC, id ASC) AS rn
+                |  FROM r$t) WHERE rn = 1),
+                |s$t AS (SELECT * FROM s${t - 1}
+                |  UNION ALL SELECT query_id, id, $t AS pick FROM p$t)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT query_id, CAST(pick AS BIGINT) AS pick, id AS selected_id FROM s$k""".stripMargin
+    sb.toString
+  }
+
   /** All fixture reads flow through the real loadFile operator. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     LoadFile.toDataFrame(s, File(s"$dir/$name.parquet"))
@@ -2615,6 +2667,50 @@ object SparkEntry {
         .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"),
           col("contaminated").cast("long").as("contaminated"))
     }),
+
+    // MMR diverse re-ranking (round 9): exact top-20 candidates per query,
+    // then greedy λ·relevance − (1−λ)·redundancy selection of 5 — the RAG
+    // retrieval step that keeps near-identical passages from filling the
+    // context window. The selection runs as a native per-row expression
+    // over each query's BOUNDED candidate arrays; the oracle replays every
+    // greedy pick declaratively (unrolled steps, the q166 Lloyd pattern)
+    // with the same index-order double cosines, so pick order is
+    // hash-checked bit-for-bit.
+    "q172_mmr_rerank" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.mmrRerank(e, queries, "vec_id", "embedding", "qid", "embedding",
+        candidateK = 20, k = 5, lambda = 0.7)
+    }),
+
+    // hybrid retrieval via reciprocal-rank fusion (round 9): BM25 over the
+    // query document's text ⊕ cosine over its embedding (vec_id aligns
+    // with doc_id in the fixtures — "more like this"), fused as
+    // Σ 1/(60+rank) and re-ranked. Both input rankings reuse the
+    // oracle-proven q165/q18 machinery; the fusion arithmetic is
+    // 1/(c+integer-rank) sums — deterministic across engines.
+    "q173_hybrid_rrf" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents")
+      val e     = tbl(s, dir, "embeddings")
+      val qText = d.filter(col("doc_id") < 5).select(col("doc_id").as("qid"), col("text"))
+      val qVec  = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      val lex = TermStats.bm25TopK(d, "doc_id", "text", qText, "qid", "text", k = 20)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Ann.bruteForceTopK(e, qVec, "vec_id", "embedding", "qid", "embedding", k = 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      TermStats.rrfFuse(lex, sem, "doc_id", k = 10)
+    }),
+
+    // per-group exact percentile trim (round 9): drop each source's
+    // char-length tails outside (p5, p95] — the per-domain outlier gate
+    // static bounds can't express. One shuffle by group; rank + count are
+    // per-group windows with an id tie-break so the cut is deterministic.
+    "q174_percentile_trim" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+      QualityRules.trimOutliersByGroup(d, Seq("source"), "len", "doc_id",
+        pLow = 0.05, pHigh = 0.95)
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -4843,5 +4939,62 @@ object SparkEntry {
         |  FROM tr CROSS JOIN t GROUP BY tr.vec_id)
         |SELECT vec_id, round(mc, 6) AS max_cos,
         |  CAST(mc >= 0.35 AS BIGINT) AS contaminated FROM m""".stripMargin,
+
+    // full declarative replay of the greedy MMR selection — see mmrReplaySql
+    "q172_mmr_rerank" -> mmrReplaySql(nQueries = 20, candidateK = 20, k = 5, lambda = 0.7),
+
+    // q165's BM25 replay (query text = the first five documents) ⊕ q18's
+    // exact-cosine replay (their embeddings), fused as Σ 1/(60+rank) with
+    // the lexical term first — the engine's coalesce order — and re-ranked
+    // (rrf DESC, doc_id ASC)
+    "q173_hybrid_rrf" ->
+      """WITH q AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id,
+        |  unnest(regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term FROM q),
+        |t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |  SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1),
+        |sc AS (SELECT qt.query_id, tfc.doc_id,
+        |  round(sum(ln(1.0 + (st.n - dfc.df + 0.5) / (dfc.df + 0.5)) * tfc.tf * 2.2 /
+        |    (tfc.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM tfc JOIN qt USING (term) JOIN dfc USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN st GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rn AS rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id DESC) AS rn
+        |  FROM sc) WHERE rn <= 20),
+        |qv AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id < 5),
+        |cs AS (SELECT q2.query_id, e.vec_id AS doc_id,
+        |  list_sum(list_transform(generate_series(1, len(q2.v)),
+        |    i -> CAST(q2.v[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q2.v)),
+        |    i -> CAST(q2.v[i] AS DOUBLE) * CAST(q2.v[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM qv q2 CROSS JOIN embeddings e),
+        |sem AS (SELECT query_id, doc_id, rn AS rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id DESC) AS rn
+        |  FROM cs) WHERE rn <= 20),
+        |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |  coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |  coalesce(1.0 / (60.0 + l.rank), 0.0) + coalesce(1.0 / (60.0 + s.rank), 0.0) AS rrf
+        |  FROM lex l FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, round(rrf, 6) AS rrf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rn
+        |  FROM f) WHERE rn <= 10""".stripMargin,
+
+    // per-source rank window with the (len, doc_id) total order; the
+    // floor/ceil cut mirrors the engine's double arithmetic exactly
+    "q174_percentile_trim" ->
+      """WITH v AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rank,
+        |  count(*) OVER (PARTITION BY source) AS n FROM v)
+        |SELECT doc_id, source, len, CAST(rank AS BIGINT) AS rank, CAST(n AS BIGINT) AS n_in_group
+        |FROM r WHERE rank > floor(0.05 * n) AND rank <= ceil(0.95 * n)""".stripMargin,
   )
 }

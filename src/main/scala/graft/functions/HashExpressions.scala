@@ -3,7 +3,7 @@ package graft.functions
 import java.util.Locale
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -281,6 +281,54 @@ object HashImpl {
     val na = math.sqrt(dotF(a, a))
     val nb = math.sqrt(dotF(b, b))
     if (na == 0.0 || nb == 0.0) 0.0 else dotF(a, b) / (na * nb)
+  }
+
+  /** Greedy Maximal-Marginal-Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98) over one query's BOUNDED candidate list: pick
+    * argmax λ·sim(q,c) − (1−λ)·max_{s∈S} cos(c,s), k times. `ids`/`sims`/
+    * `vecs` are aligned arrays (candidates in a fixed order); ties break to
+    * the SMALLER id so both engines agree. O(n·k·d) per query over n ≤ a
+    * few dozen candidates — per-row work, never a corpus operation. The
+    * relax values update incrementally (one cosine column per pick), and
+    * every cosine is [[cosineF]]'s index-order double formula so a
+    * declarative replay reproduces the picks bit-for-bit.
+    */
+  def mmrSelect(ids: ArrayData, sims: ArrayData, vecs: ArrayData,
+      k: Int, lambda: Double): ArrayData = {
+    val n   = ids.numElements()
+    val m   = math.min(k, n)
+    val out = new Array[Long](m)
+    val used  = new Array[Boolean](n)
+    val relax = new Array[Double](n) // max cos to the selected set; 0 when empty
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          val s = lambda * sims.getDouble(i) - (1.0 - lambda) * relax(i)
+          if (best < 0 || s > bestScore ||
+              (s == bestScore && ids.getLong(i) < ids.getLong(best))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      used(best) = true
+      out(r) = ids.getLong(best)
+      val bv = vecs.getArray(best)
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val c = cosineF(vecs.getArray(j), bv)
+          if (c > relax(j)) relax(j) = c
+        }
+        j += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Exact Jaccard of two SORTED distinct long arrays (the representation
@@ -620,6 +668,24 @@ case class CosineExpr(left: Expression, right: Expression) extends GraftBinaryDo
     copy(left = l, right = r)
 }
 
+/** Greedy MMR pick over a query's bounded candidate arrays — see
+  * [[HashImpl.mmrSelect]]. k and lambda are plan literals.
+  */
+case class MmrSelectExpr(first: Expression, second: Expression, third: Expression,
+    k: Int, lambda: Double)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(ids: Any, sims: Any, vecs: Any): Any =
+    HashImpl.mmrSelect(ids.asInstanceOf[ArrayData], sims.asInstanceOf[ArrayData],
+      vecs.asInstanceOf[ArrayData], k, lambda)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.HashImpl.mmrSelect($a, $b, $c, $k, $lambda)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MmrSelectExpr =
+    copy(first = f, second = s, third = t)
+}
+
 case class SqDistExpr(left: Expression, right: Expression) extends GraftBinaryDouble {
   override protected def staticName: String = "sqDistF"
   override protected def evalImpl(a: ArrayData, b: ArrayData): Double = HashImpl.sqDistF(a, b)
@@ -644,6 +710,8 @@ object NativeFunctions {
   def dot(a: Column, b: Column): Column    = c(DotExpr(x(a), x(b)))
   def cosine(a: Column, b: Column): Column = c(CosineExpr(x(a), x(b)))
   def sqDist(a: Column, b: Column): Column = c(SqDistExpr(x(a), x(b)))
+  def mmrSelect(ids: Column, sims: Column, vecs: Column, k: Int, lambda: Double): Column =
+    c(MmrSelectExpr(x(ids), x(sims), x(vecs), k, lambda))
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     c(NearestCentroidsExpr(x(vec), centroids, nprobe))
   def nearestCentroidsTwoLevel(vec: Column, reps: Array[Array[Float]],

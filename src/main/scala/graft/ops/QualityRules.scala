@@ -85,4 +85,46 @@ object QualityRules {
         col("bullet_line_frac"), col("ellipsis_line_frac"), col("alpha_word_frac"),
         col("n_required_stopwords"), col("passes"))
   }
+
+  /** Per-group EXACT percentile trim: within each group, keep the rows whose
+    * rank under the total order (`valueCol`, `idCol`) lies in
+    * (floor(pLow·n), ceil(pHigh·n)] — the "drop the top/bottom tail per
+    * domain" outlier gate (extreme-length docs, degenerate scores) that
+    * static bounds (gopherFlags) can't express when the distribution varies
+    * by group.
+    *
+    * Scale shape: ONE shuffle by the group key; rank is a per-group window
+    * (linear scan after the group sort). The id tie-break makes the cut
+    * deterministic under duplicate values. For groups too large to sort
+    * (one domain = half the corpus), compute approximate cutoffs instead
+    * (`percentile_approx` per group — a combiner-friendly aggregate — then
+    * broadcast-join and filter, no sort at all); the exact rank form here
+    * is the oracle-checkable dial and the right choice whenever per-group
+    * row counts are executor-sortable.
+    *
+    * Output: kept rows as (idCol, groupCols…, valueCol, rank, n_in_group).
+    */
+  def trimOutliersByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      pLow: Double,
+      pHigh: Double,
+  ): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh, "need 0 <= pLow < pHigh <= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(idCol))
+    val ranked = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n_in_group",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)).cast("long"))
+    ranked
+      .where(col("rank") > floor(lit(pLow) * col("n_in_group")) &&
+        col("rank") <= ceil(lit(pHigh) * col("n_in_group")))
+      .select((Seq(col(idCol)) ++ groupCols.map(col) ++
+        Seq(col(valueCol), col("rank"), col("n_in_group"))): _*)
+  }
 }

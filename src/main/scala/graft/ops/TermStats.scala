@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.GraftUnaryCodegen
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -142,6 +143,38 @@ object TermStats {
         posexplode(arrays_zip(col("top.sims").as("score"), col("top.ids").as("doc_id"))))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.doc_id").as("doc_id"), col("col.score").as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two ranked
+    * retrieval lists — the standard hybrid-search combiner (BM25 ⊕
+    * embedding cosine): score = Σ 1/(c + rank) over the lists a document
+    * appears in, re-ranked per query. Inputs are (query_id, rank, idCol)
+    * frames; missing membership contributes 0 (full outer join). The
+    * per-query fused list is ≤ the two input list lengths — O(config)
+    * rows per query, so the re-rank window never sees corpus-scale
+    * partitions. Score arithmetic is 1/(c+integer-rank) sums in a fixed
+    * order, deterministic across engines; ties break to the smaller id.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      k: Int = 10,
+      c: Double = 60.0,
+  ): DataFrame = {
+    val ar = a.select(col("query_id"), col(idCol),
+      (lit(1.0) / (lit(c) + col("rank"))).as("__ra"))
+    val br = b.select(col("query_id"), col(idCol),
+      (lit(1.0) / (lit(c) + col("rank"))).as("__rb"))
+    val fused = ar.join(br, Seq("query_id", idCol), "full_outer")
+      .select(col("query_id"), col(idCol),
+        (coalesce(col("__ra"), lit(0.0)) + coalesce(col("__rb"), lit(0.0))).as("__rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rrf").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol),
+        round(col("__rrf"), 6).as("rrf"))
   }
 
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct

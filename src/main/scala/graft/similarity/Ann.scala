@@ -134,6 +134,49 @@ object Ann {
     topKOf(scored, k)
   }
 
+  /** MMR diverse re-ranking (Carbonell & Goldstein SIGIR'98): exact top-
+    * `candidateK` per query, then greedy λ·relevance − (1−λ)·redundancy
+    * selection of `k` — the standard RAG-retrieval step that stops five
+    * near-identical passages from filling the context window.
+    *
+    * Scale shape: the selection is a native per-row expression over each
+    * query's BOUNDED candidate arrays (collect_list of candidateK rows —
+    * O(config), never corpus-sized), so the only corpus work is the
+    * candidate search itself; swap [[bruteForceTopK]] for [[ivfTopK]]
+    * candidates when one exact pass is too much. Returns
+    * (query_id, pick, selected_id) in pick order.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      candidateK: Int = 20,
+      k: Int = 5,
+      lambda: Double = 0.7,
+  ): DataFrame = {
+    val cands = bruteForceTopK(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      candidateK)
+    val withVec = cands.join(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__nvec")),
+      Seq("neighbor_id"))
+    withVec
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("rank").as("r"),
+        col("neighbor_id").cast("long").as("i"), col("cosine").as("s"),
+        col("__nvec").as("v")))).as("cs"))
+      .select(col("query_id"),
+        posexplode(NativeFunctions.mmrSelect(
+          transform(col("cs"), x => x.getField("i")),
+          transform(col("cs"), x => x.getField("s")),
+          transform(col("cs"), x => x.getField("v")),
+          k, lambda)))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("pick"),
+        col("col").as("selected_id"))
+  }
+
   /** groupBy(query_id) bounded-heap top-k over (`__sim`, `__nid`) rows →
     * (query_id, rank, neighbor_id, cosine).
     */

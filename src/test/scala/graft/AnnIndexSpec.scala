@@ -147,4 +147,38 @@ class AnnIndexSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(out.toSeq == Seq((7L, 4, 2L)))
   }
+
+  test("MMR re-rank trades the redundant near-dup for a diverse candidate") {
+    // A is the top hit, B is A's near-copy, C is diverse: plain top-2 takes
+    // (A, B); MMR at lambda=0.5 must take (A, C) because B's redundancy
+    // penalty (cos to A ~ 1) erases its relevance edge.
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),         // A: sim .981
+      (2L, Array(0.999f, -0.01f)), // B ~ A: sim .979, cos(B,A) ~ 1 -> score < 0
+      (3L, Array(0.6f, 0.8f)),     // C diverse: sim .745, cos(C,A) = .6 -> score .07
+    ).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1f, 0.2f))).toDF("qid", "embedding")
+    val picks = Ann.mmrRerank(corpus, q, "vec_id", "embedding", "qid", "embedding",
+        candidateK = 3, k = 2, lambda = 0.5)
+      .orderBy("pick").select("selected_id").as[Long].collect()
+    assert(picks.toSeq == Seq(1L, 3L))
+    // sanity: plain top-2 WOULD have taken the near-dup
+    val plain = Ann.bruteForceTopK(corpus, q, "vec_id", "embedding", "qid", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(plain.toSeq == Seq(1L, 2L))
+  }
+
+  test("RRF fusion: doc in both lists outranks single-list docs; ties break to smaller id") {
+    val lex = Seq((1L, 1L, 100L), (1L, 2L, 101L), (1L, 3L, 102L))
+      .toDF("query_id", "rank", "doc_id")
+    val sem = Seq((1L, 1L, 101L), (1L, 2L, 103L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = graft.ops.TermStats.rrfFuse(lex, sem, "doc_id", k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    // 101 appears in both lists (1/62 + 1/61) and must lead
+    assert(out.head._3 == 101L)
+    assert(math.abs(out.head._4 - math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6) < 1e-9)
+    assert(out.map(_._3).toSeq == Seq(101L, 100L, 103L, 102L))
+    // 100 (lex rank 1) vs 103 (sem rank 2): 1/61 > 1/62
+  }
 }

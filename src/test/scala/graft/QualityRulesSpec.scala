@@ -48,4 +48,20 @@ class QualityRulesSpec extends SparkSpec {
       assert(r.getBoolean(8) === false)
     }
   }
+
+  test("percentile trim keeps the (floor(pLow*n), ceil(pHigh*n)] rank band per group") {
+    // group a: values 1..20 -> p10/p90 keeps ranks 3..18 (floor(2)=2, ceil(18)=18)
+    // group b: 5 equal values -> id tie-break fixes ranks; p10/p90 keeps ranks 1..5
+    //   (floor(0.5)=0, ceil(4.5)=5) so nothing is cut
+    val df = ((1 to 20).map(i => (i.toLong, "a", i.toLong)) ++
+      (21 to 25).map(i => (i.toLong, "b", 7L))).toDF("id", "grp", "v")
+    val out = QualityRules.trimOutliersByGroup(df, Seq("grp"), "v", "id", 0.1, 0.9)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val a = out.filter(_._2 == "a").sortBy(_._4)
+    assert(a.map(_._4).toSeq == (3L to 18L))
+    assert(a.map(_._3).toSeq == (3L to 18L)) // values 3..18 survive
+    val b = out.filter(_._2 == "b").sortBy(_._4)
+    assert(b.map(_._1).toSeq == (21L to 25L)) // ties ranked by id, none cut
+    assert(b.forall(_._5 == 5L))
+  }
 }
