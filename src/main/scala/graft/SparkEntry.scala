@@ -5,7 +5,7 @@ import graft.functions.TextFunctions
 import graft.model._
 import graft.ops._
 import graft.similarity.{Ann, Clustering}
-import graft.streaming.StreamingLoad
+import graft.streaming.{StreamingLoad, StreamingSample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2711,6 +2711,27 @@ object SparkEntry {
       QualityRules.trimOutliersByGroup(d, Seq("source"), "len", "doc_id",
         pLow = 0.05, pHigh = 0.95)
     }),
+
+    // STREAMING WEIGHTED RESERVOIR (round 9): the corpus arrives as two
+    // micro-batches; a bounded n-row reservoir folds in each batch's A-ES
+    // top-n. Because A-ES ranks are content-derived and top-n is
+    // merge-closed, the final reservoir is EXACTLY the batch sample —
+    // hash-checked against the same plain-SQL oracle as q160.
+    "q175_streaming_weighted_sample" -> ((s, dir) => {
+      allowNanos(s)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val streamDir = stageTwoBatches("q175",
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 =!= 0))
+      val schema = s.read.parquet(streamDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val reservoir = Table(s"graft_q175_${java.util.UUID.randomUUID().toString.take(8)}")
+      val ckpt = s"$scratch/ckpt_q175_${java.util.UUID.randomUUID().toString.take(8)}"
+      withStatePartitions(s, 8) {
+        StreamingSample.weightedReservoirSink(
+          s, stream, "doc_id", "n_chars", n = 100, reservoir, ckpt)
+      }
+      s.table(reservoir.qualifiedName)
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -4996,5 +5017,15 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY source) AS n FROM v)
         |SELECT doc_id, source, len, CAST(rank AS BIGINT) AS rank, CAST(n AS BIGINT) AS n_in_group
         |FROM r WHERE rank > floor(0.05 * n) AND rank <= ceil(0.95 * n)""".stripMargin,
+
+    // identical to q160's oracle: the streaming reservoir's contract is
+    // "ends at exactly the batch A-ES sample" — same md5-derived uniforms,
+    // same u^(1/w) rank, same (rank DESC, doc_id ASC) total order
+    "q175_streaming_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
+        |ORDER BY pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |  / 4294967296.0, 1.0 / n_chars) DESC, doc_id
+        |LIMIT 100""".stripMargin,
   )
 }

@@ -78,9 +78,11 @@ object Sampling {
   }
 
   /** The A-ES rank u^(1/w) with the deterministic md5-derived uniform —
-    * shared by [[weightedSample]] and [[weightedSamplePerGroup]].
+    * shared by [[weightedSample]], [[weightedSamplePerGroup]], and the
+    * streaming reservoir ([[graft.streaming.StreamingSample]], which needs
+    * the rank to prove merge-closure in its spec).
     */
-  private def aesRank(keyCol: String, weightCol: String): Column = {
+  private[graft] def aesRank(keyCol: String, weightCol: String): Column = {
     val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("double") +
       lit(0.5)) / lit(4294967296.0)
     pow(u, lit(1.0) / col(weightCol).cast("double"))

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Table
+import graft.ops.{Sampling, TableIO}
+
+/** Streaming weighted reservoir: maintain an exact-n Efraimidis–Spirakis
+  * A-ES sample of an ever-growing corpus as it streams in (builder's brief,
+  * beyond-reference scope — the "hold out a weight-proportional eval slice
+  * while data keeps arriving" primitive of a continuously-ingesting
+  * curation pipeline).
+  *
+  * Why this is exactly correct, not approximately: A-ES ranks every row by
+  * u^(1/w) with u a pure function of the row's key (md5-derived — see
+  * [[graft.ops.Sampling.weightedSample]]), and top-n-by-rank is
+  * MERGE-CLOSED: top_n(A ∪ B) = top_n(top_n(A) ∪ top_n(B)). So a reservoir
+  * that keeps the running top-n and folds in each micro-batch's top-n ends
+  * at EXACTLY the sample a single batch pass over the full corpus would
+  * draw — independent of batch boundaries, arrival order, partitioning, or
+  * restarts. That makes the streaming result oracle-checkable against the
+  * plain batch SQL (q175 hash-matches q160's oracle shape).
+  *
+  * Scale shape (100 TB): each micro-batch pays one distributed TakeOrdered
+  * (per-partition top-n, driver merges n·partitions candidates — no full
+  * sort, no single-partition window); the merge step unions n reservoir
+  * rows with n candidates and re-takes top-n — O(n), constant in corpus
+  * size. The reservoir itself is a bounded n-row catalog table, not stream
+  * state: corpus-lifetime sample state outlives any watermark, so (exactly
+  * like [[StreamingDedup]]) it belongs in an at-rest table bridged via
+  * `foreachBatch`, not in the state store.
+  *
+  * Restart/replay semantics: `foreachBatch` is at-least-once on retry. A
+  * replayed micro-batch re-derives the SAME top-n candidates (ranks are
+  * content-derived, no RNG) and the merge deduplicates by key before
+  * re-ranking, so replays are no-ops — the determinism is itself the
+  * idempotence mechanism. The reservoir flip is `TableIO.publish`
+  * (generation write + atomic view flip): the merged plan reads the OLD
+  * generation's files while the NEW generation writes, and concurrent
+  * readers of the reservoir name never observe a partial or missing
+  * reservoir.
+  */
+object StreamingSample {
+
+  /** Start draining `stream` into a bounded weighted reservoir of exactly
+    * `n` rows (fewer only while the corpus itself holds fewer eligible
+    * rows). The reservoir table stores `(keyCol, weightCol)` — join back on
+    * the key for payload, as with any sampler. For `Trigger.AvailableNow` +
+    * `await`, blocks until the backlog is consumed.
+    */
+  def weightedReservoirSink(
+      spark: SparkSession,
+      stream: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      n: Int,
+      reservoir: Table,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      await: Boolean = true,
+  ): StreamingQuery = {
+    require(n >= 1, "n must be >= 1")
+    TableIO.clearOrphanLocation(spark, reservoir)
+    val query = stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(spark, batch, keyCol, weightCol, n, reservoir)
+        ()
+      }
+      .start()
+    if (await) query.awaitTermination()
+    query
+  }
+
+  /** One reservoir fold: top-n of (current reservoir ∪ batch top-n).
+    * Exposed for the batch-incremental caller (same merge law) and the
+    * merge-closure spec.
+    */
+  private[graft] def mergeBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      n: Int,
+      reservoir: Table,
+  ): Unit = {
+    val candidates = Sampling.weightedSample(
+      batch.select(batch(keyCol), batch(weightCol)), keyCol, weightCol, n)
+    val merged =
+      if (spark.catalog.tableExists(reservoir.qualifiedName)) {
+        val current = spark.table(reservoir.qualifiedName)
+        // distinct before re-ranking: a replayed batch re-offers rows the
+        // reservoir already holds; identical (key, weight) rows collapse so
+        // a duplicate can never occupy two of the n slots.
+        Sampling.weightedSample(
+          current.unionByName(candidates).distinct(), keyCol, weightCol, n)
+      } else candidates
+    // The merged plan READS the current generation's files; publish writes
+    // the merge as the NEXT generation before flipping the view, so the
+    // read-your-own-overwrite hazard does not arise (a plain
+    // TableIO.overwrite would drop-and-delete the very files the lazy merge
+    // plan still needs) and a mid-write crash leaves the previous
+    // generation live.
+    TableIO.publish(spark, merged, reservoir)
+    spark.catalog.refreshTable(reservoir.qualifiedName)
+  }
+}
