@@ -144,13 +144,20 @@ object HeavyHitters {
     * the same sketch without materializing.
     */
   private def ngramRows(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = TextFunctions.tokens(lower(col(textCol)))
+    // Two-stage projection ON PURPOSE: the gram expression references the
+    // token array 3× (two size()s + slice), and inlining the regex split
+    // into each reference re-tokenizes every document 3× — measured 10×
+    // slower at sf0.1 (ProfileHH). Materializing the array under an alias
+    // keeps one split per row; CollapseProject leaves multi-referenced
+    // non-cheap producers staged, so the plan stays two projections.
+    val staged = df.select(TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    val toks   = col("__toks")
     // sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so short docs
     // need an explicit empty-grams branch rather than an empty sequence
     val starts: Column = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
     val grams: Column = transform(starts, i => array_join(slice(toks, i, lit(n)), " "))
-    df.select(explode(grams).as("term"))
+    staged.select(explode(grams).as("term"))
   }
 
   /** Shared engine: sketch pass → exact recount of candidates → runtime
