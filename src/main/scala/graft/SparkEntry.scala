@@ -4,7 +4,7 @@ import graft.dedup.{Dedup, IncrementalDedup}
 import graft.functions.TextFunctions
 import graft.model._
 import graft.ops._
-import graft.similarity.{Ann, Clustering}
+import graft.similarity.{Ann, Clustering, Sq8}
 import graft.streaming.{StreamingLoad, StreamingSample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2732,6 +2732,44 @@ object SparkEntry {
       }
       s.table(reservoir.qualifiedName)
     }),
+
+    // MIXTURE WATERFILL (round 9): split a 120k-token budget across
+    // languages toward a 5:2:2:2 target (fr unweighted → 0), saturating
+    // under-supplied languages at availability and redistributing their
+    // surplus — the closed-form planning step whose per-group outputs
+    // feed tokenBudget. Exercises saturate+redistribute at sf0.01+,
+    // the everything-fits NULL-level path at sf0.001.
+    "q176_mixture_waterfill" -> ((s, dir) =>
+      Sampling.budgetWaterfill(
+        tbl(s, dir, "documents").select(col("lang"), col("n_chars")),
+        "lang", "n_chars",
+        Map("en" -> 5L, "zh" -> 2L, "es" -> 2L, "de" -> 2L),
+        totalBudget = 120000L)),
+
+    // SQ8 QUANTIZED SEARCH (round 9): per-dim min/max fit → int8 codes →
+    // brute-force top-10 by quantized cosine against vec 7. Codes are
+    // BIGINT-exact end to end (integer dot + norms); the only floats are
+    // the encode-time affine round and one final div — both mirrored
+    // bit-for-bit by the oracle. The 4x-smaller codes table is the scan
+    // a 100 TB re-ranker reads instead of float32 embeddings.
+    "q177_sq8_topk" -> ((s, dir) =>
+      Sq8.topKQuantized(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 7L, k = 10)),
+
+    // INCREMENTAL HEAVY HITTERS (round 9): the q139 HLL-store pattern for
+    // Misra-Gries — the corpus arrives in two batches, each pays one sketch
+    // pass over its own tokens, the O(capacity) summaries fold by the
+    // mergeable-summaries law, and the report-time recount + coverage
+    // proof still yields the EXACT top-k (oracle = plain exact SQL).
+    "q178_heavy_hitters_incremental" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val t = Table("graft_q178_hitters")
+      HeavyHitters.buildHitterStore(s, d.where(col("doc_id") % 2 === 0), "text", t,
+        capacity = 4096)
+      HeavyHitters.appendHitterStore(s, d.where(col("doc_id") % 2 =!= 0), "text", t,
+        capacity = 4096)
+      HeavyHitters.topKTermsFromStore(s, d, "text", t, k = 12)
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -5027,5 +5065,56 @@ object SparkEntry {
         |ORDER BY pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
         |  / 4294967296.0, 1.0 / n_chars) DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    // mirrors Sampling.budgetWaterfill op-for-op: every double is one
+    // mult-then-div over exact BIGINT prefix sums (no accumulation-order
+    // risk); sumW=11, budget=120000 interpolated as literals
+    "q176_mixture_waterfill" ->
+      """WITH avail AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail FROM documents GROUP BY lang),
+        |w AS (SELECT lang, avail, CAST(CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2
+        |  WHEN 'es' THEN 2 WHEN 'de' THEN 2 ELSE 0 END AS BIGINT) AS weight FROM avail),
+        |r AS (SELECT *, CASE WHEN weight > 0
+        |  THEN CAST(avail AS DOUBLE) * 11.0 / CAST(weight AS DOUBLE)
+        |  ELSE 1.7976931348623157e308 END AS ratio FROM w),
+        |c AS (SELECT *,
+        |  coalesce(sum(avail) OVER (ORDER BY ratio, lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cuma,
+        |  coalesce(sum(weight) OVER (ORDER BY ratio, lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw FROM r),
+        |l AS (SELECT *, CASE WHEN weight > 0
+        |  THEN CAST(120000 - cuma AS DOUBLE) * 11.0 / CAST(11 - cumw AS DOUBLE) END AS lvl FROM c),
+        |t AS (SELECT max(lvl) AS tstar FROM l WHERE weight > 0 AND ratio > lvl)
+        |SELECT lang, avail, weight,
+        |  CASE WHEN (SELECT tstar FROM t) IS NULL THEN avail
+        |    ELSE least(avail, CAST(floor(CAST(weight AS DOUBLE) * (SELECT tstar FROM t) / 11.0) AS BIGINT)) END AS alloc
+        |FROM l""".stripMargin,
+
+    // mirrors Sq8 op-for-op: exact per-dim min/max fit, the same affine
+    // round (non-negative args, so HALF_UP == half-away-from-zero in both
+    // engines), exact integer dot/norms, one final sqrt-mult-div
+    "q177_sq8_topk" ->
+      """WITH d AS (SELECT vec_id, embedding AS emb FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(generate_series(1, len(emb))) AS i,
+        |  CAST(unnest(emb) AS DOUBLE) AS x FROM d),
+        |s AS (SELECT i, min(x) AS lo, max(x) AS hi, (max(x) - min(x)) / 255.0 AS st
+        |  FROM flat GROUP BY i),
+        |fc AS (SELECT f.vec_id, f.i,
+        |  CASE WHEN s.st = 0 THEN 0
+        |       ELSE least(greatest(CAST(round((f.x - s.lo) / s.st) AS BIGINT), 0), 255) END AS code
+        |  FROM flat f JOIN s USING (i)),
+        |qc AS (SELECT i, code AS qcode FROM fc WHERE vec_id = 7),
+        |sc AS (SELECT fc.vec_id,
+        |  CAST(sum(fc.code * qc.qcode) AS BIGINT) AS dot,
+        |  CAST(sum(fc.code * fc.code) AS BIGINT) AS nd
+        |  FROM fc JOIN qc USING (i) WHERE fc.vec_id <> 7 GROUP BY fc.vec_id),
+        |nq AS (SELECT CAST(sum(qcode * qcode) AS BIGINT) AS nq FROM qc)
+        |SELECT vec_id, dot,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(nd AS DOUBLE)) * sqrt(CAST((SELECT nq FROM nq) AS DOUBLE))) AS qcos
+        |FROM sc ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // exact top-k by the q76 token rule — batch-split must be invisible
+    "q178_heavy_hitters_incremental" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 12""".stripMargin,
   )
 }

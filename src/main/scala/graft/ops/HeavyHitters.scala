@@ -160,15 +160,47 @@ object HeavyHitters {
     staged.select(explode(grams).as("term"))
   }
 
+  /** One distributed sketch pass: the ≤(capacity+2)-row MG summary of a
+    * token stream (sentinel rows included) — the unit the incremental
+    * store persists and merges.
+    */
+  private[graft] def summarize(toks: DataFrame, capacity: Int): Seq[(String, Long)] =
+    toks.as[String](Encoders.STRING)
+      .select(new MisraGries(capacity).toColumn)
+      .head()
+
+  /** Fold two summaries with the mergeable-summaries law (sum, then
+    * subtract the (capacity+1)-th largest and drop ≤0) — the same `merge`
+    * the distributed aggregation uses, so a summary maintained batch-by-
+    * batch carries exactly the one-pass guarantee: any term with true
+    * TOTAL frequency > N/(capacity+1) survives.
+    */
+  private[graft] def mergeSummaries(
+      a: Seq[(String, Long)], b: Seq[(String, Long)], capacity: Int): Seq[(String, Long)] = {
+    val agg = new MisraGries(capacity)
+    def toMap(s: Seq[(String, Long)]) = {
+      val m = new java.util.HashMap[String, Long]()
+      s.foreach { case (t, c) => m.merge(t, c, (x: Long, y: Long) => x + y) }
+      m
+    }
+    agg.finish(agg.merge(toMap(a), toMap(b)))
+  }
+
   /** Shared engine: sketch pass → exact recount of candidates → runtime
     * coverage proof. Output: (term, n) ordered (n desc, term asc).
     */
   private def topK(spark: org.apache.spark.sql.SparkSession,
                    toks: DataFrame, k: Int, capacity: Int): DataFrame = {
-    val summary: Seq[(String, Long)] =
-      toks.as[String](Encoders.STRING)
-        .select(new MisraGries(capacity).toColumn)
-        .head()
+    val summary = summarize(toks, capacity)
+    recountProven(spark, toks, summary, k, capacity)
+  }
+
+  /** Exact recount of a summary's candidates over the token stream, with
+    * the MG coverage bound asserted at runtime (see object scaladoc).
+    */
+  private[graft] def recountProven(
+      spark: org.apache.spark.sql.SparkSession,
+      toks: DataFrame, summary: Seq[(String, Long)], k: Int, capacity: Int): DataFrame = {
     val total      = summary.find(_._1 == TotalKey).map(_._2).getOrElse(0L)
     val evicted    = summary.find(_._1 == EvictedKey).exists(_._2 > 0L)
     val candidates = summary.collect { case (t, _) if !isSentinel(t) => t }
@@ -217,5 +249,65 @@ object HeavyHitters {
                  capacity: Int = 4096): DataFrame = {
     require(n >= 1, "n must be >= 1")
     topK(df.sparkSession, ngramRows(df, textCol, n), k, capacity)
+  }
+
+  // ── Incremental hitter store (the q139 HLL-store pattern for MG) ──────
+  //
+  // A continuously-ingesting corpus can't re-sketch 100 TB per batch. The
+  // MG summary is MERGEABLE, so the store persists one ≤(capacity+2)-row
+  // summary table; each new batch pays one sketch pass over ITS OWN tokens
+  // plus an O(capacity) driver-side fold — never a historical rescan. The
+  // final top-k still recounts candidates exactly over the full corpus
+  // (one scan, at report time only) and asserts the same coverage bound,
+  // now against the store's accumulated total.
+
+  /** Overwrite the hitter store with the summary of `df`'s tokens. */
+  def buildHitterStore(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                       textCol: String, table: graft.model.Table,
+                       capacity: Int = 4096): Unit =
+    writeStore(spark, summarize(tokenRows(df, textCol), capacity), table, capacity)
+
+  /** Fold a new batch's summary into the store. The persisted capacity is
+    * authoritative — merging summaries of different capacities silently
+    * weakens the coverage bound, so a mismatch is a hard error.
+    */
+  def appendHitterStore(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                        textCol: String, table: graft.model.Table,
+                        capacity: Int = 4096): Unit = {
+    val (stored, storeCap) = readStore(spark, table)
+    require(storeCap == capacity,
+      s"Hitter store ${table.qualifiedName} was built with capacity=$storeCap; " +
+        s"merging a batch summarized at capacity=$capacity would weaken the MG bound. " +
+        "Pass the store's capacity (or rebuild the store).")
+    val merged = mergeSummaries(stored, summarize(tokenRows(df, textCol), capacity), capacity)
+    writeStore(spark, merged, table, capacity)
+  }
+
+  /** Exact top-k over the accumulated corpus using the store's candidates:
+    * one recount scan of `corpus`, the coverage bound asserted against the
+    * store's lifetime token total.
+    */
+  def topKTermsFromStore(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                         textCol: String, table: graft.model.Table, k: Int): DataFrame = {
+    val (summary, capacity) = readStore(spark, table)
+    recountProven(spark, tokenRows(corpus, textCol), summary, k, capacity)
+  }
+
+  private def writeStore(spark: org.apache.spark.sql.SparkSession,
+                         summary: Seq[(String, Long)], table: graft.model.Table,
+                         capacity: Int): Unit = {
+    import spark.implicits._
+    // the summary is O(capacity) rows — the store rewrite is a bounded
+    // driver-side write, same budget class as the HLL sketch store
+    graft.ops.TableIO.overwrite(
+      spark, summary.toDF("term", "cnt").withColumn("capacity", lit(capacity)), table)
+  }
+
+  private def readStore(spark: org.apache.spark.sql.SparkSession,
+                        table: graft.model.Table): (Seq[(String, Long)], Int) = {
+    val rows = spark.table(table.qualifiedName)
+      .select(col("term"), col("cnt"), col("capacity")).collect()
+    require(rows.nonEmpty, s"Hitter store ${table.qualifiedName} is empty — build it first")
+    (rows.toSeq.map(r => (r.getString(0), r.getLong(1))), rows.head.getInt(2))
   }
 }

@@ -289,4 +289,72 @@ object Sampling {
       .where(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Mixture waterfill: split a TOTAL token budget across groups toward a
+    * target mixture, respecting per-group availability — the planning step
+    * that produces the per-group budgets [[tokenBudget]] then enforces.
+    *
+    * Semantics: allocate `alloc_g = min(avail_g, weight_g·t / Σweights)`
+    * with the water level `t` chosen so Σ alloc = min(budget, Σ avail) —
+    * groups too small for their target share saturate at availability and
+    * their surplus budget redistributes to the rest proportionally
+    * (classic waterfilling). Weights are RELATIVE INTEGERS ("5 parts en,
+    * 2 parts zh"); groups absent from the map get weight 0 → alloc 0.
+    *
+    * Closed form, no iteration: sort groups by `avail/weight` ascending —
+    * saturation happens in exactly that order — and compute for each group
+    * the level-if-the-water-stops-here from exact-integer prefix sums:
+    * `lvl_g = (budget − cumAvail_prev)·Σw / (Σw − cumWeight_prev)`. The
+    * first group whose ratio exceeds its level is where saturation stops;
+    * within that failing suffix `lvl` is strictly decreasing, so
+    * `t = max(lvl over failing groups)` (NULL ⇒ everything fits; alloc =
+    * avail). Every floating-point value is a single mult-then-div over
+    * exact BIGINT prefix sums — no accumulation-order sensitivity, so the
+    * DuckDB oracle reproduces each double bit-for-bit.
+    *
+    * Scale: one shuffle for the per-group aggregate, then a single-
+    * partition window over G rows — G is the number of DOMAINS (mixture
+    * arms), thousands at most, never O(data).
+    */
+  def budgetWaterfill(
+      df: DataFrame,
+      groupCol: String,
+      tokenCol: String,
+      weights: Map[String, Long],
+      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val sumWi = weights.values.sum
+    require(sumWi > 0, "at least one positive weight required")
+    val sumWd = sumWi.toDouble
+    val avail = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("avail"))
+    val wtExpr = weights.foldLeft(lit(0L)) { case (acc, (g, wt)) =>
+      when(col(groupCol) === g, lit(wt)).otherwise(acc)
+    }
+    val maxD = Double.MaxValue
+    val base = avail.withColumn("weight", wtExpr)
+      .withColumn("__ratio",
+        when(col("weight") > 0,
+          col("avail").cast("double") * lit(sumWd) / col("weight").cast("double"))
+          .otherwise(lit(maxD)))
+    val prev = Window.orderBy(col("__ratio"), col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = base
+      .withColumn("__cumA", coalesce(sum(col("avail")).over(prev), lit(0L)))
+      .withColumn("__cumW", coalesce(sum(col("weight")).over(prev), lit(0L)))
+      .withColumn("__lvl",
+        when(col("weight") > 0,
+          (lit(totalBudget) - col("__cumA")).cast("double") * lit(sumWd) /
+            (lit(sumWi) - col("__cumW")).cast("double")))
+    val tStar = staged
+      .where(col("weight") > 0 && col("__ratio") > col("__lvl"))
+      .agg(max(col("__lvl")).as("__t"))
+    staged.crossJoin(broadcast(tStar))
+      .withColumn("alloc",
+        when(col("__t").isNull, col("avail")).otherwise(
+          least(col("avail"),
+            floor(col("weight").cast("double") * col("__t") / lit(sumWd)).cast("long"))))
+      .select(col(groupCol), col("avail"), col("weight"), col("alloc"))
+  }
 }

@@ -95,4 +95,39 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.flatMap(p => Set(p._1, p._2)).subsetOf(Set(1L, 2L, 3L)))
     assert(got.nonEmpty) // name1..name3 are within 1 edit of each other
   }
+
+  test("incremental hitter store: batch split is invisible to the final top-k") {
+    import graft.model.Table
+    val docs = (1L to 400L).map { i =>
+      // zipf-ish: "alpha" everywhere, "beta" every 2nd, ... plus unique noise
+      val terms = Seq("alpha") ++
+        (if (i % 2 == 0) Seq("beta") else Nil) ++
+        (if (i % 4 == 0) Seq("gamma") else Nil) ++
+        Seq(s"noise$i")
+      (i, terms.mkString(" "))
+    }.toDF("doc_id", "text")
+    val store = Table("graft_hh_inc_store")
+    HeavyHitters.buildHitterStore(spark, docs.where($"doc_id" <= 150), "text", store,
+      capacity = 64)
+    HeavyHitters.appendHitterStore(spark, docs.where($"doc_id" > 150), "text", store,
+      capacity = 64)
+    val inc = HeavyHitters.topKTermsFromStore(spark, docs, "text", store, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(inc == Seq(("alpha", 400L), ("beta", 200L), ("gamma", 100L)))
+    // one-pass answer agrees
+    val onePass = HeavyHitters.topKTerms(docs, "text", k = 3, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(inc == onePass)
+  }
+
+  test("incremental hitter store: capacity mismatch on append is a hard error") {
+    import graft.model.Table
+    val docs  = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val store = Table("graft_hh_inc_capchk")
+    HeavyHitters.buildHitterStore(spark, docs, "text", store, capacity = 32)
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.appendHitterStore(spark, docs, "text", store, capacity = 64)
+    }
+    assert(e.getMessage.contains("capacity=32"))
+  }
 }

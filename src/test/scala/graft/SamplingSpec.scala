@@ -160,4 +160,42 @@ class SamplingSpec extends SparkSpec {
     assert(!ids.exists(_ >= 2001L))
     assert(ids.size == 1000)
   }
+
+  private def waterfill(rows: Seq[(String, Long)], w: Map[String, Long], b: Long) =
+    Sampling.budgetWaterfill(rows.toDF("g", "tok"), "g", "tok", w, b)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("budgetWaterfill: saturation redistributes surplus, zero-weight gets 0") {
+    // avail: a=10, b=1000, c=77 (unweighted); weights a=1, b=1; budget 100
+    val got = waterfill(
+      Seq(("a", 4L), ("a", 6L), ("b", 1000L), ("c", 77L)),
+      Map("a" -> 1L, "b" -> 1L), 100L)
+    // a saturates at 10; its surplus flows to b: alloc_b = floor(1*t/2)
+    // with t from (100-10)*2/1 = 180 → 90; c carries weight 0 → 0
+    assert(got("a") == ((10L, 1L, 10L)))
+    assert(got("b") == ((1000L, 1L, 90L)))
+    assert(got("c") == ((77L, 0L, 0L)))
+  }
+
+  test("budgetWaterfill: everything fits → alloc = avail; proportional when nothing fits") {
+    val fits = waterfill(Seq(("a", 10L), ("b", 20L)), Map("a" -> 3L, "b" -> 1L), 1000L)
+    assert(fits("a")._3 == 10L && fits("b")._3 == 20L)
+    // budget far below every availability: pure proportional split
+    val prop = waterfill(Seq(("a", 10000L), ("b", 10000L)), Map("a" -> 3L, "b" -> 1L), 100L)
+    assert(prop("a")._3 == 75L && prop("b")._3 == 25L)
+  }
+
+  test("budgetWaterfill: total allocation never exceeds min(budget, total avail)") {
+    for (b <- Seq(0L, 5L, 50L, 500L, 5000L)) {
+      val got = waterfill(
+        Seq(("a", 100L), ("b", 300L), ("c", 7L), ("d", 900L)),
+        Map("a" -> 2L, "b" -> 5L, "c" -> 1L, "d" -> 1L), b)
+      val total = got.values.map(_._3).sum
+      assert(total <= math.min(b, 1307L), s"budget $b allocated $total")
+      // floors lose at most one token per weighted group
+      assert(total >= math.min(b, 1307L) - 4, s"budget $b allocated only $total")
+      got.values.foreach { case (avail, _, alloc) => assert(alloc <= avail && alloc >= 0) }
+    }
+  }
 }
