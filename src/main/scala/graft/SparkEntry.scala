@@ -2770,6 +2770,26 @@ object SparkEntry {
         capacity = 4096)
       HeavyHitters.topKTermsFromStore(s, d, "text", t, k = 12)
     }),
+
+    // EXACT JACCARD SELF-JOIN (round 9): prefix-filtered AllPairs over a
+    // planted-chain corpus at t=0.85 — the no-false-negative complement to
+    // the LSH near-dup family. The oracle brute-forces every shared-token
+    // pair; hash equality proves the prefix filter missed nothing and the
+    // length filter dropped nothing it shouldn't. EXACT DIAL, pinned to
+    // the oracle SF: the synthetic docs are template-generated near-
+    // clones, so the ANSWER (all qualifying pairs) grows quadratically
+    // with corpus size by construction — the same regime as q12 r=2; the
+    // scale path for clique-heavy corpora is exact-dedup first, or LSH.
+    "q179_jaccard_join_exact" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 25 === 0)
+      val b = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" chain link one two three")).as("text"))
+      val c = b.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" more drift four five six")).as("text"))
+      SimilarityJoin.jaccardSelfJoin(
+        d.unionByName(b).unionByName(c), "doc_id", "text", threshold = 0.85)
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -2784,7 +2804,8 @@ object SparkEntry {
     * instead; correctness runs (Verify, sf0.01) always execute them.
     */
   val exactDialPinnedToOracleSf: Set[String] =
-    Set("q137_knn_join", "q12_neardup_minhash", "q168_semdedup")
+    Set("q137_knn_join", "q12_neardup_minhash", "q168_semdedup",
+      "q179_jaccard_join_exact")
 
   /** Bench-only production-dial twins — the dials the 100 TB path actually
     * runs, measured at EVERY sweep SF (the exact dials above stay pinned to
@@ -5109,6 +5130,24 @@ object SparkEntry {
         |SELECT vec_id, dot,
         |  CAST(dot AS DOUBLE) / (sqrt(CAST(nd AS DOUBLE)) * sqrt(CAST((SELECT nq FROM nq) AS DOUBLE))) AS qcos
         |FROM sc ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // brute force over every shared-token pair of the planted-chain corpus:
+    // the single-div jaccard double mirrors the engine's arithmetic
+    "q179_jaccard_join_exact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 1000000, text || ' chain link one two three' FROM d
+        |  UNION ALL SELECT doc_id + 2000000, text || ' chain link one two three more drift four five six' FROM d),
+        |t AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM corpus WHERE trim(text) <> ''),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY doc_id),
+        |o AS (SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida AS id_a, idb AS id_b,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM o JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.85""".stripMargin,
 
     // exact top-k by the q76 token rule — batch-split must be invisible
     "q178_heavy_hitters_incremental" ->
