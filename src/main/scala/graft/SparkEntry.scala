@@ -2790,6 +2790,18 @@ object SparkEntry {
       SimilarityJoin.jaccardSelfJoin(
         d.unionByName(b).unionByName(c), "doc_id", "text", threshold = 0.85)
     }),
+
+    // CROSS-SOURCE DUPLICATION MATRIX (round 9): every 7th doc is planted
+    // into a mirror feed; the matrix must recover exactly which source
+    // pairs share content and how much — the between-feed audit run before
+    // a destructive dedup decides which feed owns shared documents.
+    "q180_source_overlap" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      val mirrored = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          concat(lit("m_"), col("source")).as("source"))
+      Dedup.crossSourceOverlap(d.unionByName(mirrored), "text", "source")
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -5148,6 +5160,19 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         |FROM o JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.85""".stripMargin,
+
+    // distinct (normalized text, source) pairs, then the shared count per
+    // ordered source pair — the q10 normalization rule, mirrored
+    "q180_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, 'm_' || source
+        |    FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS f, source
+        |  FROM corpus)
+        |SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     // exact top-k by the q76 token rule — batch-split must be invisible
     "q178_heavy_hitters_incremental" ->

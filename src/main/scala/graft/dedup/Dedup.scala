@@ -316,6 +316,31 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** Cross-source duplication matrix: for every source pair (a < b), how
+    * many DISTINCT normalized texts appear in both — the audit that shows
+    * which ingest feeds mirror each other (syndication networks, crawl
+    * overlaps) BEFORE a destructive dedup decides which source "owns" the
+    * shared content. Complements [[clusterSizeHistogram]] (within-corpus
+    * cluster shape) with the between-feed view.
+    *
+    * Scale shape: one distinct over (fingerprint, source) — the shuffle
+    * carries 32-hex keys, never text — then a groupBy(fingerprint) whose
+    * per-key state is bounded by the SOURCE count (feeds, not documents);
+    * pair expansion is O(sources²) per shared fingerprint, tiny because
+    * sources number in the hundreds. No corpus-sized broadcast, no
+    * cartesian product.
+    */
+  def crossSourceOverlap(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val fp = df.select(fingerprint(col(textCol)).as("fp"), col(sourceCol).as("src")).distinct()
+    val sets = fp.groupBy(col("fp")).agg(array_sort(collect_set(col("src"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+    val pairs = sets.select(explode(flatten(transform(col("srcs"), (a, i) =>
+      transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+        b => struct(a.as("sa"), b.as("sb")))))).as("p"))
+    pairs.groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Top-k most similar corpus documents per query document — similar-doc
     * SEARCH over text (the shingle-Jaccard complement of the embedding ANN
     * in similarity/Ann): exact k-word-shingle Jaccard, LSH-pruned. Output

@@ -309,4 +309,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out(1)._3 && math.abs(out(1)._2) < 1e-9)
     assert(!out(2)._3 && math.abs(out(2)._2 - math.sqrt(0.5)) < 1e-6)
   }
+
+  test("crossSourceOverlap: exact shared-distinct-text counts per source pair") {
+    val rows = Seq(
+      ("shared one", "a"), ("shared one", "b"), ("shared one", "c"), // in all 3
+      ("shared  ONE ", "b"),       // normalization collapse, not a new text
+      ("shared two", "a"), ("shared two", "b"),
+      ("only a", "a"), ("only b", "b"),
+      ("dup within a", "a"), ("dup within a", "a")) // same-source dup: no pair
+      .toDF("text", "source")
+    val got = Dedup.crossSourceOverlap(rows, "text", "source")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("a", "b") -> 2L, // shared one + shared two
+      ("a", "c") -> 1L,
+      ("b", "c") -> 1L))
+  }
 }
