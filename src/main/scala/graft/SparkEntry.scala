@@ -5140,7 +5140,8 @@ object SparkEntry {
         |  FROM fc JOIN qc USING (i) WHERE fc.vec_id <> 7 GROUP BY fc.vec_id),
         |nq AS (SELECT CAST(sum(qcode * qcode) AS BIGINT) AS nq FROM qc)
         |SELECT vec_id, dot,
-        |  CAST(dot AS DOUBLE) / (sqrt(CAST(nd AS DOUBLE)) * sqrt(CAST((SELECT nq FROM nq) AS DOUBLE))) AS qcos
+        |  CASE WHEN nd = 0 OR (SELECT nq FROM nq) = 0 THEN 0.0
+        |    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(nd AS DOUBLE)) * sqrt(CAST((SELECT nq FROM nq) AS DOUBLE))) END AS qcos
         |FROM sc ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin,
 
     // brute force over every shared-token pair of the planted-chain corpus:

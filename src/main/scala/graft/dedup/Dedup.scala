@@ -331,7 +331,12 @@ object Dedup {
     * cartesian product.
     */
   def crossSourceOverlap(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
-    val fp = df.select(fingerprint(col(textCol)).as("fp"), col(sourceCol).as("src")).distinct()
+    // null text/source rows carry no shareable content (and SQL null-join
+    // semantics would silently disagree with a groupBy-by-null-key here:
+    // Spark groups null as a key, an equi-join never matches it) — drop
+    // them so both engines see the same pair universe
+    val fp = df.where(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(fingerprint(col(textCol)).as("fp"), col(sourceCol).as("src")).distinct()
     val sets = fp.groupBy(col("fp")).agg(array_sort(collect_set(col("src"))).as("srcs"))
       .where(size(col("srcs")) >= 2)
     val pairs = sets.select(explode(flatten(transform(col("srcs"), (a, i) =>

@@ -327,7 +327,10 @@ object Sampling {
     val sumWi = weights.values.sum
     require(sumWi > 0, "at least one positive weight required")
     val sumWd = sumWi.toDouble
-    val avail = df.groupBy(col(groupCol))
+    // null token counts contribute no budgetable tokens; dropping them up
+    // front keeps `avail` non-null (a null avail would poison the ratio
+    // ordering and the prefix sums with SQL-null arithmetic)
+    val avail = df.where(col(tokenCol).isNotNull).groupBy(col(groupCol))
       .agg(sum(col(tokenCol)).cast("long").as("avail"))
     val wtExpr = weights.foldLeft(lit(0L)) { case (acc, (g, wt)) =>
       when(col(groupCol) === g, lit(wt)).otherwise(acc)

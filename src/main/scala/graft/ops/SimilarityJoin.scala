@@ -46,8 +46,9 @@ object SimilarityJoin {
       df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold out of (0,1]: $threshold")
     val t = lit(threshold)
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextFunctions.tokens(lower(col(textCol))))).as("tok"))
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(textCol))))).as("tok"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val freq  = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ranked = toks.join(freq, "tok")

@@ -62,14 +62,20 @@ object Sq8 {
     })
 
   /** Exact-integer quantized cosine between two code arrays:
-    * `dot / (sqrt(Σa²)·sqrt(Σb²))`. The three sums are BIGINT.
+    * `dot / (sqrt(Σa²)·sqrt(Σb²))`. The three sums are BIGINT. A
+    * zero-norm code vector (every dimension at the fitted minimum) has no
+    * direction — its cosine is defined as 0, never a divide-by-zero.
     */
   def quantizedCosine(a: Column, b: Column): Column = {
-    def idot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
-    idot(a, b).cast("double") /
-      (sqrt(idot(a, a).cast("double")) * sqrt(idot(b, b).cast("double")))
+    val na = idot(a, a)
+    val nb = idot(b, b)
+    when(na === 0L || nb === 0L, lit(0.0)).otherwise(
+      idot(a, b).cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
   }
+
+  private def idot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
 
   /** Brute-force top-k by quantized cosine against the corpus row whose id
     * is `queryId` — the SQ8 re-rank baseline (fit → encode once → scan
@@ -80,8 +86,17 @@ object Sq8 {
   def topKQuantized(
       df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val fitted = fit(df, vecCol)
-    val coded  = encode(df, vecCol, fitted).select(col(idCol), col("codes"))
+    // the QUERY row defines the dimensionality; ragged or null corpus
+    // vectors are excluded from fit AND search up front — a stray vector
+    // would otherwise both stretch the fitted dim range and null-poison
+    // the integer dot (the PQ-family precedent: dims are a hard contract)
+    val qd = df.where(col(idCol) === queryId).select(size(col(vecCol))).collect()
+    require(qd.length == 1 && !qd.head.isNullAt(0),
+      s"query id $queryId absent or has a null vector")
+    val dim    = qd.head.getInt(0)
+    val clean  = df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    val fitted = fit(clean, vecCol)
+    val coded  = encode(clean, vecCol, fitted).select(col(idCol), col("codes"))
     val qRow   = coded.where(col(idCol) === queryId).select(col("codes").as("__qcodes"))
     coded.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(qRow))

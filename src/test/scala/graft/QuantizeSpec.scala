@@ -31,6 +31,16 @@ class QuantizeSpec extends SparkSpec {
     coded.values.flatten.foreach(c => assert(c >= 0L && c <= 255L))
   }
 
+  test("topKQuantized excludes ragged and null vectors instead of null-poisoning") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.5f)), // ragged: must not appear
+      (5L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    val got = Sq8.topKQuantized(rows, "id", "v", queryId = 1L, k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+  }
+
   test("quantized top-k recovers exact-cosine neighbors on a clustered fixture") {
     // two tight clusters; query 100 lives in cluster A — its quantized
     // top-5 must be the other cluster-A members, same as exact cosine
