@@ -5,7 +5,7 @@ import graft.functions.TextFunctions
 import graft.model._
 import graft.ops._
 import graft.similarity.{Ann, Clustering, Sq8}
-import graft.streaming.{StreamingLoad, StreamingSample}
+import graft.streaming.{StreamingHitters, StreamingLoad, StreamingSample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2802,6 +2802,25 @@ object SparkEntry {
           concat(lit("m_"), col("source")).as("source"))
       Dedup.crossSourceOverlap(d.unionByName(mirrored), "text", "source")
     }),
+
+    // STREAMING HEAVY HITTERS (round 9): the corpus arrives as two
+    // micro-batches; each folds one sketch pass into the persisted MG
+    // store (q178's law, driven through foreachBatch), and the final
+    // recount over the accumulated corpus is exactly the batch top-10.
+    "q181_streaming_heavy_hitters" -> ((s, dir) => {
+      allowNanos(s)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val streamDir = stageTwoBatches("q181",
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 =!= 0))
+      val schema = s.read.parquet(streamDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val store = Table(s"graft_q181_${java.util.UUID.randomUUID().toString.take(8)}")
+      val ckpt  = s"$scratch/ckpt_q181_${java.util.UUID.randomUUID().toString.take(8)}"
+      withStatePartitions(s, 8) {
+        StreamingHitters.hitterStoreSink(s, stream, "text", capacity = 4096, store, ckpt)
+      }
+      HeavyHitters.topKTermsFromStore(s, d, "text", store, k = 10)
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -5174,6 +5193,13 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    // exact top-k by the q76 token rule — stream arrival must be invisible
+    "q181_streaming_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin,
 
     // exact top-k by the q76 token rule — batch-split must be invisible
     "q178_heavy_hitters_incremental" ->

@@ -293,6 +293,26 @@ object HeavyHitters {
     recountProven(spark, tokenRows(corpus, textCol), summary, k, capacity)
   }
 
+  /** Fold one batch into the store, creating it if absent — the unit a
+    * streaming `foreachBatch` sink calls per micro-batch (see
+    * `StreamingSample` for the sibling reservoir sink). Replay caveat,
+    * stated honestly: unlike the reservoir (idempotent by determinism),
+    * an MG summary fold is additive — a replayed micro-batch double-counts
+    * its tokens in the SUMMARY. That cannot create a false positive (the
+    * exact recount scores candidates from the real corpus) and cannot
+    * evict a true heavy hitter (extra mass only widens the candidate set's
+    * margin); it can only inflate the stored `total`, making the coverage
+    * assert strictly MORE conservative. Exactly-once summaries need the
+    * batchId-gated write the checkpoint already provides for the sink's
+    * own progress; the store stays a safe lower-bound sketch either way.
+    */
+  def foldBatchIntoStore(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                         textCol: String, table: graft.model.Table,
+                         capacity: Int = 4096): Unit =
+    if (spark.catalog.tableExists(table.qualifiedName))
+      appendHitterStore(spark, batch, textCol, table, capacity)
+    else buildHitterStore(spark, batch, textCol, table, capacity)
+
   private def writeStore(spark: org.apache.spark.sql.SparkSession,
                          summary: Seq[(String, Long)], table: graft.model.Table,
                          capacity: Int): Unit = {
