@@ -5135,7 +5135,8 @@ object SparkEntry {
         |  THEN CAST(120000 - cuma AS DOUBLE) * 11.0 / CAST(11 - cumw AS DOUBLE) END AS lvl FROM c),
         |t AS (SELECT max(lvl) AS tstar FROM l WHERE weight > 0 AND ratio > lvl)
         |SELECT lang, avail, weight,
-        |  CASE WHEN (SELECT tstar FROM t) IS NULL THEN avail
+        |  CASE WHEN weight = 0 THEN 0
+        |    WHEN (SELECT tstar FROM t) IS NULL THEN avail
         |    ELSE least(avail, CAST(floor(CAST(weight AS DOUBLE) * (SELECT tstar FROM t) / 11.0) AS BIGINT)) END AS alloc
         |FROM l""".stripMargin,
 

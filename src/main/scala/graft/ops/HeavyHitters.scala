@@ -318,9 +318,18 @@ object HeavyHitters {
                          capacity: Int): Unit = {
     import spark.implicits._
     // the summary is O(capacity) rows — the store rewrite is a bounded
-    // driver-side write, same budget class as the HLL sketch store
-    graft.ops.TableIO.overwrite(
+    // driver-side write, same budget class as the HLL sketch store.
+    // publish (generation write + atomic view flip), NOT overwrite: the
+    // streaming sink folds once per micro-batch, and overwrite's
+    // drop-then-rewrite window would mean a crash between the drop and the
+    // rewrite silently loses the ENTIRE accumulated summary — the store
+    // would rebuild from later batches only and the coverage assert would
+    // then hold against an understated total, the one replay failure mode
+    // the additive-fold analysis does not cover. With publish a mid-write
+    // crash leaves the previous generation live.
+    graft.ops.TableIO.publish(
       spark, summary.toDF("term", "cnt").withColumn("capacity", lit(capacity)), table)
+    spark.catalog.refreshTable(table.qualifiedName)
   }
 
   private def readStore(spark: org.apache.spark.sql.SparkSession,

@@ -116,15 +116,20 @@ object QualityRules {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(col(valueCol), col(idCol))
+    // __-prefixed internals (the repo-wide convention): withColumn REPLACES
+    // an identically-named existing column, so computing straight into
+    // `rank`/`n_in_group` would silently corrupt the trim predicate for any
+    // caller whose frame already carries those names
     val ranked = df
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("n_in_group",
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__n_in_group",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(groupCols.map(col): _*)).cast("long"))
     ranked
-      .where(col("rank") > floor(lit(pLow) * col("n_in_group")) &&
-        col("rank") <= ceil(lit(pHigh) * col("n_in_group")))
+      .where(col("__rank") > floor(lit(pLow) * col("__n_in_group")) &&
+        col("__rank") <= ceil(lit(pHigh) * col("__n_in_group")))
       .select((Seq(col(idCol)) ++ groupCols.map(col) ++
-        Seq(col(valueCol), col("rank"), col("n_in_group"))): _*)
+        Seq(col(valueCol), col("__rank").as("rank"),
+          col("__n_in_group").as("n_in_group"))): _*)
   }
 }

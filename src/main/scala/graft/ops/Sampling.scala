@@ -355,9 +355,15 @@ object Sampling {
       .agg(max(col("__lvl")).as("__t"))
     staged.crossJoin(broadcast(tStar))
       .withColumn("alloc",
-        when(col("__t").isNull, col("avail")).otherwise(
-          least(col("avail"),
-            floor(col("weight").cast("double") * col("__t") / lit(sumWd)).cast("long"))))
+        // weight 0 → alloc 0 UNCONDITIONALLY: the null-tStar ("everything
+        // fits") branch must not hand unweighted groups their availability —
+        // that would both break the documented contract and let the total
+        // allocation exceed totalBudget (only WEIGHTED avail is known to fit)
+        when(col("weight") === 0, lit(0L))
+          .when(col("__t").isNull, col("avail"))
+          .otherwise(
+            least(col("avail"),
+              floor(col("weight").cast("double") * col("__t") / lit(sumWd)).cast("long"))))
       .select(col(groupCol), col("avail"), col("weight"), col("alloc"))
   }
 }

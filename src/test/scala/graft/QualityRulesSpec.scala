@@ -64,4 +64,16 @@ class QualityRulesSpec extends SparkSpec {
     assert(b.map(_._1).toSeq == (21L to 25L)) // ties ranked by id, none cut
     assert(b.forall(_._5 == 5L))
   }
+
+  test("percentile trim ignores caller-owned rank/n_in_group columns") {
+    // a frame that already carries `rank` and `n_in_group` must trim on the
+    // op's OWN per-group ranks (round-9 advice: withColumn silently replaces
+    // same-named columns, which used to corrupt the trim predicate)
+    val df = (1 to 20).map(i => (i.toLong, "a", i.toLong, 999L, -1L))
+      .toDF("id", "grp", "v", "rank", "n_in_group")
+    val out = QualityRules.trimOutliersByGroup(df, Seq("grp"), "v", "id", 0.1, 0.9)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._4)
+    assert(out.map(_._4).toSeq == (3L to 18L)) // real ranks, not the 999s
+    assert(out.forall(_._5 == 20L))
+  }
 }

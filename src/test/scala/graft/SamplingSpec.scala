@@ -181,6 +181,15 @@ class SamplingSpec extends SparkSpec {
   test("budgetWaterfill: everything fits → alloc = avail; proportional when nothing fits") {
     val fits = waterfill(Seq(("a", 10L), ("b", 20L)), Map("a" -> 3L, "b" -> 1L), 1000L)
     assert(fits("a")._3 == 10L && fits("b")._3 == 20L)
+    // a zero-weight group under an AMPLE budget still allocates 0 — the
+    // null-tStar path must not hand it `avail` (round-9 advice: budget 1400
+    // over weighted avail 1307 + an unweighted 100 must allocate 1307, not
+    // 1407)
+    val amply = waterfill(
+      Seq(("a", 100L), ("b", 300L), ("c", 7L), ("d", 900L), ("z", 100L)),
+      Map("a" -> 2L, "b" -> 5L, "c" -> 1L, "d" -> 1L), 1400L)
+    assert(amply("z") == ((100L, 0L, 0L)))
+    assert(amply.values.map(_._3).sum == 1307L)
     // budget far below every availability: pure proportional split
     val prop = waterfill(Seq(("a", 10000L), ("b", 10000L)), Map("a" -> 3L, "b" -> 1L), 100L)
     assert(prop("a")._3 == 75L && prop("b")._3 == 25L)
