@@ -25,6 +25,15 @@ import graft.ops.{HeavyHitters, TableIO}
   * (extra mass only widens the surviving candidates' margin), and only
   * inflates the stored total — making the coverage assert strictly MORE
   * conservative. The store stays a safe lower-bound sketch under replay.
+  *
+  * Crash-mid-fold semantics: the store persists via `TableIO.publish`
+  * (generation write + atomic view flip), so a crash at ANY point in a
+  * fold — including mid-write — leaves the previous generation's complete
+  * summary live; the recovered stream re-runs the batch and the additive
+  * analysis above applies. (A plain overwrite would open a drop-then-
+  * rewrite window that could lose the whole accumulated summary and
+  * silently understate the coverage total.) Both failure modes are
+  * injection-tested in `StreamingFailureSpec`.
   */
 object StreamingHitters {
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, countDistinct}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.model.Table
@@ -33,9 +34,15 @@ import graft.ops.{Sampling, TableIO}
   *
   * Restart/replay semantics: `foreachBatch` is at-least-once on retry. A
   * replayed micro-batch re-derives the SAME top-n candidates (ranks are
-  * content-derived, no RNG) and the merge deduplicates by key before
-  * re-ranking, so replays are no-ops — the determinism is itself the
-  * idempotence mechanism. The reservoir flip is `TableIO.publish`
+  * content-derived, no RNG) and the merge deduplicates identical
+  * (key, weight) rows before re-ranking, so replays are no-ops — the
+  * determinism is itself the idempotence mechanism. That argument requires
+  * the weight to be a PURE FUNCTION OF THE KEY: a key re-emitted with a
+  * changed weight would put two differently-ranked rows in contention for
+  * slots, so the merge detects weight conflicts in its O(n) pool and fails
+  * fast (see `mergeBatch`) rather than silently keeping either row.
+  * Crash-mid-fold and replay-after-crash are failure-injected in
+  * `StreamingFailureSpec`. The reservoir flip is `TableIO.publish`
   * (generation write + atomic view flip): the merged plan reads the OLD
   * generation's files while the NEW generation writes, and concurrent
   * readers of the reservoir name never observe a partial or missing
@@ -88,15 +95,34 @@ object StreamingSample {
   ): Unit = {
     val candidates = Sampling.weightedSample(
       batch.select(batch(keyCol), batch(weightCol)), keyCol, weightCol, n)
-    val merged =
-      if (spark.catalog.tableExists(reservoir.qualifiedName)) {
-        val current = spark.table(reservoir.qualifiedName)
-        // distinct before re-ranking: a replayed batch re-offers rows the
-        // reservoir already holds; identical (key, weight) rows collapse so
-        // a duplicate can never occupy two of the n slots.
-        Sampling.weightedSample(
-          current.unionByName(candidates).distinct(), keyCol, weightCol, n)
-      } else candidates
+    // distinct before re-ranking: a replayed batch re-offers rows the
+    // reservoir already holds; identical (key, weight) rows collapse so a
+    // duplicate can never occupy two of the n slots (at-least-once delivery
+    // makes a redelivery indistinguishable from a duplicate emission, so
+    // set semantics is the only consistent choice).
+    val pool =
+      if (spark.catalog.tableExists(reservoir.qualifiedName))
+        spark.table(reservoir.qualifiedName).unionByName(candidates).distinct()
+      else candidates.distinct()
+    // Key contract, ENFORCED: a key is a stable row identity whose weight is
+    // a pure function of the key — the same determinism that makes replays
+    // no-ops. A re-emitted key with a CHANGED weight would leave two rows
+    // with different A-ES ranks both eligible for slots (silently neither
+    // "the original" nor "the update"), so it fails fast here instead. The
+    // check runs over the ≤2n-row merge pool only — O(config), never the
+    // batch: a conflicting row that is not a batch top-n candidate cannot
+    // touch the reservoir this batch, and a later emission that IS a
+    // candidate gets checked on arrival.
+    val conflicts = pool.groupBy(col(keyCol))
+      .agg(countDistinct(col(weightCol)).as("__nw"))
+      .where(col("__nw") > 1).select(col(keyCol)).limit(5).collect()
+    require(conflicts.isEmpty,
+      s"reservoir ${reservoir.qualifiedName}: key(s) re-emitted with a changed " +
+        s"weight: ${conflicts.map(_.get(0)).mkString(", ")} — the reservoir " +
+        "contract requires the weight to be a pure function of the key " +
+        "(re-weighing a row breaks replay idempotence); rebuild the reservoir " +
+        "or emit the row under a new key")
+    val merged = Sampling.weightedSample(pool, keyCol, weightCol, n)
     // The merged plan READS the current generation's files; publish writes
     // the merge as the NEXT generation before flipping the view, so the
     // read-your-own-overwrite hazard does not arise (a plain
