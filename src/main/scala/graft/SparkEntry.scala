@@ -57,6 +57,8 @@ object SparkEntry {
   private val kmeansInitPath   = s"$scratch/q166_kmeans_init"
   private val kmeansInitPath167 = s"$scratch/q167_kmeans_init"
   private val kmeansInitPath168 = s"$scratch/q168_kmeans_init"
+  private val twoLevelPath      = s"$scratch/q182_twolevel"
+  private val sq8ProdPath       = s"$scratch/q183_sq8"
 
   /** Declarative replay of [[graft.similarity.Clustering.kmeans]] for the
     * DuckDB oracle — the q126/q19 learned-model pattern applied to Lloyd
@@ -2821,6 +2823,53 @@ object SparkEntry {
       }
       HeavyHitters.topKTermsFromStore(s, d, "text", store, k = 10)
     }),
+
+    // TWO-LEVEL ASSIGNMENT QUALITY GATE (round 10, the q156 materialize-
+    // and-measure shape): the O(√C) two-level cell assignment — the
+    // production path that keeps constant-cell-size IVF linear — runs at
+    // C=96 (above its engagement threshold) and materializes per-vector
+    // cells; BOTH engines then measure it against their OWN exact flat
+    // argmax (kernel arithmetic: dot/sqrt(nc·nv), ties to the lowest cell
+    // — the q19-proven replay) and hash-match per-vector agreement plus
+    // assigned-cosine regret. Upgrades AnnIndexSpec's recall pin to an
+    // oracle-checked gate.
+    "q182_twolevel_assign" -> ((s, dir) => {
+      import s.implicits._
+      val e     = tbl(s, dir, "embeddings")
+      val cents = Ann.coarseCentroids(e, "vec_id", "embedding", numCentroids = 96)
+      cents.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("cid", "cvec")
+        .write.mode("overwrite").parquet(s"${twoLevelPath}_cents")
+      e.select(col("vec_id"),
+          element_at(Ann.twoLevelCellAssign(col("embedding"), cents, nprobe = 1), 1)
+            .cast("long").as("cell_two"))
+        .write.mode("overwrite").parquet(twoLevelPath)
+      val two = s.read.parquet(twoLevelPath)
+      val cdf = s.read.parquet(s"${twoLevelPath}_cents")
+      // Spark's own exact flat argmax — same kernel the oracle replays
+      val flat = e.select(col("vec_id"),
+        element_at(graft.functions.NativeFunctions.nearestCentroids(col("embedding"), cents, 1), 1)
+          .cast("long").as("cell_flat"))
+      // assignment-kernel cosine (dot/sqrt(nc·nv)) as index-order fold
+      // arithmetic — the cross-engine-parity construct
+      def kcos(v: org.apache.spark.sql.Column,
+               cv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val dotv = aggregate(zip_with(v, cv, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (a, b) => a + b)
+        val nv = aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, b) => a + b)
+        val nc = aggregate(transform(cv, y => y.cast("double") * y.cast("double")),
+          lit(0.0), (a, b) => a + b)
+        when(nc === 0.0 || nv === 0.0, lit(-2.0)).otherwise(dotv / sqrt(nc * nv))
+      }
+      two.join(flat, "vec_id").join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(cdf.select(col("cid").as("cell_two"), col("cvec").as("__tv")), Seq("cell_two"))
+        .join(cdf.select(col("cid").as("cell_flat"), col("cvec").as("__fv")), Seq("cell_flat"))
+        .select(col("vec_id"), col("cell_two"), col("cell_flat"),
+          when(col("cell_two") === col("cell_flat"), 1L).otherwise(0L).as("agree"),
+          round(kcos(col("embedding"), col("__fv")) - kcos(col("embedding"), col("__tv")), 6)
+            .as("regret"))
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -5208,5 +5257,31 @@ object SparkEntry {
         |  FROM documents WHERE trim(text) <> '')
         |SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 12""".stripMargin,
+
+    // DuckDB's OWN exact flat argmax over the materialized centroid table
+    // (kernel parity: dot/sqrt(nc*nv), ties keep the lowest cid — the q19
+    // replay), measured against the materialized two-level assignment
+    "q182_twolevel_assign" ->
+      s"""WITH c AS (SELECT cid, cvec FROM read_parquet('${twoLevelPath}_cents/*.parquet')),
+        |two AS (SELECT vec_id, cell_two FROM read_parquet('$twoLevelPath/*.parquet')),
+        |ca AS (SELECT vec_id, cid,
+        |  CASE WHEN nc = 0 OR nv = 0 THEN -2.0 ELSE dotv / sqrt(nc * nv) END AS cos
+        |  FROM (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) AS dotv,
+        |    list_sum(list_transform(generate_series(1, len(c.cvec)),
+        |      i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) AS nc,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS nv
+        |  FROM embeddings e CROSS JOIN c)),
+        |flat AS (SELECT vec_id, cid AS cell_flat, cos AS cos_flat FROM (
+        |  SELECT vec_id, cid, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |  FROM ca) WHERE rn = 1)
+        |SELECT t.vec_id, t.cell_two, f.cell_flat,
+        |  CAST(CASE WHEN t.cell_two = f.cell_flat THEN 1 ELSE 0 END AS BIGINT) AS agree,
+        |  round(f.cos_flat - tc.cos, 6) AS regret
+        |FROM two t JOIN flat f USING (vec_id)
+        |JOIN ca tc ON tc.vec_id = t.vec_id AND tc.cid = t.cell_two""".stripMargin,
   )
 }

@@ -430,6 +430,21 @@ object Ann {
       NativeFunctions.nearestCentroidsTwoLevel(vec, reps, members, cents, nprobe, wprobe = 2)
     }
 
+  /** Public handle on the PRODUCTION two-level assignment column at an
+    * explicit dial, independent of [[TwoLevelThreshold]] — what the q182
+    * quality gate materializes so both engines can measure the two-level
+    * path's agreement/regret against their own exact flat argmax
+    * (the q156 materialize-and-measure shape). `nprobe = 1` yields the
+    * assignment cell.
+    */
+  def twoLevelCellAssign(
+      vec: org.apache.spark.sql.Column,
+      cents: Array[Array[Float]],
+      nprobe: Int = 1): org.apache.spark.sql.Column = {
+    val (reps, members) = buildTwoLevel(cents)
+    NativeFunctions.nearestCentroidsTwoLevel(vec, reps, members, cents, nprobe, wprobe = 2)
+  }
+
   /** Public handle on the deterministic coarse-centroid sample — shared by
     * the IVF paths here and [[graft.dedup.Dedup.semanticDedup]]'s
     * cluster-then-dedup blocking.
