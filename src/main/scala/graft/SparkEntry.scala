@@ -2870,6 +2870,30 @@ object SparkEntry {
           round(kcos(col("embedding"), col("__fv")) - kcos(col("embedding"), col("__tv")), 6)
             .as("regret"))
     }),
+
+    // SQ8 QUERY-FRAME RECALL GATE (round 10, the q156 shape): the
+    // production SQ8 entry point — query FRAME, int8 codes at rest,
+    // decoded-space scoring — materializes its top-10, and both engines
+    // measure recall@10 against their OWN exact float top-10 (q156's
+    // arithmetic and tie-breaks verbatim). q177 proved the raw-code
+    // arithmetic bit-for-bit; this gate proves the production path's
+    // QUALITY (0.99 avg recall on the fixture — raw-code scoring measured
+    // 0.74, which is why production scores decoded). The default min/max
+    // fit is the dial; fitClipped's outlier robustness is spec-pinned.
+    "q183_sq8_frame_recall" -> ((s, dir) => {
+      val e       = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
+      Sq8.topKQuantizedFrame(e, "vec_id", "embedding", queries, "qid", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(sq8ProdPath)
+      val ann   = s.read.parquet(sq8ProdPath).withColumn("__hit", lit(1L))
+      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / 10.0).as("r"))
+        .select(col("query_id"), round(col("r"), 3).as("recall_at_10"))
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -2942,6 +2966,54 @@ object SparkEntry {
         concat(col("text"), lit(" extra trailing token")).as("text"))
       Dedup.nearDupPairsMinHash(d.unionByName(dup), "doc_id", "text", threshold = 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // IVF search over SQ8 codes at constant cell size — the 100 TB search
+    // dial (cells ∝ corpus, per-row candidates constant, candidate scan
+    // 4× narrower than float32). Quality evidence: q183's oracle-checked
+    // recall gate + QuantizeSpec's sq8-vs-float recall pin; this twin's
+    // job is the slope.
+    "q183_sq8_ivf_prod" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val c = math.max(8L, e.count() / 256L).toInt
+      val queries = e.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ann.ivfTopK(e, queries, "vec_id", "embedding", "qid", "embedding",
+          k = 10, numCentroids = c, nprobe = 2, codec = "sq8")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // MMR re-ranking over IVF candidates at constant cell size — the scale
+    // path q172's scaladoc promises ("swap bruteForceTopK for ivfTopK"),
+    // proven to compile-and-scale: candidate search is the probe join, the
+    // greedy selection is the same bounded per-query expression. Selection
+    // correctness is q172's oracle; candidate recall is q156's gate.
+    "q172_mmr_prod" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val c = math.max(8L, e.count() / 256L).toInt
+      val queries = e.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ann.mmrRerankIvf(e, queries, "vec_id", "embedding", "qid", "embedding",
+        candidateK = 20, k = 5, lambda = 0.7, numCentroids = c, nprobe = 2)
+    }),
+
+    // RRF fusion with the semantic arm on IVF candidates — q173's fusion
+    // arithmetic (oracle-checked there) over the production candidate
+    // source; the lexical arm is the q165 BM25 probe-vocabulary path
+    // unchanged. Per-query inputs stay ≤k rows, fusion is O(config).
+    "q173_rrf_prod" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents")
+      val e     = tbl(s, dir, "embeddings")
+      val c     = math.max(8L, e.count() / 256L).toInt
+      val qText = d.filter(col("doc_id") < 5).select(col("doc_id").as("qid"), col("text"))
+      val qVec  = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      val lex = TermStats.bm25TopK(d, "doc_id", "text", qText, "qid", "text", k = 20)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Ann.ivfTopK(e, qVec, "vec_id", "embedding", "qid", "embedding",
+          k = 20, numCentroids = c, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      TermStats.rrfFuse(lex, sem, "doc_id", k = 10)
     }),
   )
 
@@ -5283,5 +5355,29 @@ object SparkEntry {
         |  round(f.cos_flat - tc.cos, 6) AS regret
         |FROM two t JOIN flat f USING (vec_id)
         |JOIN ca tc ON tc.vec_id = t.vec_id AND tc.cid = t.cell_two""".stripMargin,
+
+    // recall@10 of the materialized production SQ8 frame search against
+    // DuckDB's OWN exact float top-10 — q156's SQL verbatim over the SQ8
+    // table (same exact arithmetic, same cos DESC / id DESC tie-break)
+    "q183_sq8_frame_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10),
+        |ann AS (SELECT DISTINCT query_id, neighbor_id
+        |  FROM read_parquet('$sq8ProdPath/*.parquet'))
+        |SELECT e.query_id,
+        |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
+        |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
   )
 }

@@ -157,8 +157,47 @@ object Ann {
       k: Int = 5,
       lambda: Double = 0.7,
   ): DataFrame = {
-    val cands = bruteForceTopK(corpus, queries, corpusId, corpusVec, queryId, queryVec,
-      candidateK)
+    mmrFromCandidates(
+      bruteForceTopK(corpus, queries, corpusId, corpusVec, queryId, queryVec, candidateK),
+      corpus, corpusId, corpusVec, k, lambda)
+  }
+
+  /** [[mmrRerank]] over IVF candidates — the scale path the exact variant's
+    * scaladoc promises: candidate search is the constant-cell-size probe
+    * join instead of one exact corpus pass; the greedy selection is the
+    * same bounded per-query expression. Recall of the candidate stage is
+    * the IVF dial's (q156/AnnIndexSpec); the selection stage is identical.
+    */
+  def mmrRerankIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      candidateK: Int = 20,
+      k: Int = 5,
+      lambda: Double = 0.7,
+      numCentroids: Int = 256,
+      nprobe: Int = 16,
+  ): DataFrame =
+    mmrFromCandidates(
+      ivfTopK(corpus, queries, corpusId, corpusVec, queryId, queryVec, candidateK,
+        numCentroids, nprobe),
+      corpus, corpusId, corpusVec, k, lambda)
+
+  /** Shared MMR tail: join candidate rows back to their vectors, then the
+    * greedy λ-selection as a native expression over each query's BOUNDED
+    * candidate arrays (≤ candidateK rows — O(config), never corpus-sized).
+    */
+  private def mmrFromCandidates(
+      cands: DataFrame,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      lambda: Double,
+  ): DataFrame = {
     val withVec = cands.join(
       corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__nvec")),
       Seq("neighbor_id"))
@@ -255,7 +294,9 @@ object Ann {
       k: Int = 10,
       numCentroids: Int = 256,
       nprobe: Int = 16,
+      codec: String = "float",
   ): DataFrame = {
+    require(codec == "float" || codec == "sq8", s"codec must be float or sq8, got $codec")
     val cents = sampleCentroids(corpus, corpusId, corpusVec, numCentroids)
     val corpusCells = corpus.select(
       col(corpusId).as("__nid"),
@@ -267,8 +308,27 @@ object Ann {
       col(queryVec).as("__qvec"),
       explode(cellAssign(col(queryVec), cents, nprobe)).as("cell"),
     )
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
-      .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
+    val scored =
+      if (codec == "sq8") {
+        // candidate scoring over SQ8 codes: the probed-candidate scan —
+        // the volume term at scale — reads int8 codes (4× fewer bytes than
+        // float32) and decodes per row in-CPU at scan time, scoring in
+        // decoded space (Sq8.dequantize — raw-code scoring distorts
+        // rankings). Cell assignment stays float (centroids are a
+        // config-bounded literal either way). One shared fit, both sides.
+        val f = Sq8.fit(corpus.where(col(corpusVec).isNotNull), corpusVec)
+        val ccoded = Sq8.dequantize(Sq8.encode(corpusCells, "__nvec", f), "codes", f)
+          .select(col("__nid"), col("cell"), col("__dvec"))
+        val qcoded = Sq8.dequantize(Sq8.encode(queryCells, "__qvec", f), "codes", f,
+            outCol = "__qdvec")
+          .select(col("query_id"), col("cell"), col("__qdvec"))
+        ccoded.join(broadcast(qcoded), Seq("cell"))
+          .select(col("query_id"), col("__nid"),
+            Sq8.decodedCosine(col("__qdvec"), col("__dvec")).as("__sim"))
+      } else
+        corpusCells.join(broadcast(queryCells), Seq("cell"))
+          .select(col("query_id"), col("__nid"),
+            cosine(col("__qvec"), col("__nvec")).as("__sim"))
     topKOf(scored, k)
   }
 

