@@ -2894,6 +2894,22 @@ object SparkEntry {
         .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / 10.0).as("r"))
         .select(col("query_id"), round(col("r"), 3).as("recall_at_10"))
     }),
+
+    // DSIR RESAMPLING (round 10): the selection step q108's scoring op
+    // defers to — Gumbel-top-n over logw, which by the Gumbel-top-k
+    // identity IS sampling without replacement ∝ w^(1/τ), made
+    // deterministic by the md5 content uniform (the A-ES machinery). The
+    // oracle replays q108's integer-unit weight chain plus the same
+    // one-chain key arithmetic (ln 2 interpolated so the constant matches
+    // bit-for-bit) and takes the same top-150.
+    "q184_dsir_resample" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val scored = Dsir.importanceWeights(d, d.filter(col("lang") === "de"),
+        "doc_id", "text", k = 2)
+      Dsir.resample(scored, "doc_id", "logw", n = 150, tau = 1.0)
+        .select(col("doc_id"), col("n_grams"), col("logw"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -5355,6 +5371,34 @@ object SparkEntry {
         |  round(f.cos_flat - tc.cos, 6) AS regret
         |FROM two t JOIN flat f USING (vec_id)
         |JOIN ca tc ON tc.vec_id = t.vec_id AND tc.cid = t.cell_two""".stripMargin,
+
+    // q108's integer micro-log2 weight replay + the Gumbel key chain:
+    // logw·ln2 − ln(−ln(u)) with u the A-ES md5 uniform; constants
+    // interpolated from the Scala doubles so both engines use identical
+    // bits; top-150 by (key DESC, doc_id ASC)
+    "q184_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, lang, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) END AS gs FROM t),
+        |b AS (SELECT doc_id, lang, substring(md5(unnest(gs)), 1, 2) AS bk FROM g),
+        |rawc AS (SELECT bk, count(*) AS n FROM b GROUP BY bk),
+        |tgtc AS (SELECT bk, count(*) AS n FROM b WHERE lang = 'de' GROUP BY bk),
+        |ratios AS (SELECT r.bk,
+        |  CAST(round(ln(coalesce(tg.n, 0) + 1) / ln(2) * 1000000) AS BIGINT) -
+        |  CAST(round(ln(r.n + 1) / ln(2) * 1000000) AS BIGINT) AS ri
+        |  FROM rawc r LEFT JOIN tgtc tg USING (bk)),
+        |c AS (SELECT
+        |  CAST(round(ln((SELECT count(*) FROM b) + 256) / ln(2) * 1000000) AS BIGINT) -
+        |  CAST(round(ln((SELECT count(*) FROM b WHERE lang = 'de') + 256) / ln(2) * 1000000) AS BIGINT) AS ci),
+        |w AS (SELECT b.doc_id, CAST(sum(ri) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM b JOIN ratios USING (bk) GROUP BY b.doc_id),
+        |scoredw AS (SELECT doc_id, n AS n_grams, CAST(s + n * ci AS BIGINT) / 1000000.0 AS logw FROM w, c),
+        |keyed AS (SELECT doc_id, n_grams, logw,
+        |  logw * ${math.log(2.0)} - ln(-ln(
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0)) AS gk
+        |  FROM scoredw)
+        |SELECT doc_id, n_grams, logw, round(gk, 6) AS gumbel_key
+        |FROM keyed ORDER BY gk DESC, doc_id LIMIT 150""".stripMargin,
 
     // recall@10 of the materialized production SQ8 frame search against
     // DuckDB's OWN exact float top-10 — q156's SQL verbatim over the SQ8

@@ -967,6 +967,19 @@ object Dedup {
     * line is owned elsewhere (no blanks, all content seen first in other
     * docs) has no kept rows and drops from the output — the honest answer
     * for a fully-duplicated document.
+    *
+    * Shuffle-width trade, made explicit: the group key carries the RAW
+    * line text, so the first shuffle ships each line's bytes twice (key +
+    * payload struct). A 64-bit pre-key (xxhash64(line) as the shuffle key,
+    * full line kept only in the payload) would halve that width — but a
+    * hash collision between two DISTINCT lines would silently merge them
+    * and DELETE one from every document it appears in, an unbounded
+    * correctness loss that no verify step downstream would catch (at
+    * corpus scale, 64-bit birthday collisions are expected past ~5×10⁹
+    * distinct lines). Collision-safe variants (group by (hash, line) pays
+    * both widths; hash-bucket then verify-within-bucket adds a second
+    * shuffle) cost what they save, so exactness keeps the raw-text key;
+    * revisit only if line-shuffle bytes ever dominate a profile.
     */
   def dedupLinesCorpus(df: DataFrame, idCol: String, lineText: Column): DataFrame = {
     val arr = df.select(col(idCol).as("__id"), split(lineText, "\n", -1).as("__arr"))

@@ -66,6 +66,37 @@ object Dsir {
       ((ColumnBridge.column(DsirWeightExpr(ColumnBridge.expression(g), ratios))
         + size(g).cast("long") * lit(cInt)) / lit(1e6)).as("logw"))
   }
+
+  /** DSIR's SELECTION step (the "Gumbel-style resample" the scoring
+    * scaladoc defers to), deterministic: top-`n` rows by
+    * `logw·ln2/τ + Gumbel(u(id))`, with `u` the md5-derived content
+    * uniform shared with the A-ES sampler ([[Sampling.weightedSample]]).
+    * By the Gumbel-top-k identity this IS sampling without replacement
+    * with probability ∝ w^(1/τ) (logw is in log2 units, hence the ln 2
+    * factor) — Xie et al.'s importance resampling — yet restart-stable,
+    * replay-idempotent, and declaratively replayable by the oracle.
+    * τ → 0 degrades toward hard top-n by weight; τ = 1 is the paper's
+    * draw. `exp(logw)` never materializes, so weights of any magnitude
+    * are numerically safe. Executes as a distributed TakeOrdered
+    * (per-partition top-n, driver merges n·partitions candidates — no
+    * global sort); ties break by id ascending.
+    */
+  def resample(
+      scored: DataFrame,
+      idCol: String,
+      logwCol: String,
+      n: Int,
+      tau: Double = 1.0,
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(tau > 0.0, "tau must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    scored
+      .withColumn("gumbel_key", col(logwCol) * lit(math.log(2.0) / tau) - log(-log(u)))
+      .orderBy(desc("gumbel_key"), col(idCol))
+      .limit(n)
+  }
 }
 
 object DsirImpl {
