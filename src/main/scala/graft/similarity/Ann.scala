@@ -317,14 +317,13 @@ object Ann {
         // rankings). Cell assignment stays float (centroids are a
         // config-bounded literal either way). One shared fit, both sides.
         val f = Sq8.fit(corpus.where(col(corpusVec).isNotNull), corpusVec)
-        val ccoded = Sq8.dequantize(Sq8.encode(corpusCells, "__nvec", f), "codes", f)
+        val ccoded = Sq8.sq8Roundtrip(corpusCells, "__nvec", f)
           .select(col("__nid"), col("cell"), col("__dvec"))
-        val qcoded = Sq8.dequantize(Sq8.encode(queryCells, "__qvec", f), "codes", f,
-            outCol = "__qdvec")
+        val qcoded = Sq8.sq8Roundtrip(queryCells, "__qvec", f, outCol = "__qdvec")
           .select(col("query_id"), col("cell"), col("__qdvec"))
         ccoded.join(broadcast(qcoded), Seq("cell"))
           .select(col("query_id"), col("__nid"),
-            Sq8.decodedCosine(col("__qdvec"), col("__dvec")).as("__sim"))
+            cosine(col("__qdvec"), col("__dvec")).as("__sim"))
       } else
         corpusCells.join(broadcast(queryCells), Seq("cell"))
           .select(col("query_id"), col("__nid"),

@@ -58,19 +58,22 @@ object Sq8 {
       .withColumn("step", (col("hi") - col("lo")) / lit(255.0))
   }
 
+  private def collectFit(fitted: DataFrame): (Column, Column, Int) = {
+    val dims = fitted.select(col("dim"), col("lo"), col("step"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(dims.nonEmpty, "fit produced no dimensions")
+    (typedLit(dims.map(_._2).toSeq), typedLit(dims.map(_._3).toSeq), dims.length)
+  }
+
   /** Encode a vector column into an `array<long>` of codes in [0, 255]
     * using a collected fit (dims-bounded driver collect — O(config), same
     * budget class as the IVF/PQ codebooks). Constant dimensions
     * (step = 0) encode to 0.
     */
   def encode(df: DataFrame, vecCol: String, fitted: DataFrame): DataFrame = {
-    val dims = fitted.select(col("dim"), col("lo"), col("step"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    require(dims.nonEmpty, "fit produced no dimensions")
-    val los   = typedLit(dims.map(_._2).toSeq)
-    val steps = typedLit(dims.map(_._3).toSeq)
-    df.withColumn("codes", codesExpr(col(vecCol), los, steps, dims.length))
+    val (los, steps, dim) = collectFit(fitted)
+    df.withColumn("codes", codesExpr(col(vecCol), los, steps, dim))
   }
 
   private def codesExpr(vec: Column, los: Column, steps: Column, dim: Int): Column =
@@ -82,39 +85,56 @@ object Sq8 {
         least(greatest(round((x - lo) / st).cast("long"), lit(0L)), lit(255L)))
     })
 
-  /** Dequantize a codes column back to `array<double>` (x̂_i = lo_i +
-    * c_i·step_i) — the SCORING representation of production SQ8 search.
-    * Scoring raw affine codes (the [[topKQuantized]] integer dial, which
-    * q177 oracle-mirrors bit-for-bit) bakes each dimension's offset and
-    * scale into the similarity and measurably distorts rankings — on the
-    * embeddings fixture, raw-code recall@10 is 0.74 vs 0.99 decoded. The
-    * decode is a per-row in-CPU transform at scan time; codes remain the
-    * 4×-narrow at-rest/shuffle representation, which is where the 100 TB
-    * win lives.
+  /** Dequantize a codes column back to an `array<float>` vector (x̂_i =
+    * lo_i + c_i·step_i) — the SCORING representation of production SQ8
+    * search. Scoring raw affine codes (the [[topKQuantized]] integer dial,
+    * which q177 oracle-mirrors bit-for-bit) bakes each dimension's offset
+    * and scale into the similarity and measurably distorts rankings — on
+    * the embeddings fixture, raw-code recall@10 is 0.74 vs 0.99 decoded.
+    * The decode is a per-row in-CPU transform at scan time; codes remain
+    * the 4×-narrow at-rest/shuffle representation, which is where the
+    * 100 TB win lives. Output is `array<float>` so scoring runs in the
+    * NATIVE codegen'd cosine kernel ([[graft.functions.NativeFunctions
+    * .cosine]]) — Spark's higher-order array functions are interpreted
+    * (CodegenFallback) and cost ~10× per candidate pair; the float cast's
+    * ~1e-7 relative rounding is three orders below the int8 quantization
+    * error it rides on, and the cast chain stays deterministic.
     */
   def dequantize(df: DataFrame, codesCol: String, fitted: DataFrame,
       outCol: String = "__dvec"): DataFrame = {
-    val dims = fitted.select(col("dim"), col("lo"), col("step"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    require(dims.nonEmpty, "fit produced no dimensions")
-    val los   = typedLit(dims.map(_._2).toSeq)
-    val steps = typedLit(dims.map(_._3).toSeq)
+    val (los, steps, dim) = collectFit(fitted)
+    // `codesCol` must be a MATERIALIZED column (codes read from a table),
+    // never chained onto encode() inside one plan: CollapseProject inlines
+    // the encode transform INSIDE this transform's lambda, and a lambda
+    // referencing a non-cheap array expression re-evaluates it PER ELEMENT
+    // — O(dim²) interpreted work per row (the q162 CSE lesson, lambda
+    // edition; measured 5× on the sf1 twin). Compute-through paths use
+    // [[sq8Roundtrip]], the fused single-transform form.
     df.withColumn(outCol,
-      transform(sequence(lit(1), lit(dims.length)), i =>
-        element_at(los, i) + element_at(col(codesCol), i).cast("double") * element_at(steps, i)))
+      transform(sequence(lit(1), lit(dim)), i =>
+        (element_at(los, i) + element_at(col(codesCol), i).cast("double") *
+          element_at(steps, i)).cast("float")))
   }
 
-  /** Index-order double cosine over two DECODED vectors (zero norm → 0) —
-    * one fold chain per side, deterministic under any partitioning.
+  /** Fused encode→decode of a float vector against a collected fit —
+    * x̂_i = lo_i + clamp(round((x_i − lo_i)/step_i))·step_i as ONE
+    * transform over the input vector (identical arithmetic to
+    * encode-then-[[dequantize]], without the nested-lambda re-evaluation
+    * hazard documented there). The scoring-side decode of production SQ8
+    * search when codes are computed in-plan rather than read at rest.
     */
-  def decodedCosine(a: Column, b: Column): Column = {
-    def nrm(v: Column) =
-      sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val na = nrm(a)
-    val nb = nrm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v) / (na * nb))
+  def sq8Roundtrip(df: DataFrame, vecCol: String, fitted: DataFrame,
+      outCol: String = "__dvec"): DataFrame = {
+    val (los, steps, dim) = collectFit(fitted)
+    df.withColumn(outCol,
+      transform(sequence(lit(1), lit(dim)), i => {
+        val x  = element_at(col(vecCol), i).cast("double")
+        val lo = element_at(los, i)
+        val st = element_at(steps, i)
+        val code = when(st === 0.0, lit(0L)).otherwise(
+          least(greatest(round((x - lo) / st).cast("long"), lit(0L)), lit(255L)))
+        (lo + code.cast("double") * st).cast("float")
+      }))
   }
 
   /** Exact-integer quantized cosine between two code arrays:
@@ -158,24 +178,20 @@ object Sq8 {
     val dim   = qd.head.getInt(0)
     val clean = corpus.where(col(corpusVec).isNotNull && size(col(corpusVec)) === dim)
     val f     = fitted.getOrElse(fit(clean, corpusVec))
-    def nrm(v: Column) =
-      sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
-    // decoded-space scoring (see [[dequantize]]); norms precompute per ROW,
-    // never per (row, query) pair
-    val coded = dequantize(
-      encode(clean.select(col(corpusId).as("__nid"), col(corpusVec)), corpusVec, f),
-      "codes", f)
-      .select(col("__nid"), col("__dvec"), nrm(col("__dvec")).as("__dn"))
-    val qcoded = dequantize(
-      encode(queries.where(col(queryVec).isNotNull && size(col(queryVec)) === dim)
-        .select(col(queryId).as("query_id"), col(queryVec)), queryVec, f),
-      "codes", f, outCol = "__qvec")
-      .select(col("query_id"), col("__qvec"), nrm(col("__qvec")).as("__qn"))
+    // decoded-space scoring (see [[dequantize]]/[[sq8Roundtrip]]) in the
+    // native codegen'd cosine kernel — the same scan shape as
+    // Ann.bruteForceTopK
+    val coded = sq8Roundtrip(
+      clean.select(col(corpusId).as("__nid"), col(corpusVec)), corpusVec, f)
+      .select(col("__nid"), col("__dvec"))
+    val qcoded = sq8Roundtrip(
+      queries.where(col(queryVec).isNotNull && size(col(queryVec)) === dim)
+        .select(col(queryId).as("query_id"), col(queryVec)), queryVec, f,
+      outCol = "__qvec")
+      .select(col("query_id"), col("__qvec"))
     val scored = coded.crossJoin(broadcast(qcoded))
       .select(col("query_id"), col("__nid"),
-        when(col("__dn") === 0.0 || col("__qn") === 0.0, lit(0.0)).otherwise(
-          aggregate(zip_with(col("__dvec"), col("__qvec"), (x, y) => x * y),
-            lit(0.0), (acc, v) => acc + v) / (col("__dn") * col("__qn"))).as("__sim"))
+        graft.functions.NativeFunctions.cosine(col("__qvec"), col("__dvec")).as("__sim"))
     Ann.topKOf(scored, k).withColumnRenamed("cosine", "qcos")
   }
 
