@@ -95,6 +95,14 @@ object StreamingSample {
   ): Unit = {
     val candidates = Sampling.weightedSample(
       batch.select(batch(keyCol), batch(weightCol)), keyCol, weightCol, n)
+    // ONE batch scan per fold: the TakeOrdered already merges its n-row
+    // result on the driver, so collecting it here costs nothing extra —
+    // and every downstream step (conflict check, re-rank, publish) then
+    // runs over local O(n) frames instead of re-executing the batch scan
+    // per action. O(config) driver state, the codebook budget class.
+    val candRows  = candidates.collect()
+    val candLocal = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), candidates.schema)
     // distinct before re-ranking: a replayed batch re-offers rows the
     // reservoir already holds; identical (key, weight) rows collapse so a
     // duplicate can never occupy two of the n slots (at-least-once delivery
@@ -102,8 +110,8 @@ object StreamingSample {
     // set semantics is the only consistent choice).
     val pool =
       if (spark.catalog.tableExists(reservoir.qualifiedName))
-        spark.table(reservoir.qualifiedName).unionByName(candidates).distinct()
-      else candidates.distinct()
+        spark.table(reservoir.qualifiedName).unionByName(candLocal).distinct()
+      else candLocal.distinct()
     // Key contract, ENFORCED: a key is a stable row identity whose weight is
     // a pure function of the key — the same determinism that makes replays
     // no-ops. A re-emitted key with a CHANGED weight would leave two rows
