@@ -59,6 +59,7 @@ object SparkEntry {
   private val kmeansInitPath168 = s"$scratch/q168_kmeans_init"
   private val twoLevelPath      = s"$scratch/q182_twolevel"
   private val sq8ProdPath       = s"$scratch/q183_sq8"
+  private val mmrProdPath       = s"$scratch/q185_mmr"
 
   /** Declarative replay of [[graft.similarity.Clustering.kmeans]] for the
     * DuckDB oracle — the q126/q19 learned-model pattern applied to Lloyd
@@ -2910,6 +2911,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_grams"), col("logw"),
           round(col("gumbel_key"), 6).as("gumbel_key"))
     }),
+
+    // MMR-OVER-IVF QUALITY GATE (round 10, the q156 shape): the production
+    // twin (q172_mmr_prod's dial — IVF candidates at nprobe < cells)
+    // materializes its picks, and both engines measure per-query overlap
+    // against their OWN exact-candidate MMR (Spark: mmrRerank; DuckDB: the
+    // q172 declarative replay) — the twin's quality is now hash-checked,
+    // not just spec-argued. Overlap counts are exact integers. Partial
+    // overlap is the EXPECTED reading, not a defect: MMR's greedy
+    // diversity selection runs over the probe dial's candidate set, so
+    // candidate differences compound pick-by-pick; the gate makes that
+    // trade measurable (≈3/5 at nprobe=2 on the clone-heavy fixture)
+    // instead of asserted.
+    "q185_mmr_prod_overlap" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val c = math.max(8L, e.count() / 256L).toInt
+      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.mmrRerankIvf(e, queries, "vec_id", "embedding", "qid", "embedding",
+          candidateK = 20, k = 5, lambda = 0.7, numCentroids = c, nprobe = 2)
+        .select(col("query_id"), col("selected_id"))
+        .write.mode("overwrite").parquet(mmrProdPath)
+      val prod = s.read.parquet(mmrProdPath).withColumn("__hit", lit(1L))
+      val exact = Ann.mmrRerank(e, queries, "vec_id", "embedding", "qid", "embedding",
+        candidateK = 20, k = 5, lambda = 0.7)
+      exact.select(col("query_id"), col("selected_id"))
+        .join(prod, Seq("query_id", "selected_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap_at_5"))
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -5399,6 +5428,19 @@ object SparkEntry {
         |  FROM scoredw)
         |SELECT doc_id, n_grams, logw, round(gk, 6) AS gumbel_key
         |FROM keyed ORDER BY gk DESC, doc_id LIMIT 150""".stripMargin,
+
+    // per-query overlap of the materialized IVF-candidate MMR picks
+    // against DuckDB's OWN exact-candidate MMR (the q172 replay, nested
+    // as a subquery) — integer counts, no float hand-off
+    "q185_mmr_prod_overlap" ->
+      s"""WITH exact AS (SELECT * FROM (${mmrReplaySql(nQueries = 20, candidateK = 20, k = 5, lambda = 0.7)})),
+        |prod AS (SELECT DISTINCT query_id, selected_id
+        |  FROM read_parquet('$mmrProdPath/*.parquet'))
+        |SELECT e.query_id,
+        |  CAST(sum(CASE WHEN p.selected_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_5
+        |FROM exact e LEFT JOIN prod p
+        |  ON p.query_id = e.query_id AND p.selected_id = e.selected_id
+        |GROUP BY e.query_id""".stripMargin,
 
     // recall@10 of the materialized production SQ8 frame search against
     // DuckDB's OWN exact float top-10 — q156's SQL verbatim over the SQ8
