@@ -2939,6 +2939,31 @@ object SparkEntry {
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap_at_5"))
     }),
+
+    // RETRIEVAL EVAL nDCG@10 (round 10): the metric that closes the loop
+    // on the retrieval family — BM25's ranking (q165/q173's oracle-proven
+    // machinery, "more like this" doc queries) scored against graded
+    // metadata relevance (same source = 2, same language = 1). Discounts
+    // 1/log2(i+1) and their prefix sums are compile-time constants shared
+    // with the oracle; DCG folds in ascending-rank order; IDCG comes from
+    // per-grade COUNTS (no sort over the judged set) — see RetrievalEval.
+    "q186_retrieval_ndcg" -> ((s, dir) => {
+      val d     = tbl(s, dir, "documents")
+      val qText = d.filter(col("doc_id") < 5).select(col("doc_id").as("qid"), col("text"))
+      val ranked = TermStats.bm25TopK(d, "doc_id", "text", qText, "qid", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val qmeta = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("lang").as("__ql"), col("source").as("__qs"))
+      val qrels = d.select(col("doc_id"), col("lang"), col("source"))
+        .crossJoin(broadcast(qmeta))
+        .select(col("query_id"), col("doc_id"),
+          when(col("source") === col("__qs"), 2L)
+            .when(col("lang") === col("__ql"), 1L).otherwise(0L).as("rel"))
+      RetrievalEval.ndcgAtK(ranked, qrels, k = 10)
+        .withColumnRenamed("dcg_at_k", "dcg_at_10")
+        .withColumnRenamed("idcg_at_k", "idcg_at_10")
+        .withColumnRenamed("ndcg_at_k", "ndcg_at_10")
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -5441,6 +5466,58 @@ object SparkEntry {
         |FROM exact e LEFT JOIN prod p
         |  ON p.query_id = e.query_id AND p.selected_id = e.selected_id
         |GROUP BY e.query_id""".stripMargin,
+
+    // q173's BM25 replay (rn <= 10) + graded metadata relevance; the
+    // discount and prefix constants interpolate from RetrievalEval so both
+    // engines use identical doubles; DCG is an in-rank-order list_sum;
+    // IDCG is the two-grade closed form over exact counts (bitwise equal
+    // to the engine's generic grade fold: 0.0+x = x, 1.0*x = x, and the
+    // prefix at 0 is the literal 0.0)
+    "q186_retrieval_ndcg" -> {
+      val wl = RetrievalEval.discounts(10).mkString("[", ", ", "]")
+      val pl = RetrievalEval.discountPrefix(10).mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id,
+        |  unnest(regexp_split_to_array(trim(lower(qtext)), '\\s+')) AS term FROM q),
+        |t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |  SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1),
+        |sc AS (SELECT qt.query_id, tfc.doc_id,
+        |  round(sum(ln(1.0 + (st.n - dfc.df + 0.5) / (dfc.df + 0.5)) * tfc.tf * 2.2 /
+        |    (tfc.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM tfc JOIN qt USING (term) JOIN dfc USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN st GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, rn AS rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id DESC) AS rn
+        |  FROM sc) WHERE rn <= 10),
+        |meta AS (SELECT doc_id AS query_id, lang AS ql, source AS qs FROM documents WHERE doc_id < 5),
+        |rels AS (SELECT m.query_id, d.doc_id,
+        |  CASE WHEN d.source = m.qs THEN 2 WHEN d.lang = m.ql THEN 1 ELSE 0 END AS rel
+        |  FROM documents d CROSS JOIN meta m),
+        |dcg AS (SELECT r.query_id,
+        |  list_sum(list(CAST(rl.rel AS DOUBLE) * ($wl)[r.rank] ORDER BY r.rank)) AS dcg
+        |  FROM ranked r JOIN rels rl ON rl.query_id = r.query_id AND rl.doc_id = r.doc_id
+        |  GROUP BY r.query_id),
+        |cnt AS (SELECT query_id,
+        |  sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n2,
+        |  sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n1,
+        |  CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nj
+        |  FROM rels GROUP BY query_id),
+        |ide AS (SELECT query_id, nj,
+        |  2.0 * (($pl)[CAST(least(10, n2) AS INT) + 1] - ($pl)[1]) +
+        |  1.0 * (($pl)[CAST(least(10, least(10, n2) + n1) AS INT) + 1] -
+        |         ($pl)[CAST(least(10, n2) AS INT) + 1]) AS idcg
+        |  FROM cnt)
+        |SELECT d2.query_id, i.nj AS n_judged, round(d2.dcg, 6) AS dcg_at_10,
+        |  round(i.idcg, 6) AS idcg_at_10,
+        |  round(CASE WHEN i.idcg = 0 THEN 0.0 ELSE d2.dcg / i.idcg END, 6) AS ndcg_at_10
+        |FROM dcg d2 JOIN ide i USING (query_id)""".stripMargin
+    },
 
     // recall@10 of the materialized production SQ8 frame search against
     // DuckDB's OWN exact float top-10 — q156's SQL verbatim over the SQ8
