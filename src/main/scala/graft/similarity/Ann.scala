@@ -295,6 +295,7 @@ object Ann {
       numCentroids: Int = 256,
       nprobe: Int = 16,
       codec: String = "float",
+      codecFit: Option[DataFrame] = None,
   ): DataFrame = {
     require(codec == "float" || codec == "sq8", s"codec must be float or sq8, got $codec")
     val cents = sampleCentroids(corpus, corpusId, corpusVec, numCentroids)
@@ -313,14 +314,32 @@ object Ann {
         // candidate scoring over SQ8 codes: the probed-candidate scan —
         // the volume term at scale — reads int8 codes (4× fewer bytes than
         // float32) and decodes per row in-CPU at scan time, scoring in
-        // decoded space (Sq8.dequantize — raw-code scoring distorts
+        // decoded space (Sq8.sq8Roundtrip — raw-code scoring distorts
         // rankings). Cell assignment stays float (centroids are a
-        // config-bounded literal either way). One shared fit, both sides.
-        val f = Sq8.fit(corpus.where(col(corpusVec).isNotNull), corpusVec)
-        val ccoded = Sq8.sq8Roundtrip(corpusCells, "__nvec", f)
-          .select(col("__nid"), col("cell"), col("__dvec"))
-        val qcoded = Sq8.sq8Roundtrip(queryCells, "__qvec", f, outCol = "__qdvec")
-          .select(col("query_id"), col("cell"), col("__qdvec"))
+        // config-bounded literal either way). Dimensionality is the same
+        // hard contract as Sq8.topKQuantizedFrame: the query frame fixes
+        // the width, corpus rows of any other width are EXCLUDED from fit
+        // and search (a ragged row would otherwise stretch the fit and
+        // decode to lo-padded tails — fabricated mass, garbage neighbors).
+        // The fit collects ONCE (pass `codecFit` to reuse a precomputed or
+        // sampled fit across calls and skip the fit scan entirely).
+        val qd = queries.where(col(queryVec).isNotNull)
+          .select(size(col(queryVec))).distinct().collect()
+        require(qd.length == 1,
+          s"query frame must carry exactly one vector dimensionality, saw ${qd.length}")
+        val dim = qd.head.getInt(0)
+        val f = codecFit.getOrElse(Sq8.fit(
+          corpus.where(col(corpusVec).isNotNull && size(col(corpusVec)) === dim), corpusVec))
+        val (los, steps, fdim) = Sq8.collectFit(f)
+        require(fdim == dim,
+          s"codecFit covers $fdim dimensions but the query frame carries $dim")
+        val ccoded = corpusCells
+          .where(col("__nvec").isNotNull && size(col("__nvec")) === dim)
+          .select(col("__nid"), col("cell"),
+            Sq8.roundtripExpr(col("__nvec"), los, steps, dim).as("__dvec"))
+        val qcoded = queryCells
+          .select(col("query_id"), col("cell"),
+            Sq8.roundtripExpr(col("__qvec"), los, steps, dim).as("__qdvec"))
         ccoded.join(broadcast(qcoded), Seq("cell"))
           .select(col("query_id"), col("__nid"),
             cosine(col("__qdvec"), col("__dvec")).as("__sim"))

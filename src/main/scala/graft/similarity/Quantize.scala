@@ -58,7 +58,7 @@ object Sq8 {
       .withColumn("step", (col("hi") - col("lo")) / lit(255.0))
   }
 
-  private def collectFit(fitted: DataFrame): (Column, Column, Int) = {
+  private[similarity] def collectFit(fitted: DataFrame): (Column, Column, Int) = {
     val dims = fitted.select(col("dim"), col("lo"), col("step"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
@@ -126,16 +126,24 @@ object Sq8 {
   def sq8Roundtrip(df: DataFrame, vecCol: String, fitted: DataFrame,
       outCol: String = "__dvec"): DataFrame = {
     val (los, steps, dim) = collectFit(fitted)
-    df.withColumn(outCol,
-      transform(sequence(lit(1), lit(dim)), i => {
-        val x  = element_at(col(vecCol), i).cast("double")
-        val lo = element_at(los, i)
-        val st = element_at(steps, i)
-        val code = when(st === 0.0, lit(0L)).otherwise(
-          least(greatest(round((x - lo) / st).cast("long"), lit(0L)), lit(255L)))
-        (lo + code.cast("double") * st).cast("float")
-      }))
+    df.withColumn(outCol, roundtripExpr(col(vecCol), los, steps, dim))
   }
+
+  /** [[sq8Roundtrip]] over an ALREADY-COLLECTED fit — for callers that
+    * encode several frames against one fit (e.g. corpus + queries in
+    * `ivfTopK`) without re-running the fit aggregation per frame.
+    */
+  private[similarity] def roundtripExpr(
+      vec: Column, los: Column, steps: Column, dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)), i => {
+      val x  = element_at(vec, i).cast("double")
+      val lo = element_at(los, i)
+      val st = element_at(steps, i)
+      val code = when(st === 0.0, lit(0L)).otherwise(
+        least(greatest(round((x - lo) / st).cast("long"), lit(0L)), lit(255L)))
+      (lo + code.cast("double") * st).cast("float")
+    })
+
 
   /** Exact-integer quantized cosine between two code arrays:
     * `dot / (sqrt(Σa²)·sqrt(Σb²))`. The three sums are BIGINT. A
@@ -178,17 +186,24 @@ object Sq8 {
     val dim   = qd.head.getInt(0)
     val clean = corpus.where(col(corpusVec).isNotNull && size(col(corpusVec)) === dim)
     val f     = fitted.getOrElse(fit(clean, corpusVec))
+    // collect the fit ONCE (its frame is a corpus aggregate — collecting
+    // per encode side would re-run that pass) and validate it against the
+    // query width: a caller-supplied fit computed over differently-sized
+    // vectors would otherwise silently pad every decoded vector with
+    // constant per-dim minima (wider fit) or truncate scored dimensions
+    // (narrower fit), shifting every ranking with no error
+    val (los, steps, fdim) = collectFit(f)
+    require(fdim == dim,
+      s"fitted covers $fdim dimensions but the query frame carries $dim — " +
+        "fit on vectors of the query's width (the dims contract)")
     // decoded-space scoring (see [[dequantize]]/[[sq8Roundtrip]]) in the
     // native codegen'd cosine kernel — the same scan shape as
     // Ann.bruteForceTopK
-    val coded = sq8Roundtrip(
-      clean.select(col(corpusId).as("__nid"), col(corpusVec)), corpusVec, f)
-      .select(col("__nid"), col("__dvec"))
-    val qcoded = sq8Roundtrip(
-      queries.where(col(queryVec).isNotNull && size(col(queryVec)) === dim)
-        .select(col(queryId).as("query_id"), col(queryVec)), queryVec, f,
-      outCol = "__qvec")
-      .select(col("query_id"), col("__qvec"))
+    val coded = clean.select(col(corpusId).as("__nid"),
+      roundtripExpr(col(corpusVec), los, steps, dim).as("__dvec"))
+    val qcoded = queries.where(col(queryVec).isNotNull && size(col(queryVec)) === dim)
+      .select(col(queryId).as("query_id"),
+        roundtripExpr(col(queryVec), los, steps, dim).as("__qvec"))
     val scored = coded.crossJoin(broadcast(qcoded))
       .select(col("query_id"), col("__nid"),
         graft.functions.NativeFunctions.cosine(col("__qvec"), col("__dvec")).as("__sim"))

@@ -61,6 +61,25 @@ class QuantizeSpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("dequantize over at-rest codes equals the fused encode-decode roundtrip") {
+    // the at-rest path (codes persisted, decoded on read) must agree with
+    // sq8Roundtrip bit-for-bit — and reading codes from a TABLE is the one
+    // place dequantize is legal (chained onto encode() in one plan it
+    // re-triggers the O(dim²) CollapseProject lambda trap its scaladoc
+    // documents)
+    val df = Seq((1L, Array(0.0f, 7.0f)), (2L, Array(10.0f, 5.0f)),
+      (3L, Array(5.0f, 6.0f))).toDF("id", "v")
+    val f   = Sq8.fit(df, "v")
+    val dir = tmpDir()
+    Sq8.encode(df, "v", f).select($"id", $"codes").write.parquet(s"$dir/codes")
+    val atRest = Sq8.dequantize(spark.read.parquet(s"$dir/codes"), "codes", f)
+      .select($"id", $"__dvec").as[(Long, Seq[Float])].collect().toMap
+    val fused = Sq8.sq8Roundtrip(df, "v", f)
+      .select($"id", $"__dvec").as[(Long, Seq[Float])].collect().toMap
+    assert(atRest == fused)
+    assert(atRest(2L) == Seq(10.0f, 5.0f)) // extremes round-trip exactly
+  }
+
   test("topKQuantizedFrame: query-frame results match the in-corpus search per query") {
     val rnd = new scala.util.Random(11)
     def around(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.01f)

@@ -3,47 +3,30 @@ package graft
 import graft.model.Table
 import graft.ops.{HeavyHitters, Sampling, TableIO}
 import graft.streaming.StreamingSample
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Serializable injection helpers for the STREAMING sinks — top-level
-  * object (like [[FailureInjection]]) so the closure cleaner never drags
-  * the suite instance into task closures. Counters are JVM-global, correct
-  * in local mode where executor threads share this JVM.
+/** (id, w) shapes over [[FailureInjection]]'s injectors — one shared
+  * injection mechanism (and one shared attempts counter) for the whole
+  * failure-injection family; these wrappers only add the key/weight
+  * projection the streaming-sink tests feed. The injected throw fires
+  * inside the fold's own jobs (the plans are lazy), not at construction.
   */
 object StreamingFailureInjection {
-  val p0Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def kw(df: DataFrame): DataFrame =
+    df.select((col("v") + 1).as("id"), (((col("v") + 1) * 37) % 1000 + 1).as("w"))
 
-  /** A (id, w) batch whose partition 0 throws on its FIRST attempt only —
-    * the transient mid-fold task failure a production fold absorbs via task
-    * retry. The fold's plan is lazy, so the throw fires inside the fold's
-    * own jobs (pool validation / generation write), not at construction.
+  /** Partition 0 throws on its FIRST attempt only — the transient mid-fold
+    * task failure a production fold absorbs via task retry.
     */
-  def flakyKw(spark: SparkSession, n: Long): DataFrame = {
-    import spark.implicits._
-    spark.range(n).as[Long].mapPartitions { it =>
-      val tc = TaskContext.get()
-      if (tc != null && tc.partitionId() == 0) {
-        p0Attempts.incrementAndGet()
-        if (tc.attemptNumber() == 0)
-          throw new RuntimeException("injected: partition 0, first attempt")
-      }
-      it
-    }.toDF("v").select((col("v") + 1).as("id"), (((col("v") + 1) * 37) % 1000 + 1).as("w"))
-  }
+  def flakyKw(spark: SparkSession, n: Long): DataFrame =
+    kw(FailureInjection.flaky(spark, n))
 
-  /** A (id, w) batch where every task of every attempt throws — the
-    * unrecoverable fold (poisoned batch): the fold must fail, the reservoir
-    * must not.
+  /** Every task of every attempt throws — the unrecoverable fold (poisoned
+    * batch): the fold must fail, the reservoir must not.
     */
-  def poisonKw(spark: SparkSession, n: Long): DataFrame = {
-    import spark.implicits._
-    spark.range(n).as[Long].mapPartitions { (_: Iterator[Long]) =>
-      if (true) throw new RuntimeException("injected: every attempt")
-      Iterator.empty[Long]
-    }.toDF("v").select((col("v") + 1).as("id"), (((col("v") + 1) * 37) % 1000 + 1).as("w"))
-  }
+  def poisonKw(spark: SparkSession, n: Long): DataFrame =
+    kw(FailureInjection.alwaysFailing(spark, n))
 }
 
 /** Failure injection for the foreachBatch streaming sinks' replay /
@@ -71,14 +54,14 @@ class StreamingFailureSpec extends SparkSpec {
   test("reservoir: transient task failure mid-fold retries and converges") {
     val res = Table("graft_sfail_res_flaky")
     StreamingSample.mergeBatch(spark, kw(100), "id", "w", 30, res)
-    StreamingFailureInjection.p0Attempts.set(0)
+    FailureInjection.p0Attempts.set(0)
     // the flaky batch's plan is lazy — the injected throw fires inside the
     // fold's own jobs (pool validation, then the publish generation write;
     // each fresh stage re-attempts partition 0 and retries through)
     StreamingSample.mergeBatch(
       spark, StreamingFailureInjection.flakyKw(spark, 200), "id", "w", 30, res)
-    assert(StreamingFailureInjection.p0Attempts.get() >= 2,
-      s"expected a failed first attempt plus a retry, saw ${StreamingFailureInjection.p0Attempts.get()}")
+    assert(FailureInjection.p0Attempts.get() >= 2,
+      s"expected a failed first attempt plus a retry, saw ${FailureInjection.p0Attempts.get()}")
     // the converged reservoir equals the one-pass batch sample over the
     // union corpus — the retried fold lost nothing and duplicated nothing
     val want = Sampling.weightedSample(
