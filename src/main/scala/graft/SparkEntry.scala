@@ -3068,6 +3068,17 @@ object SparkEntry {
         candidateK = 20, k = 5, lambda = 0.7, numCentroids = c, nprobe = 2)
     }),
 
+    // per-group percentile trim, NO-SORT production dial — the
+    // percentile_approx cutoff path q174's exact rank form defers to for
+    // executor-unsortable groups: sketch aggregate + broadcast filter,
+    // zero windows. Agreement with the exact form is spec-pinned
+    // (QualityRulesSpec); this twin's job is the slope.
+    "q174_trim_prod" -> ((s, dir) =>
+      QualityRules.trimOutliersByGroupApprox(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len")),
+        Seq("source"), "len", "doc_id", pLow = 0.05, pHigh = 0.95)),
+
     // RRF fusion with the semantic arm on IVF candidates — q173's fusion
     // arithmetic (oracle-checked there) over the production candidate
     // source; the lexical arm is the q165 BM25 probe-vocabulary path

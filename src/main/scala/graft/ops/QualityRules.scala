@@ -132,4 +132,42 @@ object QualityRules {
         Seq(col(valueCol), col("__rank").as("rank"),
           col("__n_in_group").as("n_in_group"))): _*)
   }
+
+  /** The NO-SORT scale path [[trimOutliersByGroup]]'s scaladoc promises —
+    * for groups too large to sort on one executor (one domain = half the
+    * corpus): per-group (pLow, pHigh) cutoffs from `percentile_approx`
+    * (a combiner-friendly sketch aggregate — partial state is the sketch,
+    * not the rows), broadcast back, and filter. Two corpus scans, ZERO
+    * sorts, no window.
+    *
+    * Semantics difference, stated plainly: the exact form trims by RANK
+    * (ties split across the cut deterministically by id); this form trims
+    * by VALUE — every row tied at a cutoff lands on the same side. On
+    * value distributions without heavy ties at the cut points the kept
+    * sets agree (QualityRulesSpec pins this on a clean fixture); under
+    * heavy ties the approximate form keeps whole tie-groups, which for an
+    * outlier gate is the conservative reading. Output: kept rows as
+    * (idCol, groupCols…, valueCol) — no ranks, nothing was ranked.
+    */
+  def trimOutliersByGroupApprox(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      pLow: Double,
+      pHigh: Double,
+      accuracy: Int = 10000,
+  ): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh, "need 0 <= pLow < pHigh <= 1")
+    require(accuracy >= 100, "accuracy < 100 degrades the cutoffs to guesswork")
+    val bounds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol),
+        array(lit(pLow), lit(pHigh)), lit(accuracy)).as("__b"))
+      .select((groupCols.map(col) :+ element_at(col("__b"), 1).as("__lo")
+        :+ element_at(col("__b"), 2).as("__hi")): _*)
+    df.join(broadcast(bounds), groupCols)
+      .where(col(valueCol) > col("__lo") && col(valueCol) <= col("__hi"))
+      .select((Seq(col(idCol)) ++ groupCols.map(col) :+ col(valueCol)): _*)
+  }
 }

@@ -65,6 +65,27 @@ class QualityRulesSpec extends SparkSpec {
     assert(b.forall(_._5 == 5L))
   }
 
+  test("approx trim (no-sort scale path) agrees with the exact rank trim on clean values") {
+    val df = ((1 to 20).map(i => (i.toLong, "a", i.toLong)) ++
+      (21 to 60).map(i => (i.toLong, "b", (i * 7 % 101).toLong))).toDF("id", "grp", "v")
+    val exact = QualityRules.trimOutliersByGroup(df, Seq("grp"), "v", "id", 0.1, 0.9)
+      .select("id").as[Long].collect().toSet
+    val approx = QualityRules.trimOutliersByGroupApprox(df, Seq("grp"), "v", "id", 0.1, 0.9)
+      .select("id").as[Long].collect().toSet
+    // distinct values, no ties at the cuts: the two forms may disagree only
+    // on the boundary rows their cut conventions treat differently
+    val diff = (exact diff approx) ++ (approx diff exact)
+    assert(diff.size <= 4, s"kept sets diverged beyond the cut boundary: $diff")
+    // the approximate form still trims genuinely: both tails lost rows
+    val bVals = df.where($"grp" === "b").select("v").as[Long].collect()
+    val keptB = QualityRules.trimOutliersByGroupApprox(df, Seq("grp"), "v", "id", 0.1, 0.9)
+      .where($"grp" === "b").select("v").as[Long].collect()
+    assert(keptB.max < bVals.max && keptB.min > bVals.min)
+    // output schema carries no rank columns — nothing was ranked
+    assert(QualityRules.trimOutliersByGroupApprox(df, Seq("grp"), "v", "id", 0.1, 0.9)
+      .columns.toSeq == Seq("id", "grp", "v"))
+  }
+
   test("percentile trim ignores caller-owned rank/n_in_group columns") {
     // a frame that already carries `rank` and `n_in_group` must trim on the
     // op's OWN per-group ranks (round-9 advice: withColumn silently replaces
