@@ -4,7 +4,7 @@ import graft.dedup.{Dedup, IncrementalDedup}
 import graft.functions.TextFunctions
 import graft.model._
 import graft.ops._
-import graft.similarity.{Ann, Clustering, Sq8}
+import graft.similarity.{Ann, Bitext, Clustering, Sq8}
 import graft.streaming.{StreamingHitters, StreamingLoad, StreamingSample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2964,6 +2964,26 @@ object SparkEntry {
         .withColumnRenamed("idcg_at_k", "idcg_at_10")
         .withColumnRenamed("ndcg_at_k", "ndcg_at_10")
     }),
+
+    // MARGIN-BASED BITEXT MINING (round 10; Artetxe & Schwenk 2019 — the
+    // CCMatrix parallel-pair miner): even vec_ids play the source
+    // language, odd the target; per source, the argmax candidate by
+    // cos/(neighborhood densities) — the ratio margin that demotes hub
+    // sentences raw cosine cannot. Every cosine is the q18-parity kernel;
+    // each normalizer folds exactly k cosines in rank order; the oracle
+    // replays both kNN passes and the full margin chain declaratively.
+    "q187_bitext_margin" -> ((s, dir) => {
+      val e  = tbl(s, dir, "embeddings")
+      val xs = e.where(col("vec_id") % 2 === 0 && col("vec_id") < 120)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val xc = e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val yc = e.where(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      Bitext.minePairs(xs, yc, xc, "id", "v", "id", "v", k = 4)
+        .select(col("x_id"), col("y_id"),
+          round(col("cosine"), 6).as("cosine"), round(col("margin"), 6).as("margin"))
+    }),
   )
 
   /** Exact-dial queries whose cost is super-linear BY CONSTRUCTION — they
@@ -3078,6 +3098,22 @@ object SparkEntry {
         tbl(s, dir, "documents")
           .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len")),
         Seq("source"), "len", "doc_id", pLow = 0.05, pHigh = 0.95)),
+
+    // corpus x corpus bitext mining at constant cell size — BOTH kNN
+    // passes on the probe join (q187's exact dial bounds the query batch
+    // instead); the margin tail is identical and q187-oracle-proven
+    "q187_bitext_prod" -> ((s, dir) => {
+      val e  = tbl(s, dir, "embeddings")
+      val xc = e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val yc = e.where(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val c = math.max(8L, yc.count() / 256L).toInt
+      Bitext.minePairsIvf(xc, yc, "id", "v", "id", "v",
+          k = 4, numCentroids = c, nprobe = 2)
+        .select(col("x_id"), col("y_id"),
+          round(col("cosine"), 6).as("cosine"), round(col("margin"), 6).as("margin"))
+    }),
 
     // RRF fusion with the semantic arm on IVF candidates — q173's fusion
     // arithmetic (oracle-checked there) over the production candidate
@@ -5477,6 +5513,36 @@ object SparkEntry {
         |FROM exact e LEFT JOIN prod p
         |  ON p.query_id = e.query_id AND p.selected_id = e.selected_id
         |GROUP BY e.query_id""".stripMargin,
+
+    // full replay of both kNN passes (the q18/q172 cosine + tie-break
+    // conventions) and the margin chain: rank-ordered degree folds / 2k,
+    // one division, argmax by (margin DESC, y ASC)
+    "q187_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |ev AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |xq AS (SELECT vec_id AS id, v, nrm FROM ev WHERE vec_id % 2 = 0 AND vec_id < 120),
+        |xc AS (SELECT vec_id AS id, v, nrm FROM ev WHERE vec_id % 2 = 0),
+        |yc AS (SELECT vec_id AS id, v, nrm FROM ev WHERE vec_id % 2 <> 0),
+        |sxy AS (SELECT x.id AS x_id, y.id AS y_id,
+        |  list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos
+        |  FROM xq x CROSS JOIN yc y),
+        |nnxy AS (SELECT x_id, y_id, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id DESC) AS rn
+        |  FROM sxy) WHERE rn <= 4),
+        |degx AS (SELECT x_id, list_sum(list(cos ORDER BY rn)) / 8.0 AS degx FROM nnxy GROUP BY x_id),
+        |cand AS (SELECT DISTINCT y_id FROM nnxy),
+        |syx AS (SELECT c.y_id, x.id AS cx_id,
+        |  list_sum(list_transform(generate_series(1, len(y.v)), i -> y.v[i] * x.v[i])) / (y.nrm * x.nrm) AS cos
+        |  FROM cand c JOIN yc y ON y.id = c.y_id CROSS JOIN xc x),
+        |nnyx AS (SELECT y_id, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, cx_id DESC) AS rn
+        |  FROM syx) WHERE rn <= 4),
+        |degy AS (SELECT y_id, list_sum(list(cos ORDER BY rn)) / 8.0 AS degy FROM nnyx GROUP BY y_id),
+        |m AS (SELECT n.x_id, n.y_id, n.cos, n.cos / (dx.degx + dy.degy) AS margin
+        |  FROM nnxy n JOIN degx dx USING (x_id) JOIN degy dy USING (y_id))
+        |SELECT x_id, y_id, round(cos, 6) AS cosine, round(margin, 6) AS margin FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rn2
+        |  FROM m) WHERE rn2 = 1""".stripMargin,
 
     // q173's BM25 replay (rn <= 10) + graded metadata relevance; the
     // discount and prefix constants interpolate from RetrievalEval so both
