@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.{GraftUnaryCodegen, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -46,9 +46,50 @@ object Dsir {
         .select(substring(md5(col("gram")), 1, 2).as("bk"))
         .groupBy("bk").agg(count(lit(1)).as("n"))
         .collect().map(r => Integer.parseInt(r.getString(0), 16) -> r.getLong(1)).toMap
+    score(raw, idCol, textCol, k, bucketCounts(raw), bucketCounts(target))
+  }
 
-    val rawC = bucketCounts(raw)
-    val tgtC = bucketCounts(target)
+  /** [[importanceWeights]] for the common production case where the target
+    * corpus IS a predicate over the raw corpus (q108/q184's shape,
+    * `target = raw.filter(cond)`): BOTH 256-bucket histograms come out of
+    * ONE gram scan — `count(*)` plus a conditional count per bucket — so
+    * the fit reads the corpus once instead of twice (the fit scans
+    * dominate the op's 4.2×/decade slope; this removes the larger one).
+    * Output is bit-identical to `importanceWeights(raw, raw.filter(cond))`:
+    * the conditional count equals the filtered count (NULL predicate rows
+    * count as false, exactly as `filter` drops them), and the scoring tail
+    * is the shared [[score]].
+    */
+  def importanceWeightsFiltered(
+      raw: DataFrame,
+      targetCond: Column,
+      idCol: String,
+      textCol: String,
+      k: Int = 2,
+  ): DataFrame = {
+    val counts = raw
+      .select(targetCond.cast("boolean").as("__t"),
+        explode(TextFunctions.wordShingles(col(textCol), k)).as("gram"))
+      .select(col("__t"), substring(md5(col("gram")), 1, 2).as("bk"))
+      .groupBy("bk")
+      .agg(count(lit(1)).as("rn"), count(when(col("__t"), lit(1))).as("tn"))
+      .collect().map(r => (Integer.parseInt(r.getString(0), 16), r.getLong(1), r.getLong(2)))
+    score(raw, idCol, textCol, k,
+      counts.map(c => c._1 -> c._2).toMap,
+      counts.filter(_._3 > 0).map(c => c._1 -> c._3).toMap)
+  }
+
+  /** The shared scoring tail: ratio table + normalizer from the two
+    * histograms, then the single codegen'd scan.
+    */
+  private def score(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      rawC: Map[Int, Long],
+      tgtC: Map[Int, Long],
+  ): DataFrame = {
     val rTot = rawC.values.sum
     val tTot = tgtC.values.sum
     // micro-log2 units; x >= 1 always, so the value rounded is non-negative
@@ -90,6 +131,12 @@ object Dsir {
   ): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(tau > 0.0, "tau must be positive")
+    // withColumn REPLACES an identically-named column — a caller's
+    // preexisting gumbel_key would be silently overwritten (the repo-wide
+    // __-internal convention can't help here because gumbel_key IS the
+    // documented output column), so fail loudly instead
+    require(!scored.columns.contains("gumbel_key"),
+      "input frame already carries a gumbel_key column; rename it before resample")
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("double") +
       lit(0.5)) / lit(4294967296.0)
     scored

@@ -145,9 +145,13 @@ object QualityRules {
     * by VALUE — every row tied at a cutoff lands on the same side. On
     * value distributions without heavy ties at the cut points the kept
     * sets agree (QualityRulesSpec pins this on a clean fixture); under
-    * heavy ties the approximate form keeps whole tie-groups, which for an
-    * outlier gate is the conservative reading. Output: kept rows as
-    * (idCol, groupCols…, valueCol) — no ranks, nothing was ranked.
+    * heavy ties the approximate form keeps whole tie-groups AT BOTH cuts
+    * (`>= lo` and `<= hi`), which for an outlier gate is the conservative
+    * reading — and it makes the degenerate all-ties group (lo == hi from
+    * the sketch) keep everything rather than silently empty. Agreement
+    * with the exact rank form on the sf fixture is hash-gated cross-engine
+    * by q190. Output: kept rows as (idCol, groupCols…, valueCol) — no
+    * ranks, nothing was ranked.
     */
   def trimOutliersByGroupApprox(
       df: DataFrame,
@@ -167,7 +171,7 @@ object QualityRules {
       .select((groupCols.map(col) :+ element_at(col("__b"), 1).as("__lo")
         :+ element_at(col("__b"), 2).as("__hi")): _*)
     df.join(broadcast(bounds), groupCols)
-      .where(col(valueCol) > col("__lo") && col(valueCol) <= col("__hi"))
+      .where(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .select((Seq(col(idCol)) ++ groupCols.map(col) :+ col(valueCol)): _*)
   }
 }

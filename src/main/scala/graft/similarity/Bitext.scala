@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the scoring
@@ -60,7 +60,6 @@ object Bitext {
     require(k >= 1, "k must be >= 1")
     // forward kNN: per x, the k candidate ys (cosines ride along)
     val nnXY = Ann.bruteForceTopK(yCorpus, xQueries, yId, yVec, xId, xVec, k)
-    val degX = degree(nnXY, k, "x_id", "__degx")
     // y-side normalizer for the DISTINCT candidates only (≤ |X|·k rows):
     // each candidate y's own kNN inside the SOURCE-language corpus
     val candY = nnXY.select(col("neighbor_id").as("__yq")).distinct()
@@ -119,7 +118,9 @@ object Bitext {
 
   /** The mined pair table: argmax-margin candidate per source row, ties
     * broken by (margin DESC, y_id ASC). Filter on `margin` downstream
-    * (the paper's acceptance threshold is a dial, typically ~1.05–1.2).
+    * (the paper's acceptance threshold is a dial, typically ~1.05–1.2) —
+    * or use [[minePairsBidirectional]], which applies the threshold and
+    * the paper's direction-combination strategies for you.
     */
   def minePairs(
       xQueries: DataFrame,
@@ -132,4 +133,104 @@ object Bitext {
       k: Int = 4,
   ): DataFrame =
     pickBest(marginScores(xQueries, yCorpus, xCorpus, xId, xVec, yId, yVec, k))
+
+  /** The paper's ACCEPTANCE semantics (Artetxe & Schwenk 2019 §3.2) on top
+    * of [[minePairs]]: mine in BOTH directions (per-x best y, per-y best
+    * x), combine by `strategy`, and keep pairs whose margin clears
+    * `marginThreshold` (the paper's dial, typically ~1.05–1.2; 0.0 keeps
+    * everything).
+    *
+    *  - `"forward"`      — per-source picks only
+    *  - `"backward"`     — per-target picks only (reoriented to (x, y))
+    *  - `"intersection"` — pairs BOTH directions picked: highest
+    *                       precision, the paper's default for noisy
+    *                       corpora
+    *  - `"union"`        — pairs EITHER direction picked: highest recall
+    *
+    * A pair found by both directions carries two margins (the two
+    * directions' normalizer pairs are identical — cos(x,y), deg(x),
+    * deg(y) — but each direction's candidate pool bounds which pairs
+    * SURVIVED to be scored); the combined row keeps the MAX margin (and
+    * max cosine — equal up to float association either way), so union
+    * ranks a doubly-confirmed pair at its strongest evidence and the
+    * threshold cut is monotone in strategy: intersection ⊆ either
+    * direction ⊆ union at any threshold.
+    *
+    * Scale shape: two [[minePairs]] passes (each the bounded-batch exact
+    * dial — swap in [[minePairsIvf]] candidates for corpus × corpus
+    * mining); the combine is a join/union on the (x, y) pair key — one
+    * shuffle over rows already reduced to ≤|X| + |Y| picks.
+    */
+  def minePairsBidirectional(
+      xCorpus: DataFrame,
+      yCorpus: DataFrame,
+      xId: String,
+      xVec: String,
+      yId: String,
+      yVec: String,
+      k: Int = 4,
+      strategy: String = "intersection",
+      marginThreshold: Double = 0.0,
+  ): DataFrame = {
+    val fwd = minePairs(xCorpus, yCorpus, xCorpus, xId, xVec, yId, yVec, k)
+    val bwd = minePairs(yCorpus, xCorpus, yCorpus, yId, yVec, xId, xVec, k)
+    combineDirections(fwd, bwd, strategy, marginThreshold)
+  }
+
+  /** [[minePairsBidirectional]] at the production dial: both directions'
+    * picks come from [[minePairsIvf]] (constant-cell candidates, linear
+    * corpus × corpus work), the combine/threshold semantics are identical.
+    * The forward direction's quality is hash-gated by q188; the combine
+    * arithmetic is q192's oracle-proven chain.
+    */
+  def minePairsIvfBidirectional(
+      xCorpus: DataFrame,
+      yCorpus: DataFrame,
+      xId: String,
+      xVec: String,
+      yId: String,
+      yVec: String,
+      k: Int = 4,
+      numCentroids: Int = 256,
+      nprobe: Int = 2,
+      strategy: String = "intersection",
+      marginThreshold: Double = 0.0,
+  ): DataFrame = {
+    val fwd = minePairsIvf(xCorpus, yCorpus, xId, xVec, yId, yVec, k, numCentroids, nprobe)
+    val bwd = minePairsIvf(yCorpus, xCorpus, yId, yVec, xId, xVec, k, numCentroids, nprobe)
+    combineDirections(fwd, bwd, strategy, marginThreshold)
+  }
+
+  /** Combine forward picks with backward picks (still in the backward
+    * (x=target, y=source) orientation — reoriented here), then cut at the
+    * margin threshold. A pair both directions found carries bit-identical
+    * margins (same cos, same two normalizer folds; IEEE mult commutes),
+    * so max/greatest is exact, and intersection ⊆ direction ⊆ union at
+    * any threshold.
+    */
+  private def combineDirections(
+      fwd: DataFrame,
+      bwdRaw: DataFrame,
+      strategy: String,
+      marginThreshold: Double,
+  ): DataFrame = {
+    val bwd = bwdRaw.select(col("y_id").as("x_id"), col("x_id").as("y_id"),
+      col("cosine"), col("margin"))
+    val combined = strategy match {
+      case "forward"  => fwd
+      case "backward" => bwd
+      case "intersection" =>
+        fwd.as("f").join(bwd.as("b"), Seq("x_id", "y_id"))
+          .select(col("x_id"), col("y_id"),
+            greatest(col("f.cosine"), col("b.cosine")).as("cosine"),
+            greatest(col("f.margin"), col("b.margin")).as("margin"))
+      case "union" =>
+        fwd.unionByName(bwd)
+          .groupBy(col("x_id"), col("y_id"))
+          .agg(max(col("cosine")).as("cosine"), max(col("margin")).as("margin"))
+      case other => throw new IllegalArgumentException(
+        s"unknown strategy '$other' (expected forward|backward|intersection|union)")
+    }
+    combined.where(col("margin") >= lit(marginThreshold))
+  }
 }

@@ -53,6 +53,70 @@ class BitextSpec extends SparkSpec {
     assert(got(10L)._3 > got(11L)._3)
   }
 
+  test("margin demotes the hub raw cosine would mine (the paper's core property)") {
+    // two orthogonal sources; each has a true translation at cosine 0.65,
+    // and a HUB sits at cosine ~0.707 to BOTH sources — raw-cosine argmax
+    // picks the hub for every source, margin must not: the hub's own
+    // neighborhood is dense (close to both x's), so its normalizer is
+    // nearly double a true translation's
+    val x0  = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val x1  = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val y0  = Array(0.65f, 0.0f, 0.7599342f, 0.0f)
+    val y1  = Array(0.0f, 0.65f, 0.0f, 0.7599342f)
+    val hub = Array(0.70710677f, 0.70710677f, 0.0f, 0.0f)
+    val xs  = Seq(1L -> x0, 2L -> x1).toDF("id", "v")
+    val ys  = Seq(10L -> y0, 11L -> y1, 12L -> hub).toDF("id", "v")
+    // raw cosine prefers the hub for both sources…
+    val rawPick = similarity.Ann.bruteForceTopK(ys, xs, "id", "v", "id", "v", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(rawPick == Map(1L -> 12L, 2L -> 12L), s"fixture broken: raw picks $rawPick")
+    // …margin mines the true translations
+    val mined = Bitext.minePairs(xs, ys, xs, "id", "v", "id", "v", k = 2)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toMap
+    assert(mined == Map(1L -> 10L, 2L -> 11L), s"margin picked $mined")
+  }
+
+  test("bidirectional strategies: intersection ⊆ direction ⊆ union; threshold prunes") {
+    val x0  = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val x1  = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val y0  = Array(0.65f, 0.0f, 0.7599342f, 0.0f)
+    val y1  = Array(0.0f, 0.65f, 0.0f, 0.7599342f)
+    val hub = Array(0.70710677f, 0.70710677f, 0.0f, 0.0f)
+    val xs  = Seq(1L -> x0, 2L -> x1).toDF("id", "v")
+    val ys  = Seq(10L -> y0, 11L -> y1, 12L -> hub).toDF("id", "v")
+    def pairs(strategy: String, thr: Double = 0.0): Set[(Long, Long)] =
+      Bitext.minePairsBidirectional(xs, ys, "id", "v", "id", "v", k = 2,
+          strategy = strategy, marginThreshold = thr)
+        .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    val fwd = pairs("forward"); val bwd = pairs("backward")
+    val inter = pairs("intersection"); val uni = pairs("union")
+    assert(fwd == Set(1L -> 10L, 2L -> 11L))
+    // backward mines per-Y: the true pairs, plus the hub paired to some x
+    assert(Set(1L -> 10L, 2L -> 11L).subsetOf(bwd) && bwd.size == 3)
+    assert(inter == fwd.intersect(bwd) && uni == fwd.union(bwd))
+    assert(inter.subsetOf(fwd) && fwd.subsetOf(uni) && bwd.subsetOf(uni))
+    // the hub pair's margin (~1.02) falls below a 1.2 acceptance cut;
+    // the true pairs (~1.3) survive — union + threshold = clean pairs
+    assert(pairs("union", thr = 1.2) == Set(1L -> 10L, 2L -> 11L))
+    intercept[IllegalArgumentException] { pairs("both") }
+  }
+
+  test("IVF bidirectional mining at full probe equals the exact form") {
+    val rnd = new scala.util.Random(31)
+    val xs = (1 to 24).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat()))).toDF("id", "v")
+    val ys = (101 to 132).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat()))).toDF("id", "v")
+    for (strategy <- Seq("forward", "intersection", "union")) {
+      val exact = Bitext.minePairsBidirectional(xs, ys, "id", "v", "id", "v",
+          k = 3, strategy = strategy, marginThreshold = 1.0)
+        .orderBy("x_id", "y_id").as[(Long, Long, Double, Double)].collect().toSeq
+      val ivf = Bitext.minePairsIvfBidirectional(xs, ys, "id", "v", "id", "v",
+          k = 3, numCentroids = 4, nprobe = 4, strategy = strategy, marginThreshold = 1.0)
+        .orderBy("x_id", "y_id").as[(Long, Long, Double, Double)].collect().toSeq
+      assert(exact.nonEmpty, s"fixture produced no $strategy pairs at threshold 1.0")
+      assert(exact == ivf, s"full-probe IVF diverged from exact for $strategy")
+    }
+  }
+
   test("mining is deterministic across reruns and repartitioning") {
     val rnd = new scala.util.Random(23)
     val xs = (1 to 30).map(i => (i.toLong,

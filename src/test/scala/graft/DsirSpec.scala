@@ -25,6 +25,26 @@ class DsirSpec extends SparkSpec {
 
   private def scored = Dsir.importanceWeights(raw, target, "id", "text", k = 2)
 
+  test("importanceWeightsFiltered is bit-identical to the two-frame form") {
+    // one corpus, target = a predicate over it (the q108/q184 shape): the
+    // fused single-scan fit must reproduce the two-frame scores exactly
+    val corpus = raw.unionByName(target.select($"id" + 100 as "id", $"text"))
+    val twoFrame = Dsir.importanceWeights(
+        corpus, corpus.filter($"id" > 100), "id", "text", k = 2)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val fused = Dsir.importanceWeightsFiltered(
+        corpus, $"id" > 100, "id", "text", k = 2)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(twoFrame == fused)
+    assert(fused.nonEmpty && fused.exists(_._3 != 0.0))
+  }
+
+  test("resample rejects a frame that already carries gumbel_key") {
+    intercept[IllegalArgumentException] {
+      Dsir.resample(scored.withColumn("gumbel_key", lit(0.0)), "id", "logw", 3)
+    }
+  }
+
   test("resample is restart-stable and keeps everything when n >= rows") {
     val p1 = Dsir.resample(scored, "id", "logw", 3).select("id").as[Long].collect().toSeq
     val p2 = Dsir.resample(scored, "id", "logw", 3).select("id").as[Long].collect().toSeq

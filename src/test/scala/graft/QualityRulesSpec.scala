@@ -86,6 +86,23 @@ class QualityRulesSpec extends SparkSpec {
       .columns.toSeq == Seq("id", "grp", "v"))
   }
 
+  test("approx trim keeps whole tie-groups at BOTH cuts; all-ties group survives intact") {
+    // group a: heavy ties at the low cut — ten 1s then 11..30; p10 of the
+    // sketch lands on value 1, and >= lo must keep the WHOLE tie-group
+    // (round-10 advice: `> lo` dropped it, contradicting the documented
+    // conservative semantics)
+    // group b: every value equal -> lo == hi from the sketch; the
+    // degenerate group must be kept in full, not silently emptied
+    val df = ((1 to 10).map(i => (i.toLong, "a", 1L)) ++
+      (11 to 30).map(i => (i.toLong, "a", i.toLong)) ++
+      (31 to 40).map(i => (i.toLong, "b", 7L))).toDF("id", "grp", "v")
+    val kept = QualityRules.trimOutliersByGroupApprox(df, Seq("grp"), "v", "id", 0.1, 0.9)
+      .select("id").as[Long].collect().toSet
+    assert((1L to 10L).forall(kept.contains), "low-cut tie-group must be kept whole")
+    assert((31L to 40L).forall(kept.contains), "all-ties group must not be emptied")
+    assert(!kept.contains(30L), "the high tail must still be trimmed")
+  }
+
   test("percentile trim ignores caller-owned rank/n_in_group columns") {
     // a frame that already carries `rank` and `n_in_group` must trim on the
     // op's OWN per-group ranks (round-9 advice: withColumn silently replaces
