@@ -3226,8 +3226,9 @@ object SparkEntry {
     // per-group percentile trim, NO-SORT production dial — the
     // percentile_approx cutoff path q174's exact rank form defers to for
     // executor-unsortable groups: sketch aggregate + broadcast filter,
-    // zero windows. Agreement with the exact form is spec-pinned
-    // (QualityRulesSpec); this twin's job is the slope.
+    // zero windows. Agreement with the exact form is hash-gated
+    // cross-engine by q190 (and spec-pinned); this twin's job is the
+    // slope.
     "q174_trim_prod" -> ((s, dir) =>
       QualityRules.trimOutliersByGroupApprox(
         tbl(s, dir, "documents")
@@ -3236,7 +3237,8 @@ object SparkEntry {
 
     // corpus x corpus bitext mining at constant cell size — BOTH kNN
     // passes on the probe join (q187's exact dial bounds the query batch
-    // instead); the margin tail is identical and q187-oracle-proven
+    // instead); the margin tail is identical and q187-oracle-proven, and
+    // the picks themselves are hash-gated against exact mining by q188
     "q187_bitext_prod" -> ((s, dir) => {
       val e  = tbl(s, dir, "embeddings")
       val xc = e.where(col("vec_id") % 2 === 0)
@@ -3254,6 +3256,7 @@ object SparkEntry {
     // arithmetic (oracle-checked there) over the production candidate
     // source; the lexical arm is the q165 BM25 probe-vocabulary path
     // unchanged. Per-query inputs stay ≤k rows, fusion is O(config).
+    // The fused top-10's overlap vs exact fusion is hash-gated by q189.
     "q173_rrf_prod" -> ((s, dir) => {
       val d     = tbl(s, dir, "documents")
       val e     = tbl(s, dir, "embeddings")
