@@ -3134,7 +3134,15 @@ object SparkEntry {
     */
   val exactDialPinnedToOracleSf: Set[String] =
     Set("q137_knn_join", "q12_neardup_minhash", "q168_semdedup",
-      "q179_jaccard_join_exact")
+      "q179_jaccard_join_exact",
+      // found by the round-11 sf10 sweep: char 5-gram shingles survive the
+      // fixture's per-replica letter mutations far better than word
+      // shingles, so the template clusters stay band-coherent and the
+      // recall-exact candidate volume goes cluster-quadratic — ~73 GB of
+      // shuffle spill at sf10 (word-shingle q12's regime, one decade
+      // later). The linear dial is q40_neardup_ngram_prod (hard bucket
+      // cap bounds candidates at O(N·cap·bands)).
+      "q40_neardup_ngram")
 
   /** Bench-only production-dial twins — the dials the 100 TB path actually
     * runs, measured at EVERY sweep SF (the exact dials above stay pinned to
@@ -3190,6 +3198,25 @@ object SparkEntry {
       val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" extra trailing token")).as("text"))
       Dedup.nearDupPairsMinHash(d.unionByName(dup), "doc_id", "text", threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // char-ngram LSH near-dup at the LINEAR production dial: default r=4
+    // banding + a HARD per-bucket cap (64) that bounds total candidate
+    // volume at O(N·cap·bands) — the only sizing that survives a corpus
+    // whose duplicate clusters grow WITH the corpus (template boilerplate:
+    // this fixture, and real web crawl). The cap drops mega-clusters from
+    // pair enumeration by design — kill those via the exact-key/lines
+    // dedup family first; pair enumeration is for the long tail. The
+    // recall-exact dial (q40) stays the oracle at sf<=0.1.
+    "q40_neardup_ngram_prod" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing token")).as("text"))
+      Dedup.nearDupPairsNgram(d.unionByName(dup), "doc_id", "text",
+          threshold = 0.9, ngram = 5, numHashes = 128, bands = 32,
+          maxBucketSize = 64)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 

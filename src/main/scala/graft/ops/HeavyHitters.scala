@@ -186,13 +186,45 @@ object HeavyHitters {
     agg.finish(agg.merge(toMap(a), toMap(b)))
   }
 
+  /** Hard ceiling for [[topK]]'s capacity self-healing: 2^20 summary
+    * entries ≈ tens of MB collected once — still the "bounded config"
+    * driver-collect budget class; a corpus needing more than this for a
+    * PROVABLE top-k has a tail too flat for a hitters query to mean much.
+    */
+  private val MaxAutoCapacity = 1 << 20
+
   /** Shared engine: sketch pass → exact recount of candidates → runtime
     * coverage proof. Output: (term, n) ordered (n desc, term asc).
+    *
+    * SELF-HEALING capacity (round 11, found by the sf10 sweep): the MG
+    * coverage bound N/(capacity+1) must stay below the k-th hitter's true
+    * count, and that relation is data-dependent — a fixed dial that proves
+    * coverage at one decade can fail the proof at the next (bigram tail at
+    * sf10: N grew 10× while the k-th count grew ~6×). Rather than fail a
+    * job that already paid two corpus scans, retry at 4× capacity
+    * (deterministic — same result set once proven; each retry is two fresh
+    * scans) and fail loudly only at [[MaxAutoCapacity]]. Callers keep the
+    * capacity arg as the STARTING dial; sizing it right still saves the
+    * retry scans.
     */
   private def topK(spark: org.apache.spark.sql.SparkSession,
-                   toks: DataFrame, k: Int, capacity: Int): DataFrame = {
-    val summary = summarize(toks, capacity)
-    recountProven(spark, toks, summary, k, capacity)
+                   toks: DataFrame, k: Int, capacity: Int,
+                   autoGrow: Boolean): DataFrame = {
+    var cap = capacity
+    while (true) {
+      val summary = summarize(toks, cap)
+      try {
+        return recountProven(spark, toks, summary, k, cap)
+      } catch {
+        // recountProven's only require is the coverage proof; a capacity
+        // retry is exactly the remedy its message prescribes
+        case e: IllegalArgumentException if autoGrow && cap < MaxAutoCapacity =>
+          System.err.println(s"[hitters] coverage proof failed at capacity $cap, " +
+            s"retrying at ${cap * 4}: ${e.getMessage}")
+          cap *= 4
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Exact recount of a summary's candidates over the token stream, with
@@ -236,9 +268,14 @@ object HeavyHitters {
     * @param capacity sketch entries per summary — the memory/coverage dial.
     *                 Coverage needs the k-th hitter's frequency > N/(capacity+1);
     *                 for zipf-ish web text capacity ≈ 50–100× k is ample.
+    * @param autoGrow retry at 4× capacity (two fresh scans) when the
+    *                 coverage proof fails, up to 2^20 entries — see
+    *                 [[MaxAutoCapacity]]. Pass false to make `capacity` a
+    *                 hard memory contract that fails loudly instead.
     */
-  def topKTerms(df: DataFrame, textCol: String, k: Int, capacity: Int = 4096): DataFrame =
-    topK(df.sparkSession, tokenRows(df, textCol), k, capacity)
+  def topKTerms(df: DataFrame, textCol: String, k: Int, capacity: Int = 4096,
+                autoGrow: Boolean = true): DataFrame =
+    topK(df.sparkSession, tokenRows(df, textCol), k, capacity, autoGrow)
 
   /** Exact top-k most frequent word n-grams — the phrase-mining op curation
     * pipelines want (boilerplate detection, common template extraction).
@@ -246,9 +283,9 @@ object HeavyHitters {
     * [[topKTerms]].
     */
   def topKNgrams(df: DataFrame, textCol: String, n: Int, k: Int,
-                 capacity: Int = 4096): DataFrame = {
+                 capacity: Int = 4096, autoGrow: Boolean = true): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    topK(df.sparkSession, ngramRows(df, textCol, n), k, capacity)
+    topK(df.sparkSession, ngramRows(df, textCol, n), k, capacity, autoGrow)
   }
 
   // ── Incremental hitter store (the q139 HLL-store pattern for MG) ──────

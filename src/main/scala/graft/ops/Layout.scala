@@ -32,8 +32,13 @@ object Layout {
     require(max > min, "max must exceed min")
     require(bits >= 1 && bits <= 20, "bits must be 1..20")
     val n = (1 << bits).toDouble
-    least(lit((1 << bits) - 1),
-      greatest(lit(0), floor((c.cast("double") - min) * n / (max - min)).cast("int")))
+    // clamp in DOUBLE space BEFORE the int cast: an out-of-range value far
+    // above `max` (e.g. a key offset by a 10x fixture replication) makes
+    // the raw floor exceed Int range, and ANSI mode then throws
+    // CAST_OVERFLOW instead of clamping (found by the sf10 sweep, q157)
+    least(lit(((1 << bits) - 1).toDouble),
+      greatest(lit(0.0), floor((c.cast("double") - min) * n / (max - min))))
+      .cast("int")
   }
 
   /** Quantile bucketing for arbitrary distributions: boundaries from

@@ -31,6 +31,12 @@ class LayoutSpec extends SparkSpec {
     val df = Seq(-5.0, 0.0, 49.9, 99.9, 150.0).toDF("v")
     val got = df.select(Layout.uniformBucket(col("v"), 0.0, 100.0, 8)).as[Int].collect().toSeq
     assert(got == Seq(0, 0, 127, 255, 255))
+    // a value FAR above max (a key offset by fixture replication) must
+    // clamp, not CAST_OVERFLOW: the clamp runs in double space before the
+    // int cast (found by the round-11 sf10 sweep, q157)
+    val far = Seq(2.0e10, -3.0e18).toDF("v")
+      .select(Layout.uniformBucket(col("v"), 0.0, 100.0, 8)).as[Int].collect().toSeq
+    assert(far == Seq(255, 0))
   }
 
   test("quantileBuckets equi-populates buckets under heavy skew") {
