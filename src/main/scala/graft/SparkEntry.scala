@@ -2191,9 +2191,15 @@ object SparkEntry {
     // common spans). Pure-codegen gram generation, no UDF; bigram
     // dictionaries are flatter than unigram ones, so capacity carries a
     // larger margin for the MG bound.
+    // autoGrow OPT-IN here (round 12: the default flipped to false so an
+    // explicit capacity stays a hard memory contract): this slot runs the
+    // same dial across three decades of sweep SFs, and the MG coverage
+    // relation is data-dependent — the sf10 sweep proved 16384 fails the
+    // proof there and heals at 4× (SCALE.md round 11); completion across
+    // decades beats the sizing contract for a bench slot.
     "q162_ngram_hitters" -> ((s, dir) =>
       HeavyHitters.topKNgrams(tbl(s, dir, "documents"), "text", n = 2, k = 10,
-        capacity = 16384)),
+        capacity = 16384, autoGrow = true)),
 
     // kNN label classification (round 9): majority-vote label from the 10
     // nearest neighbors, leave-one-out (excludeSelf — the prediction never
@@ -3043,7 +3049,12 @@ object SparkEntry {
       TermStats.rrfFuse(lex, semIvf, "doc_id", k = 10)
         .select(col("query_id"), col("doc_id"))
         .write.mode("overwrite").parquet(rrfProdPath)
-      val prod = s.read.parquet(rrfProdPath).withColumn("__hit", lit(1L))
+      // dedup to mirror the oracle's SELECT DISTINCT over the same parquet:
+      // rrfFuse's row_number top-10 cannot emit (query_id, doc_id) dups, but
+      // if it ever did, only symmetric reads keep the gate measuring pick
+      // divergence rather than engine-side double counting
+      val prod = s.read.parquet(rrfProdPath)
+        .dropDuplicates("query_id", "doc_id").withColumn("__hit", lit(1L))
       val semEx = Ann.bruteForceTopK(e, qVec, "vec_id", "embedding", "qid", "embedding", k = 20)
         .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
       TermStats.rrfFuse(lex, semEx, "doc_id", k = 10)
@@ -3142,7 +3153,24 @@ object SparkEntry {
       // shuffle spill at sf10 (word-shingle q12's regime, one decade
       // later). The linear dial is q40_neardup_ngram_prod (hard bucket
       // cap bounds candidates at O(N·cap·bands)).
-      "q40_neardup_ngram")
+      "q40_neardup_ngram",
+      // round-12: the two recall-exact-banding slots the round-11 sweep
+      // showed entering the SAME Σcluster² regime one decade behind q40
+      // (51× and 27× sf1→sf10 — recallExactBands(0.6) is r=2, and the
+      // fixture's template clusters grow WITH the corpus, so candidate
+      // volume grows cluster-quadratically until the bucket cap saturates
+      // and starts silently eroding the recall-exactness the dial exists
+      // for). Linear evidence: q12_neardup_minhash_prod (pair enumeration)
+      // and q142_split_leakage_prod (the split dimension's own slope).
+      "q51_dedup_near", "q142_split_leakage",
+      // round-12: output-quadratic BY CONSTRUCTION on this fixture — both
+      // sides of the ±100-band join grow with the corpus over a FIXED
+      // acctbal domain, so per-bin occupancy grows ~N on both sides and
+      // the TRUE MATCH COUNT (not just the candidate count) grows ~N²
+      // (161× sf1→sf10; sf10 output ≈ 1.6e9 rows). No dial fixes an
+      // output-quadratic query; the scale-linear production shape is a
+      // fixed-size interval side — q55_range_join_prod.
+      "q55_range_join")
 
   /** Bench-only production-dial twins — the dials the 100 TB path actually
     * runs, measured at EVERY sweep SF (the exact dials above stay pinned to
@@ -3296,6 +3324,61 @@ object SparkEntry {
           k = 20, numCentroids = c, nprobe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
       TermStats.rrfFuse(lex, sem, "doc_id", k = 10)
+    }),
+
+    // range join at the SCALE-LINEAR shape (round 12 — q55's 161×/decade
+    // twin): the interval side is a FIXED O(config) band table (512 rate
+    // bands over the acctbal domain — the rate-table/SLA-band production
+    // case), points grow with the corpus. Bin occupancy on the interval
+    // side is then CONSTANT in N (~2 intervals/bin), so co-binned
+    // comparisons and output are both O(|points|) — the regime the
+    // operator's scaladoc promises. The exact dial (q55, both sides
+    // growing over a fixed domain) is output-quadratic by construction
+    // and pinned to the oracle SF.
+    "q55_range_join_prod" -> ((s, dir) => {
+      val pts = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val iv = s.range(0, 512).select(col("id").as("band_id"),
+        (col("id") * 22.0 - 1000.0).as("lo"),
+        (col("id") * 22.0 - 1000.0 + 30.0).as("hi"))
+      RangeJoin.pointInInterval(pts, "c_acctbal", iv, "lo", "hi", binWidth = 30.0)
+        .select(col("c_custkey"), col("band_id"))
+    }),
+
+    // split-leakage at the LINEAR production dial (round 12 — q142's
+    // 27×/decade twin): default r=4 banding + the hard 64-doc bucket cap
+    // (the q40 lesson: the cap IS the linearity guarantee, O(N·cap·bands)).
+    // The split-crossing join rides on already-enumerated pairs, so the
+    // split dimension adds two label joins and nothing super-linear.
+    // Completeness evidence is q142's recall-exact oracle at sf<=0.1.
+    "q142_split_leakage_prod" -> ((s, dir) => {
+      val d   = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing token")).as("text"))
+      val all = Sampling.hashSplit(d.unionByName(dup), "doc_id",
+        Seq(("train", 0.8), ("test", 1.0)))
+      Dedup.splitLeakage(all, "doc_id", "text", "split", threshold = 0.6,
+          maxBucketSize = 64)
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // bidirectional bitext mining at the production dial (round 12 —
+    // VERDICT r11 task 5): BOTH directions' picks from constant-cell IVF
+    // candidates, then the q192-oracle-proven union+max-margin+threshold
+    // combine — one extra shuffle over rows already reduced to ≤|X|+|Y|
+    // picks. Forward-direction quality is q188's measured gate; this
+    // slot's job is the slope of the full bidirectional path.
+    "q192_bitext_bidi_prod" -> ((s, dir) => {
+      val e  = tbl(s, dir, "embeddings")
+      val xc = e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val yc = e.where(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val c = math.max(8L, yc.count() / 256L).toInt
+      Bitext.minePairsIvfBidirectional(xc, yc, "id", "v", "id", "v", k = 4,
+          numCentroids = c, nprobe = 2, strategy = "union", marginThreshold = 1.0)
+        .select(col("x_id"), col("y_id"),
+          round(col("cosine"), 6).as("cosine"), round(col("margin"), 6).as("margin"))
     }),
   )
 

@@ -214,7 +214,11 @@ object Dedup {
     * Scale shape: the pair search is the standard banded/bucket-capped
     * MinHash pipeline; the split labels join back as (id, label) rows —
     * payloads never re-shuffle. At [[recallExactBands]] the report is
-    * COMPLETE over J ≥ threshold (the oracle dial of q142).
+    * COMPLETE over J ≥ threshold (the oracle dial of q142) but candidate
+    * volume grows with Σcluster² when duplicate clusters grow with the
+    * corpus — the production dial is default banding plus a HARD
+    * `maxBucketSize` (the q40 lesson: the cap IS the linearity guarantee,
+    * O(N·cap·bands)).
     */
   def splitLeakage(
       df: DataFrame,
@@ -223,9 +227,10 @@ object Dedup {
       splitCol: String,
       threshold: Double = 0.7,
       bands: Int = 32,
+      maxBucketSize: Int = 1000,
   ): DataFrame = {
     val pairs  = nearDupPairsMinHash(df.select(col(idCol), col(textCol)),
-      idCol, textCol, threshold, bands = bands)
+      idCol, textCol, threshold, bands = bands, maxBucketSize = maxBucketSize)
     val labels = df.select(col(idCol), col(splitCol))
     pairs
       .join(labels.select(col(idCol).as("id_a"), col(splitCol).as("split_a")), Seq("id_a"))

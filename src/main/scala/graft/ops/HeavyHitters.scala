@@ -268,13 +268,18 @@ object HeavyHitters {
     * @param capacity sketch entries per summary — the memory/coverage dial.
     *                 Coverage needs the k-th hitter's frequency > N/(capacity+1);
     *                 for zipf-ish web text capacity ≈ 50–100× k is ample.
-    * @param autoGrow retry at 4× capacity (two fresh scans) when the
-    *                 coverage proof fails, up to 2^20 entries — see
-    *                 [[MaxAutoCapacity]]. Pass false to make `capacity` a
-    *                 hard memory contract that fails loudly instead.
+    * @param autoGrow opt-in: retry at 4× capacity (two fresh scans) when
+    *                 the coverage proof fails, up to 2^20 entries — see
+    *                 [[MaxAutoCapacity]]. DEFAULT FALSE (round 12):
+    *                 `capacity` is a hard memory contract that fails
+    *                 loudly; a caller who sized it as a memory bound must
+    *                 not silently get 256× that plus extra corpus scans.
+    *                 Pass true when completion beats the sizing contract
+    *                 (the coverage relation is data-dependent — a dial
+    *                 provable at one decade can fail at the next).
     */
   def topKTerms(df: DataFrame, textCol: String, k: Int, capacity: Int = 4096,
-                autoGrow: Boolean = true): DataFrame =
+                autoGrow: Boolean = false): DataFrame =
     topK(df.sparkSession, tokenRows(df, textCol), k, capacity, autoGrow)
 
   /** Exact top-k most frequent word n-grams — the phrase-mining op curation
@@ -283,7 +288,7 @@ object HeavyHitters {
     * [[topKTerms]].
     */
   def topKNgrams(df: DataFrame, textCol: String, n: Int, k: Int,
-                 capacity: Int = 4096, autoGrow: Boolean = true): DataFrame = {
+                 capacity: Int = 4096, autoGrow: Boolean = false): DataFrame = {
     require(n >= 1, "n must be >= 1")
     topK(df.sparkSession, ngramRows(df, textCol, n), k, capacity, autoGrow)
   }

@@ -114,18 +114,32 @@ object Packing {
     // into nulls, silently collapsing the order key (and the tie-break) into
     // nondeterminism instead of failing loudly
     val ord = orderKey.getOrElse(xxhash64(col(idCol)))
+    // pin the (possibly expensive — BPE encode) input FIRST: without this,
+    // repartitionByRange's range-sampling job evaluates the full upstream
+    // plan once and the shuffle evaluates it AGAIN — the round-12 q132
+    // diagnosis measured the encode running twice inside the pack. One
+    // materialization; the sampler and the shuffle both read cheap arrays.
     val withEos = df.select(
       col(idCol).as("id"),
       concat(col(idsCol), array(lit(eosId))).as("ids"),
       ord.as("__h"),
-    )
-    // phase 1: global exclusive prefix sum of per-doc lengths
-    val parts = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    ).withColumn("__len", size(col("ids")).cast("long"))
+      .localCheckpoint()
+    // phase 1: global exclusive prefix sum of per-doc lengths.
+    // Partition count scales with the TOKEN STREAM (cheap agg over the
+    // pinned input), floored at the session parallelism — a fixed count
+    // makes per-partition sort memory grow with N (the local-mode version
+    // of "size your shuffle partitions for the target SF"); ~8M ids per
+    // partition keeps each sort comfortably in executor memory.
+    val totalTokens =
+      withEos.agg(coalesce(sum(col("__len")), lit(0L))).collect()(0).getLong(0)
+    val parts = math.max(
+      math.max(1, df.sparkSession.sparkContext.defaultParallelism),
+      (totalTokens / 8000000L).toInt)
     val parted = withEos
       .repartitionByRange(parts, col("__h"), col("id"))
       .sortWithinPartitions(col("__h"), col("id"))
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__len", size(col("ids")).cast("long"))
       .localCheckpoint() // pin: subtotals and the main pass MUST see one plan
     val baseOf: Map[Int, Long] = {
       val subtotals = parted.groupBy(col("__pid")).agg(sum(col("__len")).as("t"))

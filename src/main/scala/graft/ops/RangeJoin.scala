@@ -21,7 +21,23 @@ import org.apache.spark.sql.functions._
   *     `maxBinsPerInterval` so one degenerate [-∞,∞]-ish interval cannot
   *     flood the shuffle;
   *   - comparisons happen only between co-binned rows, so the quadratic
-  *     term is bounded by bin occupancy, not table size.
+  *     term is bounded by PER-BIN OCCUPANCY — which is only a win when
+  *     occupancy is bounded.
+  *
+  * FIXED-DOMAIN FAILURE MODE (found by the round-11 sf10 sweep, 161×/
+  * decade): when the value domain does NOT grow with the data (account
+  * balances, percent scores, bounded sensor ranges — the common case),
+  * the bin count is constant, so per-bin occupancy grows ~N on BOTH
+  * sides and co-binned comparisons grow ~N². No binning dial fixes that
+  * when both sides grow over a fixed domain, because the TRUE OUTPUT is
+  * itself ~|P|·|I|·density — the query is output-quadratic by
+  * construction. The scale-linear shapes are: (a) a fixed-size interval
+  * side (rate tables, quality bands — O(config) intervals over any
+  * corpus of points: occupancy per bin is constant in N, output is
+  * O(|P|·matches-per-point)); or (b) bounded per-point semantics
+  * (nearest interval / top-1) that cap output at O(|P|). Binning with
+  * both sides growing is only sub-quadratic when the DOMAIN grows with
+  * the data (timestamps, monotonically allocated ids).
   *
   * Pick `binWidth` ≈ the median interval length: ~2× interval replication
   * and near-minimal bin occupancy. When the interval side is small, skip

