@@ -128,6 +128,32 @@ object Dedup {
         NativeFunctions.minHashSignature(col("sh"), numHashes), bands)),
     ).toDF("id", "band", "bucket")
 
+  /** Drop rows whose key group exceeds `cap` — the degenerate-bucket cut
+    * shared by every blocking family (LSH bands, winnow fingerprints,
+    * SimHash chunks, SRP tables, SemDeDup cells).
+    *
+    * NOT a count-over-window: a window count shuffles AND SORTS every row
+    * of the hottest key into ONE task, so the straggler grows with the
+    * biggest bucket — and degenerate buckets grow with the corpus on
+    * boilerplate-heavy data. The round-12 sf30 probe measured exactly
+    * that: the char-ngram capped dial ran 7.7× for 3× data with ZERO
+    * speedup from 2× cores (char 5-grams share digit/punctuation shingles
+    * across the fixture's letter-mapped replicas, so its hot buckets grow
+    * ∝N; word-shingle MinHash decorrelates and stayed linear at 2.95×).
+    * Aggregate-count + left-anti join keeps the identical filter with
+    * map-side combine and NO per-key sort: the oversized-key list is tiny
+    * by construction (keys are dropped BECAUSE they are degenerate), so
+    * AQE broadcasts it; if a pathological corpus ever makes it large, AQE
+    * skew-splits the anti join — both rescues are impossible for a window.
+    */
+  private def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame = {
+    val over = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > cap)
+      .select(keys.map(col): _*)
+    df.join(over, keys, "left_anti")
+  }
+
   /** Shared LSH tail: cap bucket sizes, self-join ids within (band, bucket),
     * dedup candidate pairs, then join the shingle sets back BY ID for the
     * exact-Jaccard verify. Two corpus passes (banding + set re-join) instead
@@ -139,9 +165,7 @@ object Dedup {
       threshold: Double,
       maxBucketSize: Int,
   ): DataFrame = {
-    val capped = banded.withColumn(
-      "__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))),
-    ).where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val capped = dropOversized(banded, maxBucketSize, "band", "bucket")
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -384,9 +408,7 @@ object Dedup {
       NativeFunctions.shingleHashes(col(textCol), shingleK).as("q_sh"))
     val cBands = banded(
       cSets.select(col("corpus_id").as("id"), col("c_sh").as("sh")), numHashes, bands)
-    val capped = cBands.withColumn(
-      "__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val capped = dropOversized(cBands, maxBucketSize, "band", "bucket")
     val qBands = banded(
       qSets.select(col("query_id").as("id"), col("q_sh").as("sh")), numHashes, bands)
     val cand = capped.select(col("band"), col("bucket"), col("id").as("corpus_id"))
@@ -675,9 +697,7 @@ object Dedup {
       if (winnowWindow == 1) NativeFunctions.windowHashes64(col("__text"), minLen)
       else NativeFunctions.winnowFingerprints(col("__text"), minLen, winnowWindow)
     val fps = base.select(col("id"), explode(keys).as("wh"))
-    val capped = fps.withColumn(
-      "__bsz", count(lit(1)).over(Window.partitionBy(col("wh"))),
-    ).where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val capped = dropOversized(fps, maxBucketSize, "wh")
     val cands = capped.select(col("wh"), col("id").as("id_a"))
       .join(capped.select(col("wh"), col("id").as("id_b")), Seq("wh"))
       .where(col("id_a") < col("id_b"))
@@ -836,9 +856,7 @@ object Dedup {
   ): DataFrame = {
     val chunks  = maxHamming + 1
     val blocked = hash64Chunks(df, idCol, hashCol, chunks)
-    val capped = blocked.withColumn(
-      "__bsz", count(lit(1)).over(Window.partitionBy(col("chunk"), col("val"))),
-    ).where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val capped = dropOversized(blocked, maxBucketSize, "chunk", "val")
     val a = capped.select(col("chunk"), col("val"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = capped.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
     // verify BEFORE dedup: popcount(xor) is one instruction, so filtering
@@ -929,9 +947,7 @@ object Dedup {
       col("vec"),
       element_at(NativeFunctions.nearestCentroids(col("vec"), cents, 1), 1).as("cell"),
     )
-    val capped = assigned.withColumn(
-      "__csz", count(lit(1)).over(Window.partitionBy(col("cell"))),
-    ).where(col("__csz") <= maxClusterCompare).drop("__csz")
+    val capped = dropOversized(assigned, maxClusterCompare, "cell")
     val a = capped.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = capped.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
     val pairs = a.join(b, Seq("cell"))
@@ -1065,9 +1081,7 @@ object Dedup {
       posexplode(array((0 until tables).map(t =>
         NativeFunctions.srpBucket(col("vec"), bits, seed = 42L + t)): _*)),
     ).toDF("id", "tbl", "bucket")
-    val capped = bucketed.withColumn(
-      "__bsz", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))),
-    ).where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val capped = dropOversized(bucketed, maxBucketSize, "tbl", "bucket")
     val a = capped.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("tbl", "bucket"))
