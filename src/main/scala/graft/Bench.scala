@@ -100,8 +100,15 @@ object Bench {
       if (sf > 0.105) SparkEntry.exactDialPinnedToOracleSf else Set.empty[String]
     pinnedSkipped.foreach(n =>
       System.err.println(s"[bench] $n pinned to the oracle SF (exact dial), skipped at sf=$sf"))
+    // SPARK_GRAFT_SLOT_FILTER=<regex>: run only matching slots — the
+    // third-decade probe sweeps the 12 benchOnly twins + the documented
+    // cost-step (q162) as a committed artifact instead of RunOne prose
+    // (round-13, VERDICT r12 task 5). The filter is honest in the output:
+    // a filtered artifact lists only the slots it ran.
+    val slotFilter = sys.env.get("SPARK_GRAFT_SLOT_FILTER").map(_.r)
     val sorted = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
       .filterNot { case (n, _) => pinnedSkipped.contains(n) }
+      .filter { case (n, _) => slotFilter.forall(_.findFirstIn(n).isDefined) }
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
       sorted.foreach { case (name, fn) =>

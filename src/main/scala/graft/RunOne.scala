@@ -11,7 +11,12 @@ object RunOne {
     val explain = args.contains("explain")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples the shuffle width from the
+      // core count for partition-scaling experiments (the q132/q40 recipe:
+      // same cores, 32 vs 128 shuffle partitions)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")

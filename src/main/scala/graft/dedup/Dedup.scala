@@ -96,7 +96,7 @@ object Dedup {
       col(idCol).as("id"),
       NativeFunctions.shingleHashes(col(textCol), shingleK).as("sh"),
     )
-    verifyPairs(banded(sets, numHashes, bands), sets, threshold, maxBucketSize)
+    verifyPairs(sets, numHashes, bands, threshold, maxBucketSize)
   }
 
   /** n-gram Jaccard near-dup: identical LSH pipeline but over character
@@ -117,7 +117,7 @@ object Dedup {
       col(idCol).as("id"),
       NativeFunctions.charNgramHashes(col(textCol), ngram).as("sh"),
     )
-    verifyPairs(banded(sets, numHashes, bands), sets, threshold, maxBucketSize)
+    verifyPairs(sets, numHashes, bands, threshold, maxBucketSize)
   }
 
   /** (id, band, bucket) rows — NO payload columns ride the 32× explode. */
@@ -127,6 +127,17 @@ object Dedup {
       posexplode(NativeFunctions.bandBuckets(
         NativeFunctions.minHashSignature(col("sh"), numHashes), bands)),
     ).toDF("id", "band", "bucket")
+
+  /** [[banded]] plus the set SIZE (one int per row — payload arrays still
+    * never ride the explode): `n` feeds the exact length filter at pair
+    * enumeration, before any array is shuffled.
+    */
+  private[dedup] def bandedSized(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sets.select(
+      col("id"), size(col("sh")).as("n"),
+      posexplode(NativeFunctions.bandBuckets(
+        NativeFunctions.minHashSignature(col("sh"), numHashes), bands)),
+    ).toDF("id", "n", "band", "bucket")
 
   /** Drop rows whose key group exceeds `cap` — the degenerate-bucket cut
     * shared by every blocking family (LSH bands, winnow fingerprints,
@@ -146,30 +157,65 @@ object Dedup {
     * AQE broadcasts it; if a pathological corpus ever makes it large, AQE
     * skew-splits the anti join — both rescues are impossible for a window.
     */
-  private def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame = {
-    val over = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") > cap)
-      .select(keys.map(col): _*)
-    df.join(over, keys, "left_anti")
-  }
+  private def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame =
+    sys.env.getOrElse("GRAFT_CAP_IMPL", "antijoin") match {
+      case "window" =>
+        // measurement twin of the anti-join (round-13 adjudication dial,
+        // VERDICT r12 task 1): the pre-round-12 count-over-window cap.
+        // Cheaper at small SF (one shuffle, no second pass) but a skew
+        // trap at scale — the hottest key sorts into ONE task.
+        df.withColumn("__bsz",
+            count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+          .where(col("__bsz") <= cap).drop("__bsz")
+      case _ =>
+        val over = df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__bsz"))
+          .where(col("__bsz") > cap)
+          .select(keys.map(k => col(k).as(s"__over_$k")): _*)
+        // null-safe equality (<=>): a NULL bucket key forms a group under
+        // groupBy, and an oversized null-key group must be dropped exactly
+        // like the window count does — a plain equi-anti-join would never
+        // match null keys and silently keep them (today's call sites feed
+        // non-null keys, but the helper is generic)
+        val cond = keys.map(k => col(k) <=> col(s"__over_$k")).reduce(_ && _)
+        df.join(over, cond, "left_anti")
+    }
 
   /** Shared LSH tail: cap bucket sizes, self-join ids within (band, bucket),
-    * dedup candidate pairs, then join the shingle sets back BY ID for the
-    * exact-Jaccard verify. Two corpus passes (banding + set re-join) instead
-    * of shipping every set through the 32-band shuffle.
+    * LENGTH-FILTER the enumerated pairs, dedup candidates, then join the
+    * shingle sets back BY ID for the exact-Jaccard verify. Two corpus passes
+    * (banding + set re-join) instead of shipping every set through the
+    * 32-band shuffle.
+    *
+    * ==The length filter (round 13 — the q40_prod residual fix)==
+    * J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|) while
+    * |A∩B| ≤ min(|A|,|B|), so any pair with min/max < t can be dropped
+    * with ZERO false dismissals (the size-ratio filter of the exact
+    * similarity-join literature — PPJoin's length bound). Set sizes ride
+    * the band explode as one int, so the filter runs at pair-enumeration
+    * time — BEFORE the pair-dedup shuffle and before any payload array
+    * moves. On the sf30 probe this cut 30.8M enumerated candidates to
+    * 6.5M (identical 188,583 verified pairs) and the verify stage from
+    * ~104 s to ~20 s: the residual super-linearity was not the verify
+    * JOIN's partitioning (32 vs 128 vs 512 partitions and SHUFFLE_HASH
+    * all measured flat-to-worse) but its VOLUME — candidate pairs × two
+    * ~215-element hash arrays each ≈ 52 GB through one shuffle, 99.4% of
+    * it false positives at t=0.9. Bytes not moved beat bytes moved well.
     */
   private def verifyPairs(
-      banded: DataFrame,
       sets: DataFrame,
+      numHashes: Int,
+      bands: Int,
       threshold: Double,
       maxBucketSize: Int,
   ): DataFrame = {
-    val capped = dropOversized(banded, maxBucketSize, "band", "bucket")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val capped = dropOversized(bandedSized(sets, numHashes, bands),
+      maxBucketSize, "band", "bucket")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("n").as("na"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("n").as("nb"))
     val candidates = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * threshold)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
@@ -406,15 +452,21 @@ object Dedup {
       NativeFunctions.shingleHashes(col(textCol), shingleK).as("c_sh"))
     val qSets = queries.select(col(idCol).as("query_id"),
       NativeFunctions.shingleHashes(col(textCol), shingleK).as("q_sh"))
-    val cBands = banded(
+    val cBands = bandedSized(
       cSets.select(col("corpus_id").as("id"), col("c_sh").as("sh")), numHashes, bands)
     val capped = dropOversized(cBands, maxBucketSize, "band", "bucket")
-    val qBands = banded(
+    val qBands = bandedSized(
       qSets.select(col("query_id").as("id"), col("q_sh").as("sh")), numHashes, bands)
-    val cand = capped.select(col("band"), col("bucket"), col("id").as("corpus_id"))
-      .join(qBands.select(col("band"), col("bucket"), col("id").as("query_id")),
+    // exact length filter at enumeration time (see verifyPairs): J ≥ t
+    // requires size-ratio ≥ t, so below-ratio pairs drop before the
+    // pair-dedup shuffle and the array re-join
+    val cand = capped.select(
+        col("band"), col("bucket"), col("id").as("corpus_id"), col("n").as("cn"))
+      .join(qBands.select(
+          col("band"), col("bucket"), col("id").as("query_id"), col("n").as("qn")),
         Seq("band", "bucket"))
-      .where(col("corpus_id") =!= col("query_id"))
+      .where(col("corpus_id") =!= col("query_id") &&
+        least(col("cn"), col("qn")) >= greatest(col("cn"), col("qn")) * threshold)
       .select(col("query_id"), col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
     val scored = cand.join(qSets, Seq("query_id")).join(cSets, Seq("corpus_id"))

@@ -73,6 +73,30 @@ class DedupSimilaritySpec extends SparkSpec {
         "if this starts failing, the banding dial docs in Dedup are stale")
   }
 
+  test("length filter is lossless: LSH pairs at recall-exact banding equal brute-force jaccard") {
+    // size-diverse corpus: replicas (same size, J=1), a truncated half-doc
+    // (size ratio ~0.5 — the length filter MUST prune it at t=0.9 without
+    // being able to drop any qualifying pair), and unrelated docs
+    val base = (0 until 12).map(j => s"token$j common words here").mkString(" ")
+    val corpus = Seq(
+      (1L, base), (2L, base),                                // exact dups
+      (3L, base.split(" ").take(24).mkString(" ")),          // half-size
+      (4L, (0 until 40).map(j => s"other$j").mkString(" ")), // unrelated
+    ).toDF("doc_id", "text")
+    val t = 0.9
+    val lsh = Dedup.nearDupPairsMinHash(corpus, "doc_id", "text", threshold = t,
+        bands = Dedup.recallExactBands(t))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: every pair's exact jaccard over the same shingle sets
+    val sets = corpus.select($"doc_id",
+      graft.functions.NativeFunctions.shingleHashes($"text", 3).as("sh"))
+    val brute = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+      .where(graft.functions.NativeFunctions.jaccardSorted($"a.sh", $"b.sh") >= t)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"LSH+length-filter $lsh != brute-force $brute")
+    assert(brute.contains((1L, 2L)) && !brute.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("dedupNear removes near-duplicates keeping smallest id") {
     val out = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet

@@ -45,6 +45,33 @@ class GateFloorSpec extends SparkSpec {
       s"worst-query overlap@10 ${per.min} fell below the 4 floor (round-12 min 6)")
   }
 
+  test("q185 MMR-over-IVF overlap holds its floor") {
+    val per = gate("q185_mmr_prod_overlap")
+      .select(col("overlap_at_5").cast("double")).collect().map(_.getDouble(0))
+    assert(per.nonEmpty, "gate produced no per-query overlap rows")
+    val mean = per.sum / per.length
+    info(f"q185 overlap@5: mean $mean%.2f, min ${per.min}%.0f over ${per.length} queries")
+    assert(mean >= 2.0,
+      s"mean MMR pick overlap@5 $mean fell below the 2.0 floor " +
+        "(round-13 reading 2.75 at nprobe=2) — the IVF candidate path regressed")
+  }
+
+  test("q186 retrieval nDCG@10 holds its floor") {
+    val per = gate("q186_retrieval_ndcg")
+      .select(col("ndcg_at_10").cast("double")).collect().map(_.getDouble(0))
+    assert(per.length == 5, s"expected 5 query rows, got ${per.length}")
+    val mean = per.sum / per.length
+    info(f"q186 nDCG@10: mean $mean%.3f, min ${per.min}%.3f")
+    // the sf0.001 fixture is tiny (graded relevance is same-source=2 /
+    // same-lang=1 over ~60 docs), so absolute nDCG is low by construction;
+    // the floor guards the READING against silent degradation, with margin
+    assert(mean >= 0.18,
+      s"mean nDCG@10 $mean fell below the 0.18 floor (round-13 reading 0.243) " +
+        "— BM25 ranking quality regressed")
+    assert(per.min >= 0.06,
+      s"worst-query nDCG@10 ${per.min} fell below the 0.06 floor (round-13 min 0.110)")
+  }
+
   test("q190 trim approx/exact agreement holds its floor") {
     val rows = gate("q190_trim_prod_agree").collect()
     assert(rows.nonEmpty)
