@@ -143,42 +143,47 @@ object Dedup {
     * shared by every blocking family (LSH bands, winnow fingerprints,
     * SimHash chunks, SRP tables, SemDeDup cells).
     *
-    * NOT a count-over-window: a window count shuffles AND SORTS every row
-    * of the hottest key into ONE task, so the straggler grows with the
-    * biggest bucket — and degenerate buckets grow with the corpus on
-    * boilerplate-heavy data. The round-12 sf30 probe measured exactly
-    * that: the char-ngram capped dial ran 7.7× for 3× data with ZERO
-    * speedup from 2× cores (char 5-grams share digit/punctuation shingles
-    * across the fixture's letter-mapped replicas, so its hot buckets grow
-    * ∝N; word-shingle MinHash decorrelates and stayed linear at 2.95×).
-    * Aggregate-count + left-anti join keeps the identical filter with
-    * map-side combine and NO per-key sort: the oversized-key list is tiny
-    * by construction (keys are dropped BECAUSE they are degenerate), so
-    * AQE broadcasts it; if a pathological corpus ever makes it large, AQE
-    * skew-splits the anti join — both rescues are impossible for a window.
+    * ==Default: count-over-window (round 13 — round 12's rewrite reverted)==
+    * Round 12 replaced this window with an aggregate-count + left-anti
+    * join, diagnosing the char-ngram dial's sf30 super-linearity as the
+    * window sorting the hottest bucket into one task. The round-13
+    * adjudication (both impls on one HEAD via `GRAFT_CAP_IMPL`, nine
+    * slots covering all six blocking families, sf1 + sf10 + sf30 probes)
+    * showed that diagnosis was a MISATTRIBUTION: the super-linear cost
+    * was the unfiltered verify volume (fixed by the length filter in
+    * [[verifyPairs]]), and with it gone the window wins at every
+    * measured scale for every family — sf10 totals 397.7 s (window) vs
+    * 918.6 s (anti-join); sf30 char-ngram 24.7 s vs 29.7 s, word-shingle
+    * 59.8 s vs 98.7 s. The anti-join's price is structural: the blocking
+    * relation is consumed twice (count pass + probe), so its upstream —
+    * image decode for perceptual hashes, fingerprinting for winnow —
+    * runs twice, and for near-unique keys (winnow) the "thin" count
+    * shuffle is as wide as the relation itself; a localCheckpoint pin
+    * traded recompute for a write of the exploded relation and measured
+    * worse still on winnow (352 s vs window's 53 s at sf10).
+    *
+    * ==The dial==
+    * `GRAFT_CAP_IMPL=antijoin` keeps the round-12 shape available: ONE
+    * scenario still favors it — a corpus whose hottest bucket alone
+    * (≳10⁸ rows of one key) overwhelms a single sort task; there AQE can
+    * skew-split the anti join, which a window cannot. Both impls are
+    * row-identical (null-key groups included — the anti-join matches on
+    * null-safe equality `<=>` so an oversized NULL bucket drops exactly
+    * like the window drops it), pinned by the oracle suite either way.
     */
   private def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame =
-    sys.env.getOrElse("GRAFT_CAP_IMPL", "antijoin") match {
-      case "window" =>
-        // measurement twin of the anti-join (round-13 adjudication dial,
-        // VERDICT r12 task 1): the pre-round-12 count-over-window cap.
-        // Cheaper at small SF (one shuffle, no second pass) but a skew
-        // trap at scale — the hottest key sorts into ONE task.
-        df.withColumn("__bsz",
-            count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-          .where(col("__bsz") <= cap).drop("__bsz")
-      case _ =>
+    sys.env.getOrElse("GRAFT_CAP_IMPL", "window") match {
+      case "antijoin" =>
         val over = df.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("__bsz"))
           .where(col("__bsz") > cap)
           .select(keys.map(k => col(k).as(s"__over_$k")): _*)
-        // null-safe equality (<=>): a NULL bucket key forms a group under
-        // groupBy, and an oversized null-key group must be dropped exactly
-        // like the window count does — a plain equi-anti-join would never
-        // match null keys and silently keep them (today's call sites feed
-        // non-null keys, but the helper is generic)
         val cond = keys.map(k => col(k) <=> col(s"__over_$k")).reduce(_ && _)
         df.join(over, cond, "left_anti")
+      case _ =>
+        df.withColumn("__bsz",
+            count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+          .where(col("__bsz") <= cap).drop("__bsz")
     }
 
   /** Shared LSH tail: cap bucket sizes, self-join ids within (band, bucket),

@@ -9,7 +9,7 @@
 #   hash64 chunks q13_neardup_simhash, q90_image_neardup
 #   SRP tables    q14_neardup_embedding
 #   SemDeDup cell q168_semdedup_prod
-# Emits scratch/adjudicate/<impl>_<sf>.json (Bench min-of-2, warm JVM).
+# Emits scratch/adjudicate/<impl>_<sf>.json (copy the results to bench_evidence/ when committing) (Bench min-of-2, warm JVM).
 set -e
 cd /root/repo
 export SPARK_GRAFT_QUERY_BUDGET_SEC=1500
