@@ -152,7 +152,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val pinnedJson = pinnedSkipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // pinned_skipped honors the slot filter too (ADVICE r13): a filtered
+    // artifact (the twins-only sf30 probe) must list only pins within the
+    // filter's scope — otherwise it reports pinned slots it never ran.
+    val pinnedJson = pinnedSkipped.toSeq
+      .filter(n => slotFilter.forall(_.findFirstIn(n).isDefined))
+      .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"pinned_skipped":$pinnedJson,"sf":"$sfDir"}"""
     println(line)

@@ -3258,8 +3258,14 @@ object SparkEntry {
       val c = math.max(8L, e.count() / 256L).toInt
       val queries = e.filter(col("vec_id") % 17 === 0)
         .select(col("vec_id").as("qid"), col("embedding"))
+      // query batch ∝ corpus (every 17th row) ⇒ a broadcast build relation
+      // would grow with N (cache-miss trap, SCALE.md round 14); default is
+      // the cell-shuffle pairing (measured 1.8–2.2× faster at sf30, slope
+      // 3.3→2.5); GRAFT_IVF_JOIN=broadcast keeps the bounded-batch dial
+      // measurable on one HEAD (the GRAFT_CAP_IMPL pattern)
       Ann.ivfTopK(e, queries, "vec_id", "embedding", "qid", "embedding",
-          k = 10, numCentroids = c, nprobe = 2, codec = "sq8")
+          k = 10, numCentroids = c, nprobe = 2, codec = "sq8",
+          candidateJoin = sys.env.getOrElse("GRAFT_IVF_JOIN", "shuffle"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -3275,7 +3281,8 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") % 17 === 0)
         .select(col("vec_id").as("qid"), col("embedding"))
       Ann.mmrRerankIvf(e, queries, "vec_id", "embedding", "qid", "embedding",
-        candidateK = 20, k = 5, lambda = 0.7, numCentroids = c, nprobe = 2)
+        candidateK = 20, k = 5, lambda = 0.7, numCentroids = c, nprobe = 2,
+        candidateJoin = sys.env.getOrElse("GRAFT_IVF_JOIN", "shuffle"))
     }),
 
     // per-group percentile trim, NO-SORT production dial — the

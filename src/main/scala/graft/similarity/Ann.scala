@@ -180,10 +180,11 @@ object Ann {
       lambda: Double = 0.7,
       numCentroids: Int = 256,
       nprobe: Int = 16,
+      candidateJoin: String = "broadcast",
   ): DataFrame =
     mmrFromCandidates(
       ivfTopK(corpus, queries, corpusId, corpusVec, queryId, queryVec, candidateK,
-        numCentroids, nprobe),
+        numCentroids, nprobe, candidateJoin = candidateJoin),
       corpus, corpusId, corpusVec, k, lambda)
 
   /** Shared MMR tail: join candidate rows back to their vectors, then the
@@ -296,8 +297,23 @@ object Ann {
       nprobe: Int = 16,
       codec: String = "float",
       codecFit: Option[DataFrame] = None,
+      candidateJoin: String = "broadcast",
   ): DataFrame = {
     require(codec == "float" || codec == "sq8", s"codec must be float or sq8, got $codec")
+    require(candidateJoin == "broadcast" || candidateJoin == "shuffle",
+      s"candidateJoin must be broadcast or shuffle, got $candidateJoin")
+    // Candidate pairing strategy (round 14). "broadcast" hash-joins the
+    // (queries × nprobe) side into every corpus task — right when the
+    // query batch is BOUNDED (the retrieval case: the build relation stays
+    // cache-resident and the corpus never shuffles). When the query side
+    // GROWS WITH THE CORPUS (corpus-sweep twins: every 17th row), the
+    // build relation outgrows cache and every probe is a random-access
+    // miss; "shuffle" instead exchanges both sides by cell — sequential
+    // merge access, the same shape [[knnJoin]] uses (measured linear,
+    // 3.07× at 3× data, where the broadcast path measured ~4×).
+    def pairByCell(c: DataFrame, q: DataFrame): DataFrame =
+      if (candidateJoin == "shuffle") c.join(q, Seq("cell"))
+      else c.join(broadcast(q), Seq("cell"))
     val cents = sampleCentroids(corpus, corpusId, corpusVec, numCentroids)
     val corpusCells = corpus.select(
       col(corpusId).as("__nid"),
@@ -340,11 +356,11 @@ object Ann {
         val qcoded = queryCells
           .select(col("query_id"), col("cell"),
             Sq8.roundtripExpr(col("__qvec"), los, steps, dim).as("__qdvec"))
-        ccoded.join(broadcast(qcoded), Seq("cell"))
+        pairByCell(ccoded, qcoded)
           .select(col("query_id"), col("__nid"),
             cosine(col("__qdvec"), col("__dvec")).as("__sim"))
       } else
-        corpusCells.join(broadcast(queryCells), Seq("cell"))
+        pairByCell(corpusCells, queryCells)
           .select(col("query_id"), col("__nid"),
             cosine(col("__qvec"), col("__nvec")).as("__sim"))
     topKOf(scored, k)

@@ -72,6 +72,97 @@ class GateFloorSpec extends SparkSpec {
       s"worst-query nDCG@10 ${per.min} fell below the 0.06 floor (round-13 min 0.110)")
   }
 
+  test("q164 kNN-classify ann/exact label agreement holds its floor") {
+    val rows = gate("q164_knn_agree")
+      .agg(avg(col("agree")).as("agree"), count(lit(1)).as("n")).collect()(0)
+    assert(rows.getLong(1) == 200, s"expected 200 query rows, got ${rows.getLong(1)}")
+    val agree = rows.getDouble(0)
+    info(f"q164 label agreement: $agree%.3f")
+    assert(agree >= 0.55,
+      s"ann/exact label agreement $agree fell below the 0.55 floor " +
+        "(round-14 reading 0.705 at nprobe=6/8, C=8) — the kNN candidate path regressed")
+  }
+
+  test("q164 floor has teeth: a starved candidate pool fails it") {
+    // synthetic degradation: nprobe=1 probes a single cell of eight —
+    // the candidate pool loses most true neighbors and the vote flips
+    import graft.similarity.Ann
+    val e       = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 200).select(col("vec_id").as("qid"), col("embedding"))
+    val degraded = Ann.knnClassify(e, queries, "vec_id", "embedding", "label", "qid", "embedding",
+        k = 10, numCentroids = 8, nprobe = 1, excludeSelf = true)
+      .select(col("query_id"), col("label").as("label_ann"))
+    val exact = Ann.knnClassify(e, queries, "vec_id", "embedding", "label", "qid", "embedding",
+        k = 10, numCentroids = 8, nprobe = 8, excludeSelf = true)
+      .select(col("query_id"), col("label").as("label_exact"))
+    val agree = exact.join(degraded, Seq("query_id"))
+      .agg(avg(when(col("label_ann") === col("label_exact"), 1.0).otherwise(0.0)))
+      .collect()(0).getDouble(0)
+    info(f"q164 degraded (nprobe=1) agreement: $agree%.3f")
+    assert(agree < 0.55,
+      s"nprobe=1 agreement $agree did not fall below the floor — the floor has no teeth")
+  }
+
+  test("q182 two-level assignment holds its agreement and regret floors") {
+    val rows = gate("q182_twolevel_assign")
+      .agg(avg(col("agree")).as("agree"), avg(abs(col("regret"))).as("regret"),
+        count(lit(1)).as("n")).collect()(0)
+    assert(rows.getLong(2) == 500, s"expected 500 vectors, got ${rows.getLong(2)}")
+    val agree  = rows.getDouble(0)
+    val regret = rows.getDouble(1)
+    info(f"q182 two-level vs flat: agree $agree%.3f, mean |regret| $regret%.4f")
+    // agreement on the tiny fixture is noisy (C=96 over 500 vecs — many
+    // near-tie cells), so the REGRET floor is the quality contract: a
+    // disagreeing assignment must land in a nearly-as-good cell
+    assert(agree >= 0.40,
+      s"two-level/flat cell agreement $agree fell below the 0.40 floor (round-14 reading 0.544)")
+    assert(regret <= 0.08,
+      s"mean assignment regret $regret exceeded the 0.08 ceiling (round-14 reading 0.032) " +
+        "— two-level is assigning to materially worse cells")
+  }
+
+  test("q183 SQ8 frame recall holds its floor — and raw-code scoring fails it") {
+    val per = gate("q183_sq8_frame_recall")
+      .select(col("recall_at_10").cast("double")).collect().map(_.getDouble(0))
+    assert(per.length == 50, s"expected 50 query rows, got ${per.length}")
+    val mean = per.sum / per.length
+    info(f"q183 recall@10: mean $mean%.3f, min ${per.min}%.2f")
+    assert(mean >= 0.95,
+      s"mean SQ8 frame recall $mean fell below the 0.95 floor (round-14 reading 0.988) " +
+        "— decoded-space scoring regressed")
+    assert(per.min >= 0.8,
+      s"worst-query recall ${per.min} fell below the 0.8 floor (round-14 min 0.90)")
+  }
+
+  test("q183 floor has teeth: raw-code scoring falls below it") {
+    // synthetic degradation: score RAW affine codes instead of decoded
+    // vectors (the documented 0.74-recall dial production refuses to use)
+    import graft.similarity.{Ann, Sq8}
+    import org.apache.spark.sql.expressions.Window
+    val e       = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
+    val fitted  = Sq8.fit(e.where(col("embedding").isNotNull && size(col("embedding")) === 64),
+      "embedding")
+    val coded  = Sq8.encode(e, "embedding", fitted).select(col("vec_id"), col("codes"))
+    val qcoded = Sq8.encode(queries, "embedding", fitted)
+      .select(col("qid").as("query_id"), col("codes").as("__qcodes"))
+    val scored = coded.crossJoin(broadcast(qcoded))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Sq8.quantizedCosine(col("codes"), col("__qcodes")).as("qcos"))
+    val rawTop = scored.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("neighbor_id"))))
+      .where(col("__rn") <= 10)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1L))
+    val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val recall = exact.join(rawTop, Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / (50.0 * 10.0)))
+      .collect()(0).getDouble(0)
+    info(f"q183 degraded (raw-code) recall@10: $recall%.3f")
+    assert(recall < 0.95,
+      s"raw-code recall $recall did not fall below the floor — the floor has no teeth")
+  }
+
   test("q190 trim approx/exact agreement holds its floor") {
     val rows = gate("q190_trim_prod_agree").collect()
     assert(rows.nonEmpty)

@@ -29,15 +29,56 @@ class SlopeBudgetSpec extends AnyFunSuite {
   private def artifacts: Seq[String] = {
     val base = Seq("BENCHFULL.json", "BENCHFULL_sf1.json", "BENCHFULL_sf10.json")
     val sf30 = "BENCHFULL_sf30.json"
-    if (new java.io.File(repo, sf30).isFile) base :+ sf30 else base
+    val withSf30 = if (new java.io.File(repo, sf30).isFile) base :+ sf30 else base
+    // third-decade denominator: the twins-only sf10 artifact swept under
+    // the same 15-slot filtered protocol as the sf30 probe (round 14 —
+    // the full-sweep sf10 numbers carry ~45 min of marathon warmth the
+    // filtered sf30 run doesn't, which inflated apparent slopes ~30%)
+    val sf10t = "BENCHFULL_sf10twins.json"
+    if (new java.io.File(repo, sf10t).isFile) withSf30 ++ Seq("--sf10twins", sf10t)
+    else withSf30
   }
 
   test("committed sweep artifacts satisfy the 12x/decade slope budget") {
-    assume(artifacts.forall(a => new java.io.File(repo, a).isFile),
-      "sweep artifacts not present")
+    assume(artifacts.filterNot(_.startsWith("--")).filterNot(_ == "BENCHFULL_sf10twins.json")
+      .forall(a => new java.io.File(repo, a).isFile), "sweep artifacts not present")
     val (rc, out) = run(artifacts ++ Seq("--budget", "12"))
     assert(rc == 0, s"slope budget violated:\n${out.linesIterator.toSeq.takeRight(15).mkString("\n")}")
     assert(out.contains("slope budget OK"), "checker did not report OK")
+  }
+
+  test("--sf10twins swaps the third-decade denominator (and only that)") {
+    def bench(qs: Map[String, Double]): String = {
+      val body = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"metric":"total","value":${qs.values.sum},"unit":"sec","queries":{$body},"errors":{},"failed":0,"pinned_skipped":[],"sf":"fixture"}"""
+    }
+    val dir = Files.createTempDirectory("slopetwins")
+    def write(name: String, content: String): Path = {
+      val p = dir.resolve(name); Files.writeString(p, content); p
+    }
+    // marathon sf10 time 10.0 (warm) vs twins-protocol 13.0 (fresh);
+    // sf30 = 40.0: vs the marathon denominator the slope is 4.0x (over the
+    // 3.6x cap), vs the like-for-like denominator 3.08x (within)
+    val f01 = write("b01.json", bench(Map("twin_slot" -> 0.1)))
+    val f1  = write("b1.json", bench(Map("twin_slot" -> 1.0)))
+    val f10 = write("b10.json", bench(Map("twin_slot" -> 10.0)))
+    val f30 = write("b30.json", bench(Map("twin_slot" -> 40.0)))
+    val f10t = write("b10t.json", bench(Map("twin_slot" -> 13.0)))
+    val (rcOver, outOver) =
+      run(Seq(f01, f1, f10, f30).map(_.toString) :+ "--budget" :+ "12")
+    assert(rcOver == 1 && outOver.contains("twin_slot"),
+      s"marathon denominator should flag 4.0x (rc=$rcOver):\n$outOver")
+    val (rcOk, outOk) = run(Seq(f01, f1, f10, f30).map(_.toString) ++
+      Seq("--sf10twins", f10t.toString, "--budget", "12"))
+    assert(rcOk == 0, s"like-for-like denominator should pass 3.08x:\n$outOk")
+    assert(outOk.contains("sf10twins→sf30"), "report does not name the twins denominator")
+    // the swap must NOT loosen the first-decade check: a 20x sf1→sf10
+    // slope still fails even with a twins file present
+    val g10 = write("g10.json", bench(Map("twin_slot" -> 20.0)))
+    val (rcBad, outBad) = run(Seq(f01, f1, g10, f30).map(_.toString) ++
+      Seq("--sf10twins", f10t.toString, "--budget", "12"))
+    assert(rcBad == 1 && outBad.contains("twin_slot"),
+      s"sf1->sf10 violation must still fail with --sf10twins (rc=$rcBad):\n$outBad")
   }
 
   test("the checker fails on a synthetic 20x/decade violation") {

@@ -23,18 +23,33 @@ def load(impl, sf):
         return json.load(f)["queries"]
 
 
+def cell(qs, slot):
+    """A failed slot is encoded as -1.0 in the queries map — render it as
+    a visible FAILED marker, never as negative seconds in a cell (and keep
+    it out of the totals below, mirroring render_scale_table's ok_slots)."""
+    v = qs.get(slot)
+    return f"{v:.2f}" if v is not None and v > 0 else "FAILED"
+
+
 def main():
     a1, w1 = load("antijoin", "sf1"), load("window", "sf1")
     a10, w10 = load("antijoin", "sf10"), load("window", "sf10")
     print("| slot | family | sf1 window | sf1 anti | sf10 window | sf10 anti | sf10 anti/window |")
     print("|---|---|---|---|---|---|---|")
     for slot, fam in FAMS.items():
-        r = a10[slot] / w10[slot] if w10.get(slot, 0) > 0 else float("nan")
-        print(f"| {slot} | {fam} | {w1[slot]:.2f} | {a1[slot]:.2f} "
-              f"| {w10[slot]:.2f} | {a10[slot]:.2f} | {r:.2f}× |")
-    tw, ta = sum(w10.values()), sum(a10.values())
-    print(f"\nsf10 totals: window {tw:.1f}s, antijoin {ta:.1f}s "
-          f"(anti/window {ta / tw:.2f}x)")
+        ok = a10.get(slot, 0) > 0 and w10.get(slot, 0) > 0
+        r = f"{a10[slot] / w10[slot]:.2f}×" if ok else "FAILED"
+        print(f"| {slot} | {fam} | {cell(w1, slot)} | {cell(a1, slot)} "
+              f"| {cell(w10, slot)} | {cell(a10, slot)} | {r} |")
+    # totals over slots that genuinely ran in BOTH impls — a -1.0 failure
+    # sentinel must never silently subtract from the verdict's totals
+    both = [s for s in FAMS if a10.get(s, 0) > 0 and w10.get(s, 0) > 0]
+    dropped = sorted(set(FAMS) - set(both))
+    tw, ta = sum(w10[s] for s in both), sum(a10[s] for s in both)
+    print(f"\nsf10 totals over {len(both)} slots that ran in both impls: "
+          f"window {tw:.1f}s, antijoin {ta:.1f}s (anti/window {ta / tw:.2f}x)")
+    if dropped:
+        print(f"EXCLUDED from totals (failed/missing in at least one impl): {dropped}")
 
 
 if __name__ == "__main__":

@@ -3,7 +3,7 @@
 the per-decade slope budget.
 
 Usage:
-  python3 tools/render_scale_table.py BENCHFULL.json BENCHFULL_sf1.json BENCHFULL_sf10.json [BENCHFULL_sf30.json] [--budget X]
+  python3 tools/render_scale_table.py BENCHFULL.json BENCHFULL_sf1.json BENCHFULL_sf10.json [BENCHFULL_sf30.json] [--budget X] [--sf10twins BENCHFULL_sf10twins.json]
 
 Prints a markdown table (per-slot seconds at each SF + per-decade ratios,
 sorted by sf10 cost desc) and summary stats, so SCALE.md's scaling
@@ -20,6 +20,18 @@ Round-12 additions (VERDICT r11 tasks 2 and 7, ADVICE r11):
     (SparkEntry.exactDialPinnedToOracleSf) — then they simply don't
     appear above sf0.1 — or output-bounded and re-dialed. The q51/q55
     class gets caught mechanically at commit time, not by the judge.
+
+Round-14 addition (VERDICT r13 task 1 adjudication): --sf10twins takes a
+twins-only sf10 artifact swept under the SAME 15-slot filtered protocol
+as the sf30 probe and uses it as the third-decade slope's DENOMINATOR.
+The full-sweep sf10 artifact measures each slot after ~45 minutes of
+196-slot JIT/cache warmth; the filtered sf30 probe after ~3 minutes —
+that asymmetry inflated mid-length slots' apparent sf10→sf30 slopes by
+~30% (q172_mmr_prod: 15.5 s in the marathon, ~21 s fresh — same code,
+same data; stage-level profiling showed candidate volume EXACTLY linear,
+737 pairs/query at both SFs). Decades must compare like-for-like
+protocols. Without --sf10twins the full-sf10 artifact remains the
+denominator, as in round 13.
 
 Round-13 additions (VERDICT r12 task 5, ADVICE r12):
   - an optional FOURTH artifact (a twins-only sf30 sweep) adds a
@@ -52,9 +64,9 @@ import sys
 #   linear — asymptotically O(N) with a bounded constant. The measured
 #   ratio conflates that one-time constant with growth; cap it at
 #   budget x 2.5 (the heal's worst-case cost factor at this decade).
-#   The sf30 probe measured the heal does NOT re-trigger (2.2x at 3x),
-#   so the third-decade check applies the same multiplier to a ratio
-#   that should not need it.
+#   The sf30 probe measured the heal does NOT re-trigger (2.5x at 3x),
+#   so the third-decade check uses the PLAIN prorated budget — a
+#   one-time cost-step exemption must not compound into later decades.
 DOCUMENTED_STEPS = {
     "q162_ngram_hitters": (2.5, "MG autoGrow heal: +2 corpus scans once, "
                                 "retry count hard-capped => O(N) overall"),
@@ -78,12 +90,21 @@ def main(argv):
         i = argv.index("--budget")
         budget = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    p10t = None
+    if "--sf10twins" in argv:
+        i = argv.index("--sf10twins")
+        p10t = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     p01, p1, p10 = argv[:3]
     p30 = argv[3] if len(argv) > 3 else None
     b01, b1, b10 = load(p01), load(p1), load(p10)
     q01, q1, q10 = ok_slots(b01), ok_slots(b1), ok_slots(b10)
     b30 = load(p30) if p30 else None
     q30 = ok_slots(b30) if b30 else {}
+    # third-decade denominator: the like-for-like twins-only sf10 sweep
+    # when provided, the full-sweep sf10 otherwise (see module docstring)
+    q10den = ok_slots(load(p10t)) if p10t else q10
+    den_label = "sf10twins" if p10t else "sf10"
 
     failed = []
     for name, b in [("sf0.1", b01), ("sf1", b1), ("sf10", b10)] + \
@@ -97,7 +118,7 @@ def main(argv):
     for n in [n for n in common if q1[n] <= 0]:
         failed.append(("sf1", n, f"non-positive time {q1[n]} -> slope undefined"))
         common.remove(n)
-    hdr30 = " sf30 s | sf10→sf30 @3x |" if b30 else ""
+    hdr30 = f" sf30 s | {den_label}→sf30 @3x |" if b30 else ""
     print(f"| query | sf0.1 s | sf1 s | sf10 s | sf1→sf10 |{hdr30} reading |")
     print("|---|---|---|---|---|" + ("---|---|" if b30 else "") + "---|")
     slopes = {}
@@ -110,8 +131,9 @@ def main(argv):
         c01 = f"{s01:.2f}" if s01 is not None else "—"
         c30 = ""
         if b30:
-            if n in q30 and s10 > 0:
-                slopes30[n] = q30[n] / s10
+            den = q10den.get(n, 0)
+            if n in q30 and den > 0:
+                slopes30[n] = q30[n] / den
                 c30 = f" {q30[n]:.2f} | {slopes30[n]:.1f}× |"
             else:
                 c30 = " — | — |"
@@ -132,7 +154,7 @@ def main(argv):
     if b30:
         totals += f", sf30 {b30['value']}s/{len(q30)} slots"
         if slopes30:
-            print(f"sf10→sf30 (3x data, linear = 3.0x): "
+            print(f"{den_label}→sf30 (3x data, linear = 3.0x): "
                   f"{len(slopes30)} slots, median {statistics.median(slopes30.values()):.2f}x")
     print(totals)
 
@@ -162,9 +184,14 @@ def main(argv):
 
     over = sorted((n, s, cap_of(n, budget), "sf1→sf10")
                   for n, s in slopes.items() if s > cap_of(n, budget))
+    # Third decade: the PLAIN prorated budget, never a DOCUMENTED_STEPS
+    # multiplier (ADVICE r13) — a cost-step exemption is a one-time
+    # constant; letting it compound into the next decade would silently
+    # turn a 3.6x cap into 9x for q162 even though the step does not
+    # re-trigger (measured 2.5x at sf10→sf30).
     budget30 = budget * 3.0 / 10.0
-    over += sorted((n, s, cap_of(n, budget30), "sf10→sf30")
-                   for n, s in slopes30.items() if s > cap_of(n, budget30))
+    over += sorted((n, s, budget30, f"{den_label}→sf30")
+                   for n, s in slopes30.items() if s > budget30)
     if over:
         print(f"\nSLOPE BUDGET VIOLATION (budget {budget:g}x/decade, "
               f"{budget30:g}x at 3x data):", file=sys.stderr)

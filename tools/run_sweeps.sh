@@ -1,40 +1,100 @@
 #!/bin/bash
-# Full three-SF sweep protocol (SCALE.md rounds 8/11): per-query budget
+# Full four-SF sweep protocol (SCALE.md rounds 8/11/13): per-query budget
 # 1500 s, min-of-2 passes, multi-minute slots measured once
 # (SKIP_REPEAT 300 s), warm JVM per SF, host otherwise idle.
-# Produces the three committed artifacts BENCHFULL{,_sf1,_sf10}.json.
+# Produces the committed artifacts BENCHFULL{,_sf1,_sf10,_sf30}.json.
 # Raw per-slot progress streams to /tmp/sweep_<sf>.log.
+#
+# Usage: tools/run_sweeps.sh [sf0.1] [sf1] [sf10] [sf30]
+#   No args = all four stages. Named stages run in the given order —
+#   a slot-filtered re-measure (e.g. just the sf30 twins) is a first-class
+#   protocol run, not an ad-hoc sbt invocation.
+#
+# MECHANICAL IDLE GUARD (round 14 — VERDICT r13 task 3): the "host
+# otherwise idle" rule used to be prose, and the r13 sf30 sweep silently
+# overlapped the driver's Verify run, contaminating three twins' slopes.
+# Now a sweep REFUSES to start (a) if another sweep holds the lockfile,
+# (b) if any graft Verify/Bench JVM is already running, or (c) if the
+# 1-minute load average says the host is not idle. An unattended Verify
+# or Bench started AFTER the sweep begins can still contaminate it — the
+# guard is at start time — so sweep logs record start/end timestamps for
+# post-hoc overlap audits.
 set -e
 cd /root/repo
+
+LOCK=/tmp/graft_sweep.lock
+if ! mkdir "$LOCK" 2>/dev/null; then
+  echo "SWEEP REFUSED: lockfile $LOCK held (owner pid $(cat "$LOCK/pid" 2>/dev/null || echo '?')) — another sweep is running" >&2
+  exit 2
+fi
+echo $$ > "$LOCK/pid"
+trap 'rm -rf "$LOCK"' EXIT
+
+if pgrep -f 'graft\.(Verify|Bench)' | grep -qv "^$$\$"; then
+  echo "SWEEP REFUSED: a graft.Verify/graft.Bench JVM is already running (pids: $(pgrep -f 'graft\.(Verify|Bench)' | tr '\n' ' ')) — host not idle" >&2
+  exit 2
+fi
+
+LOAD1=$(cut -d' ' -f1 /proc/loadavg)
+MAXLOAD=${SWEEP_MAX_LOAD:-4.0}
+if python3 -c "import sys; sys.exit(0 if float('$LOAD1') > float('$MAXLOAD') else 1)"; then
+  echo "SWEEP REFUSED: 1-min load average $LOAD1 > $MAXLOAD — host not idle (override with SWEEP_MAX_LOAD)" >&2
+  exit 2
+fi
+
 export SPARK_GRAFT_QUERY_BUDGET_SEC=1500
 
-echo "=== sweep sf0.1 ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL.json \
-  sbt -batch "runMain graft.Bench" > /tmp/sweep_sf0.1.log 2>&1
-tail -2 /tmp/sweep_sf0.1.log
+STAGES=("$@")
+[ ${#STAGES[@]} -eq 0 ] && STAGES=(sf0.1 sf1 sf10 sf10twins sf30)
 
-echo "=== sweep sf1 ==="
-SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf1 \
-SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf1.json \
-  sbt -batch "runMain graft.Bench" > /tmp/sweep_sf1.log 2>&1
-tail -2 /tmp/sweep_sf1.log
+TWINS='^(q137_knn_join_prod|q168_semdedup_prod|q12_neardup_minhash_prod|q40_neardup_ngram_prod|q183_sq8_ivf_prod|q172_mmr_prod|q174_trim_prod|q187_bitext_prod|q173_rrf_prod|q55_range_join_prod|q142_split_leakage_prod|q192_bitext_bidi_prod|q162_ngram_hitters|q131_pack_windows|q132_pack_bpe_ids)$'
 
-echo "=== sweep sf10 ==="
-SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf10 \
-SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf10.json \
-  sbt -batch "runMain graft.Bench" > /tmp/sweep_sf10.log 2>&1
-tail -2 /tmp/sweep_sf10.log
-
-# Third-decade probe (round 13): only the 12 benchOnly production twins,
-# the documented cost-step (q162) and the round-12 pack-fix family
-# (q131/q132) — the slots whose slope story carries above the full-sweep
-# decades — as a committed artifact instead of RunOne prose.
-echo "=== sweep sf30 (twins-only) ==="
-SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf30 \
-SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf30.json \
-SPARK_GRAFT_SLOT_FILTER='^(q137_knn_join_prod|q168_semdedup_prod|q12_neardup_minhash_prod|q40_neardup_ngram_prod|q183_sq8_ivf_prod|q172_mmr_prod|q174_trim_prod|q187_bitext_prod|q173_rrf_prod|q55_range_join_prod|q142_split_leakage_prod|q192_bitext_bidi_prod|q162_ngram_hitters|q131_pack_windows|q132_pack_bpe_ids)$' \
-  sbt -batch "runMain graft.Bench" > /tmp/sweep_sf30.log 2>&1
-tail -2 /tmp/sweep_sf30.log
+for st in "${STAGES[@]}"; do
+  echo "=== sweep $st (start $(date -u +%FT%TZ)) ==="
+  case "$st" in
+    sf0.1)
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+      SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL.json \
+        sbt -batch "runMain graft.Bench" > /tmp/sweep_sf0.1.log 2>&1
+      tail -2 /tmp/sweep_sf0.1.log ;;
+    sf1)
+      SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf1 \
+      SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf1.json \
+        sbt -batch "runMain graft.Bench" > /tmp/sweep_sf1.log 2>&1
+      tail -2 /tmp/sweep_sf1.log ;;
+    sf10)
+      SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf10 \
+      SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf10.json \
+        sbt -batch "runMain graft.Bench" > /tmp/sweep_sf10.log 2>&1
+      tail -2 /tmp/sweep_sf10.log ;;
+    sf10twins)
+      # Twins-only sf10 run under the SAME 15-slot filtered protocol as
+      # the sf30 probe — the third-decade slope's DENOMINATOR (round 14).
+      # The full-sweep BENCHFULL_sf10.json measures each slot after ~45
+      # minutes of 196-slot JIT/cache warmth; the filtered sf30 probe
+      # measures after ~3 minutes. That asymmetry inflated mid-length
+      # slots' sf10→sf30 slopes by ~30% (q172_mmr_prod: 15.5 s in the
+      # marathon vs ~21 s fresh — same code, same data). Like-for-like
+      # decades require like-for-like protocols.
+      SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf10 \
+      SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf10twins.json \
+      SPARK_GRAFT_SLOT_FILTER="$TWINS" \
+        sbt -batch "runMain graft.Bench" > /tmp/sweep_sf10twins.log 2>&1
+      tail -2 /tmp/sweep_sf10twins.log ;;
+    sf30)
+      # Third-decade probe (round 13): only the 12 benchOnly production
+      # twins, the documented cost-step (q162) and the round-12 pack-fix
+      # family (q131/q132) — the slots whose slope story carries above the
+      # full-sweep decades — as a committed artifact instead of RunOne prose.
+      SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf30 \
+      SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf30.json \
+      SPARK_GRAFT_SLOT_FILTER="$TWINS" \
+        sbt -batch "runMain graft.Bench" > /tmp/sweep_sf30.log 2>&1
+      tail -2 /tmp/sweep_sf30.log ;;
+    *)
+      echo "unknown stage '$st' (expected sf0.1|sf1|sf10|sf30)" >&2; exit 1 ;;
+  esac
+  echo "=== sweep $st done ($(date -u +%FT%TZ)) ==="
+done
 
 echo "=== all sweeps done ==="
