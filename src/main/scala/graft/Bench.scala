@@ -109,8 +109,22 @@ object Bench {
     val sorted = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
       .filterNot { case (n, _) => pinnedSkipped.contains(n) }
       .filter { case (n, _) => slotFilter.forall(_.findFirstIn(n).isDefined) }
+    // Warmth protocol (round 15 — VERDICT r14 task 3). The round-14
+    // adjudication showed protocol length is part of the measurement: a
+    // slot measured after ~45 min of 196-slot JIT/cache warmth reads up to
+    // ~30% faster than the same slot in a 15-slot filtered run — which is
+    // how three linear twins booked super-linear slopes. The fix is a
+    // PER-SLOT warm-up immediately before each slot's first measured pass,
+    // at SPARK_GRAFT_WARMUP_SF_DIR (one SF below the target — enough
+    // invocations through the slot's own code paths for C2, at a fraction
+    // of the measured cost), so a filtered artifact and a marathon
+    // artifact measure the same warm steady state. Without the env var the
+    // legacy whole-suite sf0.001 pre-pass runs instead (session/codegen
+    // warm-up only — it does NOT equalize protocols).
+    val perSlotWarmDir = sys.env.get("SPARK_GRAFT_WARMUP_SF_DIR")
+      .filter(d => new java.io.File(d).isDirectory)
     val warmupDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
+    if (perSlotWarmDir.isEmpty && new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
       sorted.foreach { case (name, fn) =>
         withBudget(spark, s"warmup-$name", budgetSec)(fn(spark, warmupDir).count())
       }
@@ -125,6 +139,14 @@ object Bench {
         if (pass > 1 && best.get(name).exists(t => t >= skipRepeatSec)) {
           System.err.println(f"[bench] p$pass $name%-28s skipped (>${skipRepeatSec}%.0fs on an earlier pass)")
         } else {
+        if (pass == 1) perSlotWarmDir.foreach { wd =>
+          val w0 = System.nanoTime()
+          withBudget(spark, s"warm-$name", budgetSec)(fn(spark, wd).count())
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          System.err.println(
+            f"[bench] p0 $name%-28s ${(System.nanoTime() - w0) / 1e9}%8.2f s (warm-up @ $wd, untimed)")
+        }
         val t0 = System.nanoTime()
         val r = withBudget(spark, s"$name-p$pass", budgetSec)(fn(spark, sfDir).count())
         val sec = (System.nanoTime() - t0) / 1e9

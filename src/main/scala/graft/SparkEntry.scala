@@ -59,6 +59,7 @@ object SparkEntry {
   private val kmeansInitPath168 = s"$scratch/q168_kmeans_init"
   private val twoLevelPath      = s"$scratch/q182_twolevel"
   private val sq8ProdPath       = s"$scratch/q183_sq8"
+  private val sq8AtrestPath     = s"$scratch/q193_sq8_atrest"
   private val mmrProdPath       = s"$scratch/q185_mmr"
   private val bitextProdPath    = s"$scratch/q188_bitext"
   private val rrfProdPath       = s"$scratch/q189_rrf"
@@ -2907,6 +2908,40 @@ object SparkEntry {
         .select(col("query_id"), round(col("r"), 3).as("recall_at_10"))
     }),
 
+    // SQ8 AT-REST-INDEX RECALL GATE (round 15, the q183 shape): the
+    // assign-at-ingest path — codes + cell bucketed AT REST
+    // (Ann.buildIvfIndex codec=sq8), queries answered against the layout
+    // (Ann.queryIvfIndex) — materializes its top-10 at the exact dial
+    // (nprobe = numCentroids, so the probe is complete and the only
+    // approximation is the SQ8 codec itself), and both engines measure
+    // recall@10 against their OWN exact float top-10 (q183's oracle SQL
+    // verbatim over this slot's materialization path). Done-criterion
+    // hash-parity with q183's gate: same fit, same decoded-space scoring
+    // ⇒ the same recall readings row-for-row. The corpus-sweep slope of
+    // this layout is q183_sq8_ivf_atrest in benchOnly; partial-probe
+    // recall and in-flight/at-rest set agreement are pinned in
+    // AnnIndexSpec, and the floor+teeth pair lives in GateFloorSpec.
+    "q193_sq8_atrest_recall" -> ((s, dir) => {
+      val e   = tbl(s, dir, "embeddings")
+      val idx = Table("graft_q193_atrest_idx")
+      val cen = Table("graft_q193_atrest_cen")
+      val fit = Table("graft_q193_atrest_fit")
+      Ann.buildIvfIndex(s, e, "vec_id", "embedding", idx, cen,
+        numCentroids = 8, numBuckets = 8, codec = "sq8", fitTable = Some(fit))
+      val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.queryIvfIndex(s, idx, cen, queries, "qid", "embedding", k = 10, nprobe = 8,
+          fitTable = Some(fit))
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(sq8AtrestPath)
+      val ann   = s.read.parquet(sq8AtrestPath).withColumn("__hit", lit(1L))
+      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / 10.0).as("r"))
+        .select(col("query_id"), round(col("r"), 3).as("recall_at_10"))
+    }),
+
     // DSIR RESAMPLING (round 10): the selection step q108's scoring op
     // defers to — Gumbel-top-n over logw, which by the Gumbel-top-k
     // identity IS sampling without replacement ∝ w^(1/τ), made
@@ -3266,6 +3301,50 @@ object SparkEntry {
       Ann.ivfTopK(e, queries, "vec_id", "embedding", "qid", "embedding",
           k = 10, numCentroids = c, nprobe = 2, codec = "sq8",
           candidateJoin = sys.env.getOrElse("GRAFT_IVF_JOIN", "shuffle"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ASSIGN-AT-INGEST twin of q183_sq8_ivf_prod (round 15 — VERDICT r14
+    // task 1): same corpus, same every-17th-row query batch, same SQ8
+    // codec and constant-cell-size C — but centroid sampling, fit, codes,
+    // and corpus cell assignment are paid ONCE into a bucketed-by-cell
+    // at-rest index (Ann.buildIvfIndex codec=sq8), and the steady state
+    // answers the batch against the layout (Ann.queryIvfIndex). That
+    // retires the per-sweep O(N·√C) corpus re-assignment term (~15% of
+    // twin runtime at sf30, 4.0× at 3× data in the round-14 profiler)
+    // from the query path — the 100 TB recipe where the index outlives
+    // the query batches. Protocol: the slot (re)builds only when this
+    // SF's layout is absent or stale (row-count key), so pass 1 of a cold
+    // sweep pays ingest and later passes measure the at-rest query;
+    // min-of-passes — the artifact number — is the amortized per-batch
+    // cost, with the one-time ingest visible in the sweep log. Quality
+    // evidence: q193's oracle-checked recall gate (exact dial, hash-parity
+    // with q183's) + AnnIndexSpec's at-rest/in-flight agreement pin; this
+    // slot's job is the slope. The query side keeps the round-14 rule
+    // (never force a data-proportional broadcast): candidateJoin defaults
+    // to "shuffle" here, GRAFT_IVF_JOIN=broadcast keeps the alternative
+    // measurable on one HEAD.
+    "q183_sq8_ivf_atrest" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val n = e.count()
+      val c = math.max(8L, n / 256L).toInt
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val idx = Table(s"graft_q183_atrest_idx_$tag")
+      val cen = Table(s"graft_q183_atrest_cen_$tag")
+      val fit = Table(s"graft_q183_atrest_fit_$tag")
+      val fresh = s.catalog.tableExists(idx.qualifiedName) &&
+        s.catalog.tableExists(cen.qualifiedName) &&
+        s.catalog.tableExists(fit.qualifiedName) &&
+        s.table(idx.qualifiedName).count() == n
+      if (!fresh)
+        Ann.buildIvfIndex(s, e, "vec_id", "embedding", idx, cen,
+          numCentroids = c, numBuckets = 32, codec = "sq8", fitTable = Some(fit))
+      val queries = e.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ann.queryIvfIndex(s, idx, cen, queries, "qid", "embedding", k = 10, nprobe = 2,
+          candidateJoin = sys.env.getOrElse("GRAFT_IVF_JOIN", "shuffle"),
+          fitTable = Some(fit))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -5975,6 +6054,33 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10),
         |ann AS (SELECT DISTINCT query_id, neighbor_id
         |  FROM read_parquet('$sq8ProdPath/*.parquet'))
+        |SELECT e.query_id,
+        |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
+        |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
+
+    // recall@10 of the materialized AT-REST sq8 IVF index query (build once
+    // bucketed-by-cell, answer against the layout) — q183's oracle SQL
+    // verbatim over this slot's materialization path: at the exact probe
+    // dial the at-rest path and the in-flight frame search share fit and
+    // decoded-space arithmetic, so the recall readings must hash-match
+    // q183's row-for-row
+    "q193_sq8_atrest_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10),
+        |ann AS (SELECT DISTINCT query_id, neighbor_id
+        |  FROM read_parquet('$sq8AtrestPath/*.parquet'))
         |SELECT e.query_id,
         |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
         |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id

@@ -762,8 +762,15 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     if (winnowWindow == 1) cands
     else {
+      // candIds is Θ(N) on a duplicate-saturated corpus (every id in some
+      // candidate pair), so it must never be a FORCED broadcast (the
+      // round-14 build-relation audit's one genuine hazard: ~80 GB of ids
+      // at 10^10 docs would OOM the driver). Unhinted, AQE broadcasts the
+      // semi-join's small side when it IS small and falls back to a hash
+      // shuffle on the 8-byte id key when it isn't — never wrong, never
+      // driver-fatal.
       val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-      val sets = base.join(broadcast(candIds), Seq("id"), "left_semi")
+      val sets = base.join(candIds, Seq("id"), "left_semi")
         .select(col("id"), NativeFunctions.windowHashes64(col("__text"), minLen).as("ws"))
       cands
         .join(sets.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))

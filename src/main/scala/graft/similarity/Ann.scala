@@ -573,10 +573,24 @@ object Ann {
     * once at ingest, write the corpus BUCKETED BY CELL (plus a small
     * centroid table), and answer every later query batch against the
     * layout. The 100 TB shape — [[ivfTopK]] re-assigns the whole corpus per
-    * call; this amortizes it to ingest time.
+    * call (the O(N·√C) term the round-14 profiler measured at ~15% of twin
+    * runtime); this amortizes it to ingest time.
     *
-    * Index table schema is normalized to `(id, vec, cell)`; centroid table
-    * is `(cell, centroid)`.
+    * Assignment uses the same flat/two-level dial as [[ivfTopK]]
+    * ([[cellAssign]]): at constant-cell-size production sizing (C ∝ N) the
+    * flat O(N·C) assignment would be quadratic at build time, so once C
+    * reaches [[TwoLevelThreshold]] the O(√C)-per-row hierarchy runs here
+    * too. Below the threshold the flat scan is exact and bit-identical to
+    * the previous rounds' oracle plans (q56 builds at C = 8).
+    *
+    * `codec = "float"` stores `(id, vec, cell)`. `codec = "sq8"` stores
+    * `(id, codes, cell)` — int8-range codes as `array<smallint>`, 4× less
+    * at-rest/scan width per dimension than float32 — plus the per-dimension
+    * fit `(dim, lo, hi, step)` in `fitTable`, which later query batches
+    * reuse ([[graft.similarity.Sq8]]'s decoded-space scoring contract: raw
+    * codes are never scored). The dims contract is the PQ-family rule:
+    * corpus rows whose width differs from the fitted width are EXCLUDED
+    * from fit and index rather than silently lo-padded.
     */
   def buildIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -587,30 +601,70 @@ object Ann {
       centroidTable: graft.model.Table,
       numCentroids: Int = 256,
       numBuckets: Int = 64,
+      codec: String = "float",
+      fitTable: Option[graft.model.Table] = None,
   ): Unit = {
     import spark.implicits._
+    require(codec == "float" || codec == "sq8", s"codec must be float or sq8, got $codec")
+    require(codec == "float" || fitTable.nonEmpty, "codec=sq8 requires a fitTable")
     val cents = sampleCentroids(corpus, corpusId, corpusVec, numCentroids)
     graft.ops.TableIO.overwrite(spark,
       cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("cell", "centroid"),
       centroidTable)
-    val assigned = corpus.select(
-      col(corpusId).as("id"),
-      col(corpusVec).as("vec"),
-      element_at(NativeFunctions.nearestCentroids(col(corpusVec), cents, 1), 1).as("cell"),
-    )
+    val assigned =
+      if (codec == "sq8") {
+        val cd = corpus.where(col(corpusVec).isNotNull)
+          .select(size(col(corpusVec))).distinct().collect()
+        require(cd.length == 1,
+          s"corpus must carry exactly one vector dimensionality, saw ${cd.length}")
+        val dim   = cd.head.getInt(0)
+        val clean = corpus.where(col(corpusVec).isNotNull && size(col(corpusVec)) === dim)
+        val f     = Sq8.fit(clean, corpusVec)
+        graft.ops.TableIO.overwrite(spark, f, fitTable.get)
+        // collect the PERSISTED fit (not the in-plan aggregate) so the codes
+        // written here and every later decode read the identical constants
+        val (los, steps, fdim) = Sq8.collectFit(spark.table(fitTable.get.qualifiedName))
+        clean.select(
+          col(corpusId).as("id"),
+          Sq8.codesExpr(col(corpusVec), los, steps, fdim).cast("array<smallint>").as("codes"),
+          element_at(cellAssign(col(corpusVec), cents, 1), 1).as("cell"),
+        )
+      } else
+        corpus.select(
+          col(corpusId).as("id"),
+          col(corpusVec).as("vec"),
+          element_at(cellAssign(col(corpusVec), cents, 1), 1).as("cell"),
+        )
     graft.ops.TableIO.overwriteBucketed(spark, assigned, indexTable,
       Seq("cell"), numBuckets, Seq("cell"))
   }
 
-  /** Query a persisted IVF index. The probed-cell set (≤ |queries| × nprobe,
-    * bounded because the query batch is the broadcast-small side) becomes an
-    * `IN` filter on the bucket column, so the scan PRUNES non-probed buckets
-    * at the source (`SelectedBucketsCount` in the plan — asserted in
-    * AnnIndexSpec): a query batch physically reads ~nprobe/numCentroids of
-    * the corpus, with zero corpus shuffle after it.
+  /** Query a persisted IVF index. The probed-cell set (≤ min(|queries| ×
+    * nprobe, C) distinct ids) becomes an `IN` filter on the bucket column,
+    * so the scan PRUNES non-probed buckets at the source
+    * (`SelectedBucketsCount` in the plan — asserted in AnnIndexSpec): a
+    * query batch physically reads ~nprobe/numCentroids of the corpus, with
+    * zero corpus shuffle after it.
+    *
+    * Query-side cell assignment rides the same flat/two-level dial as the
+    * corpus side ([[cellAssign]]): a corpus-proportional query batch (the
+    * at-rest corpus-sweep twin) against constant-cell-size C would
+    * otherwise pay a flat O(|Q|·C) = super-linear probe.
+    *
+    * `candidateJoin` is [[ivfTopK]]'s round-14 dial, same semantics:
+    * "broadcast" (default) force-broadcasts the query side — right for
+    * BOUNDED query batches; "shuffle" removes the forced hint and lets
+    * Catalyst/AQE choose, the only safe setting when the query batch grows
+    * with the corpus (a data-proportional broadcast build relation is the
+    * cache-miss trap SCALE.md round 14 measured at ~2×).
+    *
+    * An index built with `codec = "sq8"` is scored over DECODED codes
+    * against the persisted fit (pass the same `fitTable` given at build
+    * time) — identical arithmetic to [[ivfTopK]]'s sq8 path, so the two
+    * agree set-for-set at the same dial (pinned in AnnIndexSpec).
     *
     * `nprobe >= numCentroids` degrades gracefully to an exact scan-all
-    * (recall 1.0) — still shuffle-free.
+    * (recall 1.0) — still shuffle-free under the broadcast dial.
     */
   def queryIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -621,8 +675,12 @@ object Ann {
       queryVec: String,
       k: Int = 10,
       nprobe: Int = 16,
+      candidateJoin: String = "broadcast",
+      fitTable: Option[graft.model.Table] = None,
   ): DataFrame = {
     import spark.implicits._
+    require(candidateJoin == "broadcast" || candidateJoin == "shuffle",
+      s"candidateJoin must be broadcast or shuffle, got $candidateJoin")
     val cents: Array[Array[Float]] = spark.table(centroidTable.qualifiedName)
       .orderBy(col("cell"))
       .select(col("centroid"))
@@ -632,13 +690,38 @@ object Ann {
     val queryCells = queries.select(
       col(queryId).as("query_id"),
       col(queryVec).as("__qvec"),
-      explode(NativeFunctions.nearestCentroids(col(queryVec), cents, nprobe)).as("cell"),
+      explode(cellAssign(col(queryVec), cents, nprobe)).as("cell"),
     )
     val probed = queryCells.select(col("cell")).distinct().as[Int].collect()
     val index  = spark.table(indexTable.qualifiedName)
       .where(col("cell").isin(probed.map(Int.box): _*))
-    val scored = index.join(broadcast(queryCells), Seq("cell"))
-      .select(col("query_id"), col("id").as("__nid"), cosine(col("__qvec"), col("vec")).as("__sim"))
+    def pair(q: DataFrame): DataFrame =
+      if (candidateJoin == "shuffle") index.join(q, Seq("cell"))
+      else index.join(broadcast(q), Seq("cell"))
+    val scored =
+      if (index.columns.contains("codes")) {
+        require(fitTable.nonEmpty,
+          s"index ${indexTable.qualifiedName} stores sq8 codes — pass the fitTable it was built with")
+        val (los, steps, dim) = Sq8.collectFit(spark.table(fitTable.get.qualifiedName))
+        val qd = queries.where(col(queryVec).isNotNull)
+          .select(size(col(queryVec))).distinct().collect()
+        require(qd.length == 1 && qd.head.getInt(0) == dim,
+          s"query frame width must match the fitted $dim dimensions")
+        val qcoded = queryCells.select(col("query_id"), col("cell"),
+          Sq8.roundtripExpr(col("__qvec"), los, steps, dim).as("__qdvec"))
+        // decode BEFORE the pair join (the ivfTopK shape): per corpus row
+        // once, not per candidate pair — a probed cell's row pairs with
+        // every query probing it, and re-decoding per pair would multiply
+        // the transform by the pair fan-out
+        val decoded = index.select(col("id"), col("cell"),
+          Sq8.decodeExpr(col("codes"), los, steps, dim).as("__dvec"))
+        (if (candidateJoin == "shuffle") decoded.join(qcoded, Seq("cell"))
+         else decoded.join(broadcast(qcoded), Seq("cell")))
+          .select(col("query_id"), col("id").as("__nid"),
+            cosine(col("__qdvec"), col("__dvec")).as("__sim"))
+      } else
+        pair(queryCells).select(col("query_id"), col("id").as("__nid"),
+          cosine(col("__qvec"), col("vec")).as("__sim"))
     topKOf(scored, k)
   }
 }

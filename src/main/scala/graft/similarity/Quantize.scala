@@ -76,7 +76,7 @@ object Sq8 {
     df.withColumn("codes", codesExpr(col(vecCol), los, steps, dim))
   }
 
-  private def codesExpr(vec: Column, los: Column, steps: Column, dim: Int): Column =
+  private[similarity] def codesExpr(vec: Column, los: Column, steps: Column, dim: Int): Column =
     transform(sequence(lit(1), lit(dim)), i => {
       val x  = element_at(vec, i).cast("double")
       val lo = element_at(los, i)
@@ -128,6 +128,21 @@ object Sq8 {
     val (los, steps, dim) = collectFit(fitted)
     df.withColumn(outCol, roundtripExpr(col(vecCol), los, steps, dim))
   }
+
+  /** Decode an at-rest codes column against an ALREADY-COLLECTED fit —
+    * x̂_i = lo_i + c_i·step_i, cast float so scoring runs in the native
+    * codegen'd cosine kernel. Same arithmetic as [[dequantize]] (and the
+    * same materialized-codes contract: `codes` must come from a table read,
+    * never be chained onto an in-plan encode — see the lambda-CSE note
+    * there); collected-fit form so index-query callers
+    * ([[Ann.queryIvfIndex]]) decode corpus and query sides against one fit
+    * without re-running the fit aggregation.
+    */
+  private[similarity] def decodeExpr(
+      codes: Column, los: Column, steps: Column, dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)), i =>
+      (element_at(los, i) +
+        element_at(codes, i).cast("double") * element_at(steps, i)).cast("float"))
 
   /** [[sq8Roundtrip]] over an ALREADY-COLLECTED fit — for callers that
     * encode several frames against one fit (e.g. corpus + queries in

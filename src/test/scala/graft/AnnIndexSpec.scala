@@ -56,6 +56,61 @@ class AnnIndexSpec extends SparkSpec {
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt, "scan did not skip any bucket")
   }
 
+  test("sq8 at-rest index at the exact probe dial equals the in-flight sq8 ivfTopK") {
+    // same fit, same decoded-space scoring, same cells ⇒ the at-rest path
+    // (build codes+cells once, query the layout) and the per-call path
+    // must agree set-for-set — the q193 gate's hash-parity claim
+    val idx = Table("graft_test_ivf_idx_sq8")
+    val cen = Table("graft_test_ivf_cen_sq8")
+    val fit = Table("graft_test_ivf_fit_sq8")
+    Ann.buildIvfIndex(spark, corpus, "vec_id", "embedding", idx, cen,
+      numCentroids = 8, numBuckets = 8, codec = "sq8", fitTable = Some(fit))
+    val queries = corpus.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+    val atRest = Ann.queryIvfIndex(spark, idx, cen, queries, "qid", "embedding",
+        k = 5, nprobe = 8, fitTable = Some(fit))
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val inFlight = Ann.ivfTopK(corpus, queries, "vec_id", "embedding", "qid", "embedding",
+        k = 5, numCentroids = 8, nprobe = 8, codec = "sq8")
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(atRest == inFlight,
+      s"only-atrest=${(atRest -- inFlight).take(5)} only-inflight=${(inFlight -- atRest).take(5)}")
+    assert(atRest.nonEmpty)
+    // an sq8 index without its fit must fail loudly, never score raw codes
+    val ex = intercept[IllegalArgumentException] {
+      Ann.queryIvfIndex(spark, idx, cen, queries, "qid", "embedding", k = 5, nprobe = 8)
+    }
+    assert(ex.getMessage.contains("fitTable"))
+  }
+
+  test("index-query candidateJoin strategies agree, and shuffle never forces a broadcast") {
+    // the round-14 ivfTopK dial, wired through the at-rest path (round 15 —
+    // VERDICT r14 task 4): a corpus-proportional query batch must be able
+    // to pair by cell exchange instead of a data-proportional broadcast
+    val (idx, cen) = buildIndex("dial")
+    val queries    = corpus.select(col("vec_id").as("qid"), col("embedding"))
+    def run(strategy: String) =
+      Ann.queryIvfIndex(spark, idx, cen, queries, "qid", "embedding",
+          k = 3, nprobe = 2, candidateJoin = strategy)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+        .as[(Long, Long, Double)].collect().toSet
+    val b = run("broadcast")
+    val s = run("shuffle")
+    assert(b == s, s"strategies disagree: only-b=${(b -- s).take(5)} only-s=${(s -- b).take(5)}")
+    // with auto-broadcast off, the shuffle dial's plan must contain NO
+    // broadcast exchange — nothing in the operator forces one
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ann.queryIvfIndex(spark, idx, cen, queries, "qid", "embedding",
+          k = 3, nprobe = 2, candidateJoin = "shuffle")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoop"),
+        s"shuffle dial still plans a broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("two-level assignment (C >= threshold) keeps knnJoin recall on clustered data") {
     // C = 64 crosses Ann.TwoLevelThreshold, so assignment runs through the
     // O(√C) group hierarchy — the constant-cell-size production path. On

@@ -23,6 +23,17 @@ class GateFloorSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private def gate(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  // Round-15 gate audit (VERDICT r14 task 5) — which gates need a floor:
+  // a gate can degrade SILENTLY only when the oracle measures a Spark-side
+  // MATERIALIZATION (both engines would recompute the same lower quality
+  // number and hash-match). That is the q156/q164/q182/q183/q185/q186/
+  // q188/q189/q190/q193 materialize-and-measure family — all floored
+  // below. q150 (embedding drift) and the q77/q78 prod dedup twins are
+  // NOT in that class: their oracles replay the full computation from the
+  // RAW tables in fixed SQL, so any Scala-side quality change diverges
+  // from the oracle and fails the hash outright — no silent channel, no
+  // floor needed.
+
   test("q188 bitext-prod pick agreement holds its floor") {
     val rows = gate("q188_bitext_prod_overlap")
       .agg(avg(col("matched")).as("agree"), count(lit(1)).as("n"))
@@ -161,6 +172,72 @@ class GateFloorSpec extends SparkSpec {
     info(f"q183 degraded (raw-code) recall@10: $recall%.3f")
     assert(recall < 0.95,
       s"raw-code recall $recall did not fall below the floor — the floor has no teeth")
+  }
+
+  test("q156 IVF recall holds its floor") {
+    val per = gate("q156_ann_recall")
+      .select(col("recall_at_10").cast("double")).collect().map(_.getDouble(0))
+    assert(per.length == 50, s"expected 50 query rows, got ${per.length}")
+    val mean = per.sum / per.length
+    info(f"q156 recall@10: mean $mean%.3f, min ${per.min}%.2f")
+    assert(mean >= 0.80,
+      s"mean IVF recall@10 $mean fell below the 0.80 floor (round-15 reading 0.900 " +
+        "at nprobe=6/8) — the IVF candidate path regressed")
+  }
+
+  test("q156 floor has teeth: a starved probe dial falls below it") {
+    import graft.similarity.Ann
+    val e       = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
+    val ann = Ann.ivfTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10,
+        numCentroids = 8, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1L))
+    val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val recall = exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).cast("double") / (50.0 * 10.0))
+      .collect()(0).getDouble(0)
+    info(f"q156 degraded (nprobe=1) recall@10: $recall%.3f")
+    assert(recall < 0.80,
+      s"nprobe=1 recall $recall did not fall below the floor — the floor has no teeth")
+  }
+
+  test("q193 at-rest sq8 index recall holds q183's floor (hash-parity claim)") {
+    val per = gate("q193_sq8_atrest_recall")
+      .select(col("recall_at_10").cast("double")).collect().map(_.getDouble(0))
+    assert(per.length == 50, s"expected 50 query rows, got ${per.length}")
+    val mean = per.sum / per.length
+    info(f"q193 recall@10: mean $mean%.3f, min ${per.min}%.2f")
+    // the at-rest exact-probe dial shares q183's fit and decoded-space
+    // scoring, so it must hold the SAME floors as the in-flight gate
+    assert(mean >= 0.95,
+      s"mean at-rest SQ8 recall $mean fell below the 0.95 floor (q183 parity) " +
+        "— the at-rest decode path regressed")
+    assert(per.min >= 0.8,
+      s"worst-query at-rest recall ${per.min} fell below the 0.8 floor")
+  }
+
+  test("q193 floor has teeth: a starved probe on the at-rest index falls below it") {
+    import graft.model.Table
+    import graft.similarity.Ann
+    // the gate itself just ran at the exact dial and left its index tables
+    // in the warehouse; a 1-of-8 probe against the SAME layout must lose
+    // enough true neighbors to breach the floor
+    gate("q193_sq8_atrest_recall").count()
+    val e       = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
+    val ann = Ann.queryIvfIndex(spark, Table("graft_q193_atrest_idx"),
+        Table("graft_q193_atrest_cen"), queries, "qid", "embedding", k = 10, nprobe = 1,
+        fitTable = Some(Table("graft_q193_atrest_fit")))
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1L))
+    val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val recall = exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).cast("double") / (50.0 * 10.0))
+      .collect()(0).getDouble(0)
+    info(f"q193 degraded (nprobe=1) recall@10: $recall%.3f")
+    assert(recall < 0.95,
+      s"nprobe=1 at-rest recall $recall did not fall below the floor — the floor has no teeth")
   }
 
   test("q190 trim approx/exact agreement holds its floor") {

@@ -103,6 +103,34 @@ class SlopeBudgetSpec extends AnyFunSuite {
     assert(rc2 == 0, s"clean fixture failed:\n$out2")
   }
 
+  test("a slot absent from the third-decade denominator is a hard error (ADVICE r14)") {
+    // a twins-denominator sweep that failed/omitted a slot must not let
+    // that slot's sf30 measurement pass CI unchecked as a '— | —' row
+    def bench(qs: Map[String, Double]): String = {
+      val body = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"metric":"total","value":${qs.values.sum},"unit":"sec","queries":{$body},"errors":{},"failed":0,"pinned_skipped":[],"sf":"fixture"}"""
+    }
+    val dir = Files.createTempDirectory("slopeden")
+    def write(name: String, content: String): Path = {
+      val p = dir.resolve(name); Files.writeString(p, content); p
+    }
+    val f01 = write("b01.json", bench(Map("a_slot" -> 0.1, "b_slot" -> 0.1)))
+    val f1  = write("b1.json", bench(Map("a_slot" -> 1.0, "b_slot" -> 1.0)))
+    val f10 = write("b10.json", bench(Map("a_slot" -> 10.0, "b_slot" -> 10.0)))
+    val f30 = write("b30.json", bench(Map("a_slot" -> 30.0, "b_slot" -> 30.0)))
+    val f10t = write("b10t.json", bench(Map("a_slot" -> 10.0))) // b_slot missing
+    val (rc, out) = run(Seq(f01, f1, f10, f30).map(_.toString) ++
+      Seq("--sf10twins", f10t.toString, "--budget", "12"))
+    assert(rc == 1, s"missing denominator slot passed the checker (rc=$rc):\n$out")
+    assert(out.contains("b_slot") && out.contains("denominator"),
+      s"report does not flag the dropped slot:\n$out")
+    // and a complete denominator still passes
+    val g10t = write("g10t.json", bench(Map("a_slot" -> 10.0, "b_slot" -> 10.0)))
+    val (rc2, out2) = run(Seq(f01, f1, f10, f30).map(_.toString) ++
+      Seq("--sf10twins", g10t.toString, "--budget", "12"))
+    assert(rc2 == 0, s"complete denominator fixture failed:\n$out2")
+  }
+
   test("a non-positive sf1 time is excluded and reported, never a NaN slope") {
     def bench(qs: Map[String, Double]): String = {
       val body = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")

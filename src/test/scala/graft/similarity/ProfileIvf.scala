@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions._
   * separately at one SF — run it at sf10 and sf30 and compare per-stage
   * ratios against the 3× data ratio.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.similarity.ProfileIvf"
+  * Lives in the TEST source set (round 15 — VERDICT r14 task 6): it is a
+  * measurement harness, not an operator, and the production jar stays
+  * operators-only.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "Test/runMain graft.similarity.ProfileIvf"
+  * Heap note (ADVICE r14): local-mode driver memory is the forked JVM's
+  * -Xmx, fixed at launch — setting spark.driver.memory via .config() here
+  * would be a no-op. Size the heap with SPARK_DRIVER_MEM=96g (build.sbt
+  * threads it into javaOptions) when profiling sf30.
   */
 object ProfileIvf {
   private def time[A](name: String)(f: => A): A = {
@@ -29,8 +37,8 @@ object ProfileIvf {
       .appName("graft-profile-ivf")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.driver.memory", "96g")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,7 +120,24 @@ object ProfileIvf {
         candidateK = 20, k = 5, lambda = 0.7, numCentroids = c, nprobe = 2).count()
     }
 
-    // ---- stage 8: the q192 dial (bidirectional bitext via knnJoin) ----
+    // ---- stage 8 (round 15): assign-at-ingest vs assign-per-sweep ----
+    // the at-rest layout's two headline numbers: the one-time ingest cost
+    // (centroids + fit + codes + bucketed write) and the steady-state
+    // query-batch cost against the layout — compare the latter with
+    // stage 6 (the in-flight dial that re-assigns the corpus per call)
+    val idx = graft.model.Table("graft_profile_atrest_idx")
+    val cen = graft.model.Table("graft_profile_atrest_cen")
+    val fitT = graft.model.Table("graft_profile_atrest_fit")
+    time("buildIvfIndex sq8 (one-time ingest)") {
+      Ann.buildIvfIndex(spark, e, "vec_id", "embedding", idx, cen,
+        numCentroids = c, numBuckets = 32, codec = "sq8", fitTable = Some(fitT))
+    }
+    time("queryIvfIndex sq8 (at-rest steady state)") {
+      Ann.queryIvfIndex(spark, idx, cen, queries, "qid", "embedding",
+        k = 10, nprobe = 2, candidateJoin = "shuffle", fitTable = Some(fitT)).count()
+    }
+
+    // ---- stage 9: the q192 dial (bidirectional bitext via knnJoin) ----
     time("minePairsIvfBidirectional (full q192 dial)") {
       val xc = e.where(col("vec_id") % 2 === 0).select(col("vec_id").as("id"), col("embedding").as("v"))
       val yc = e.where(col("vec_id") % 2 =!= 0).select(col("vec_id").as("id"), col("embedding").as("v"))

@@ -103,14 +103,25 @@ def main(argv):
     q30 = ok_slots(b30) if b30 else {}
     # third-decade denominator: the like-for-like twins-only sf10 sweep
     # when provided, the full-sweep sf10 otherwise (see module docstring)
-    q10den = ok_slots(load(p10t)) if p10t else q10
+    b10t = load(p10t) if p10t else None
+    q10den = ok_slots(b10t) if p10t else q10
     den_label = "sf10twins" if p10t else "sf10"
 
     failed = []
     for name, b in [("sf0.1", b01), ("sf1", b1), ("sf10", b10)] + \
+                   ([("sf10twins", b10t)] if b10t else []) + \
                    ([("sf30", b30)] if b30 else []):
         for slot, err in sorted(b.get("errors", {}).items()):
             failed.append((name, slot, err))
+    # A slot that ran at sf30 but is absent/non-positive in the
+    # third-decade DENOMINATOR has an undefined slope — that must be a
+    # hard error, not a silently-rendered '— | —' row that passes the
+    # budget check unexamined (ADVICE r14).
+    den_missing = sorted(n for n in q30 if q10den.get(n, 0) <= 0)
+    for n in den_missing:
+        failed.append((den_label, n,
+                       "absent/non-positive in the third-decade denominator "
+                       "-> sf30 slope undefined (re-sweep the denominator)"))
 
     common = sorted(set(q1) & set(q10), key=lambda n: -q10[n])
     # a zero/negative sf1 time makes the slope undefined — treat as a
@@ -199,6 +210,11 @@ def main(argv):
             print(f"  {n}: {s:.1f}x {decade} (cap {cap:g}x) — pin it to the "
                   "oracle SF (exactDialPinnedToOracleSf) or re-dial it linear",
                   file=sys.stderr)
+        return 1
+    if den_missing:
+        print(f"\nTHIRD-DECADE DENOMINATOR INCOMPLETE: {den_missing} ran at "
+              f"sf30 but have no usable {den_label} time — their slopes were "
+              "NOT checked. Re-sweep the denominator artifact.", file=sys.stderr)
         return 1
     if failed:
         print(f"\nNOTE: {len(failed)} failed slot(s) above — slope budget "

@@ -5,10 +5,18 @@
 # Produces the committed artifacts BENCHFULL{,_sf1,_sf10,_sf30}.json.
 # Raw per-slot progress streams to /tmp/sweep_<sf>.log.
 #
-# Usage: tools/run_sweeps.sh [sf0.1] [sf1] [sf10] [sf30]
-#   No args = all four stages. Named stages run in the given order —
+# Usage: tools/run_sweeps.sh [sf0.1] [sf1] [sf10] [sf10twins] [sf30]
+#   No args = all five stages. Named stages run in the given order —
 #   a slot-filtered re-measure (e.g. just the sf30 twins) is a first-class
 #   protocol run, not an ad-hoc sbt invocation.
+#
+# WARMTH PROTOCOL (round 15 — VERDICT r14 task 3): every stage sets
+# SPARK_GRAFT_WARMUP_SF_DIR one SF below its target, so Bench warms each
+# slot through its own code paths immediately before that slot's first
+# measured pass. Marathon and filtered artifacts then measure the same
+# warm steady state — the round-14 ~30% protocol asymmetry (which booked
+# three linear twins as super-linear) cannot recur, and the sf10twins
+# denominator becomes a cross-check rather than a correction.
 #
 # MECHANICAL IDLE GUARD (round 14 — VERDICT r13 task 3): the "host
 # otherwise idle" rule used to be prose, and the r13 sf30 sweep silently
@@ -47,52 +55,81 @@ export SPARK_GRAFT_QUERY_BUDGET_SEC=1500
 STAGES=("$@")
 [ ${#STAGES[@]} -eq 0 ] && STAGES=(sf0.1 sf1 sf10 sf10twins sf30)
 
-TWINS='^(q137_knn_join_prod|q168_semdedup_prod|q12_neardup_minhash_prod|q40_neardup_ngram_prod|q183_sq8_ivf_prod|q172_mmr_prod|q174_trim_prod|q187_bitext_prod|q173_rrf_prod|q55_range_join_prod|q142_split_leakage_prod|q192_bitext_bidi_prod|q162_ngram_hitters|q131_pack_windows|q132_pack_bpe_ids)$'
+TWINS='^(q137_knn_join_prod|q168_semdedup_prod|q12_neardup_minhash_prod|q40_neardup_ngram_prod|q183_sq8_ivf_prod|q183_sq8_ivf_atrest|q172_mmr_prod|q174_trim_prod|q187_bitext_prod|q173_rrf_prod|q55_range_join_prod|q142_split_leakage_prod|q192_bitext_bidi_prod|q162_ngram_hitters|q131_pack_windows|q132_pack_bpe_ids)$'
+
+# PERIODIC IDLE RE-CHECK (round 15 — ADVICE r14): the start-time guard
+# cannot see a Verify/Bench JVM launched AFTER the sweep begins. A
+# background watcher re-checks every 60 s and appends a timestamped
+# OVERLAP WARNING to the active stage log whenever the count of graft
+# Verify/Bench JVMs exceeds the sweep's own (1 while a stage runs), so
+# contamination is flagged mechanically instead of by post-hoc audit.
+CURLOG=/tmp/sweep_current.log
+watcher() {
+  while true; do
+    sleep 60
+    local n
+    n=$(pgrep -f 'graft\.(Verify|Bench)' | wc -l)
+    if [ "$n" -gt 1 ]; then
+      echo "OVERLAP WARNING $(date -u +%FT%TZ): $n graft Verify/Bench JVMs running (expected <=1) — stage timings may be contaminated" \
+        >> "$(cat $CURLOG 2>/dev/null || echo /tmp/sweep_watch.log)"
+    fi
+  done
+}
+watcher & WATCHER_PID=$!
+trap 'rm -rf "$LOCK"; kill $WATCHER_PID 2>/dev/null' EXIT
 
 for st in "${STAGES[@]}"; do
   echo "=== sweep $st (start $(date -u +%FT%TZ)) ==="
+  echo "/tmp/sweep_$st.log" > "$CURLOG"
   case "$st" in
     sf0.1)
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+      SPARK_GRAFT_WARMUP_SF_DIR=/root/testdata/sf0.01 \
       SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL.json \
         sbt -batch "runMain graft.Bench" > /tmp/sweep_sf0.1.log 2>&1
       tail -2 /tmp/sweep_sf0.1.log ;;
     sf1)
       SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf1 \
+      SPARK_GRAFT_WARMUP_SF_DIR=/root/testdata/sf0.1 \
       SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf1.json \
         sbt -batch "runMain graft.Bench" > /tmp/sweep_sf1.log 2>&1
       tail -2 /tmp/sweep_sf1.log ;;
     sf10)
       SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf10 \
+      SPARK_GRAFT_WARMUP_SF_DIR=/root/repo/scratch/sf1 \
       SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf10.json \
         sbt -batch "runMain graft.Bench" > /tmp/sweep_sf10.log 2>&1
       tail -2 /tmp/sweep_sf10.log ;;
     sf10twins)
-      # Twins-only sf10 run under the SAME 15-slot filtered protocol as
-      # the sf30 probe — the third-decade slope's DENOMINATOR (round 14).
-      # The full-sweep BENCHFULL_sf10.json measures each slot after ~45
-      # minutes of 196-slot JIT/cache warmth; the filtered sf30 probe
-      # measures after ~3 minutes. That asymmetry inflated mid-length
-      # slots' sf10→sf30 slopes by ~30% (q172_mmr_prod: 15.5 s in the
-      # marathon vs ~21 s fresh — same code, same data). Like-for-like
-      # decades require like-for-like protocols.
+      # Twins-only sf10 run under the SAME filtered protocol as the sf30
+      # probe — the third-decade slope's DENOMINATOR (round 14). With the
+      # round-15 per-slot warm-up both this artifact and the marathon
+      # should now read within noise of each other (the warmth asymmetry
+      # that motivated this stage is equalized at the Bench level); it is
+      # kept as the like-for-like denominator AND as the mechanical
+      # cross-check that the warm-up actually holds (compare its slots
+      # against BENCHFULL_sf10.json).
       SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf10 \
+      SPARK_GRAFT_WARMUP_SF_DIR=/root/repo/scratch/sf1 \
       SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf10twins.json \
       SPARK_GRAFT_SLOT_FILTER="$TWINS" \
         sbt -batch "runMain graft.Bench" > /tmp/sweep_sf10twins.log 2>&1
       tail -2 /tmp/sweep_sf10twins.log ;;
     sf30)
-      # Third-decade probe (round 13): only the 12 benchOnly production
+      # Third-decade probe (round 13): only the benchOnly production
       # twins, the documented cost-step (q162) and the round-12 pack-fix
       # family (q131/q132) — the slots whose slope story carries above the
       # full-sweep decades — as a committed artifact instead of RunOne prose.
+      # Warm-up at sf1: C2 warmth is invocation-count-bound, not
+      # bytes-bound, and an sf10 warm-up would double the stage.
       SPARK_GRAFT_SF_DIR=/root/repo/scratch/sf30 \
+      SPARK_GRAFT_WARMUP_SF_DIR=/root/repo/scratch/sf1 \
       SPARK_GRAFT_BENCHFULL_OUT=/root/repo/BENCHFULL_sf30.json \
       SPARK_GRAFT_SLOT_FILTER="$TWINS" \
         sbt -batch "runMain graft.Bench" > /tmp/sweep_sf30.log 2>&1
       tail -2 /tmp/sweep_sf30.log ;;
     *)
-      echo "unknown stage '$st' (expected sf0.1|sf1|sf10|sf30)" >&2; exit 1 ;;
+      echo "unknown stage '$st' (expected sf0.1|sf1|sf10|sf10twins|sf30)" >&2; exit 1 ;;
   esac
   echo "=== sweep $st done ($(date -u +%FT%TZ)) ==="
 done
