@@ -136,7 +136,11 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (pass <- 1 to runs) {
       sorted.foreach { case (name, fn) =>
-        if (pass > 1 && best.get(name).exists(t => t >= skipRepeatSec)) {
+        // ingest-bearing at-rest slots are exempt from skip-repeat: their
+        // pass 1 may carry one-time index ingest, and skipping pass 2 would
+        // book that ingest-inclusive time as the steady state (ADVICE r15)
+        if (pass > 1 && !SparkEntry.ingestBearing.contains(name) &&
+            best.get(name).exists(t => t >= skipRepeatSec)) {
           System.err.println(f"[bench] p$pass $name%-28s skipped (>${skipRepeatSec}%.0fs on an earlier pass)")
         } else {
         if (pass == 1) perSlotWarmDir.foreach { wd =>

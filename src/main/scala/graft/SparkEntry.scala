@@ -60,6 +60,7 @@ object SparkEntry {
   private val twoLevelPath      = s"$scratch/q182_twolevel"
   private val sq8ProdPath       = s"$scratch/q183_sq8"
   private val sq8AtrestPath     = s"$scratch/q193_sq8_atrest"
+  private val sq8AppendPath     = s"$scratch/q194_sq8_append"
   private val mmrProdPath       = s"$scratch/q185_mmr"
   private val bitextProdPath    = s"$scratch/q188_bitext"
   private val rrfProdPath       = s"$scratch/q189_rrf"
@@ -165,6 +166,34 @@ object SparkEntry {
   /** All fixture reads flow through the real loadFile operator. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     LoadFile.toDataFrame(s, File(s"$dir/$name.parquet"))
+
+  /** Content fingerprint of a fixture file/dir (name:size:mtime of every
+    * part, md5-hexed) — the freshness key of the at-rest index twins
+    * (round 16, ADVICE r15): a regenerated scratch SF with the SAME row
+    * count must still trigger a rebuild, which a row-count key silently
+    * missed.
+    */
+  private def dirFingerprint(dir: String, name: String): String = {
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val parts =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName)
+      else Array(root)
+    val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** True when `stampTable` exists and records exactly `fp` — paired with
+    * [[writeStamp]], the build-stamp freshness gate of the at-rest twins.
+    */
+  private def stampFresh(s: SparkSession, stampTable: Table, fp: String): Boolean =
+    s.catalog.tableExists(stampTable.qualifiedName) &&
+      s.table(stampTable.qualifiedName).collect().headOption.exists(_.getString(0) == fp)
+
+  private def writeStamp(s: SparkSession, stampTable: Table, fp: String): Unit = {
+    import s.implicits._
+    TableIO.overwrite(s, Seq(fp).toDF("fingerprint"), stampTable)
+  }
 
   /** Older fixture generations wrote events.ts as TIMESTAMP(NANOS), which
     * Spark's parquet reader rejects by default; this conf reads it as long.
@@ -2942,6 +2971,44 @@ object SparkEntry {
         .select(col("query_id"), round(col("r"), 3).as("recall_at_10"))
     }),
 
+    // INCREMENTAL AT-REST IVF RECALL GATE (round 16 — VERDICT r15 task 2,
+    // the q129 growth-gate pattern for the IVF family): build the sq8
+    // index on HALF the corpus (even ids — the fit and centroids freeze
+    // there), grow it to the full corpus with Ann.appendToIvfIndex (odd
+    // ids encode against the PERSISTED fit/centroids, bucket-append), then
+    // answer the q193 query batch at the exact probe dial against the
+    // GROWN layout and measure recall@10 vs each engine's own exact float
+    // top-10 (q193's oracle SQL verbatim over this slot's materialization
+    // path). This is the staleness gate appendToIvfIndex's scaladoc
+    // promises: quality under growth is re-measured, not assumed — the
+    // half-corpus fit clips appended outliers to the frozen grid, and the
+    // reading says whether that costs recall (floor+teeth in
+    // GateFloorSpec). Build/append set agreement vs a fixed-fit in-flight
+    // search is pinned in AnnIndexSpec.
+    "q194_sq8_append_recall" -> ((s, dir) => {
+      val e    = tbl(s, dir, "embeddings")
+      val idx  = Table("graft_q194_append_idx")
+      val cen  = Table("graft_q194_append_cen")
+      val fit  = Table("graft_q194_append_fit")
+      val seed = e.filter(col("vec_id") % 2 === 0)
+      Ann.buildIvfIndex(s, seed, "vec_id", "embedding", idx, cen,
+        numCentroids = 8, numBuckets = 8, codec = "sq8", fitTable = Some(fit))
+      Ann.appendToIvfIndex(s, e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        idx, cen, numBuckets = 8, fitTable = Some(fit))
+      val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.queryIvfIndex(s, idx, cen, queries, "qid", "embedding", k = 10, nprobe = 8,
+          fitTable = Some(fit))
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(sq8AppendPath)
+      val ann   = s.read.parquet(sq8AppendPath).withColumn("__hit", lit(1L))
+      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / 10.0).as("r"))
+        .select(col("query_id"), round(col("r"), 3).as("recall_at_10"))
+    }),
+
     // DSIR RESAMPLING (round 10): the selection step q108's scoring op
     // defers to — Gumbel-top-n over logw, which by the Gumbel-top-k
     // identity IS sampling without replacement ∝ w^(1/τ), made
@@ -3207,6 +3274,17 @@ object SparkEntry {
       // fixed-size interval side — q55_range_join_prod.
       "q55_range_join")
 
+  /** At-rest index twins whose PASS 1 may include one-time ingest (build
+    * index + pre-assign queries when the layout is absent or stale). Bench
+    * exempts these from the skip-repeat rule (round 16 — ADVICE r15): a
+    * cold pass 1 that exceeds SPARK_GRAFT_SKIP_REPEAT_SEC must still be
+    * re-measured on pass 2, otherwise the artifact books the
+    * ingest-inclusive time as the "steady state". Ingest cost stays
+    * visible in the sweep log's pass-1 line.
+    */
+  val ingestBearing: Set[String] =
+    Set("q183_sq8_ivf_atrest", "q137_knn_join_atrest")
+
   /** Bench-only production-dial twins — the dials the 100 TB path actually
     * runs, measured at EVERY sweep SF (the exact dials above stay pinned to
     * the oracle SF). Not part of the Verify contract: their quality
@@ -3325,26 +3403,80 @@ object SparkEntry {
     // (never force a data-proportional broadcast): candidateJoin defaults
     // to "shuffle" here, GRAFT_IVF_JOIN=broadcast keeps the alternative
     // measurable on one HEAD.
+    //
+    // Round 16 (VERDICT r15 tasks 3 + ADVICE): (a) the query batch is now
+    // PRE-ASSIGNED at its own ingest (Ann.assignToIndex persisted bucketed
+    // by cell alongside the index), so the steady state is pure
+    // probe-scan — the last named super-linear residual (query-side
+    // O(|Q|·√C) two-level assignment, |Q| ∝ N here) moves to ingest and
+    // the pair join reads co-located buckets on both sides; (b) freshness
+    // keys on a CONTENT fingerprint of the source parquet (build stamp),
+    // not a row count — a regenerated same-size SF rebuilds instead of
+    // silently reusing stale codes.
     "q183_sq8_ivf_atrest" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val n = e.count()
-      val c = math.max(8L, n / 256L).toInt
       val tag = java.lang.Integer.toHexString(dir.hashCode)
       val idx = Table(s"graft_q183_atrest_idx_$tag")
       val cen = Table(s"graft_q183_atrest_cen_$tag")
       val fit = Table(s"graft_q183_atrest_fit_$tag")
-      val fresh = s.catalog.tableExists(idx.qualifiedName) &&
-        s.catalog.tableExists(cen.qualifiedName) &&
-        s.catalog.tableExists(fit.qualifiedName) &&
-        s.table(idx.qualifiedName).count() == n
-      if (!fresh)
+      val qas = Table(s"graft_q183_atrest_qas_$tag")
+      val stamp = Table(s"graft_q183_atrest_stamp_$tag")
+      val fp = dirFingerprint(dir, "embeddings")
+      val fresh = Seq(idx, cen, fit, qas).forall(t => s.catalog.tableExists(t.qualifiedName)) &&
+        stampFresh(s, stamp, fp)
+      if (!fresh) {
+        val c = math.max(8L, e.count() / 256L).toInt
         Ann.buildIvfIndex(s, e, "vec_id", "embedding", idx, cen,
           numCentroids = c, numBuckets = 32, codec = "sq8", fitTable = Some(fit))
-      val queries = e.filter(col("vec_id") % 17 === 0)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      Ann.queryIvfIndex(s, idx, cen, queries, "qid", "embedding", k = 10, nprobe = 2,
+        val queries = e.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        TableIO.overwriteBucketed(s,
+          Ann.assignToIndex(s, cen, queries, "qid", "embedding", nprobe = 2),
+          qas, Seq("cell"), 32, Seq("cell"))
+        writeStamp(s, stamp, fp)
+      }
+      Ann.queryIvfIndexAssigned(s, idx, s.table(qas.qualifiedName), k = 10,
           candidateJoin = sys.env.getOrElse("GRAFT_IVF_JOIN", "shuffle"),
           fitTable = Some(fit))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // AT-REST kNN JOIN — the q137 twin of the assign-at-ingest recipe
+    // (round 16, VERDICT r15 task 1). q137_knn_join_prod re-derives BOTH
+    // sides' cells per sweep: the right side's O(N·√C) assignment is
+    // exactly the term buildIvfIndex retires, and the left side (every
+    // corpus row probing nprobe cells) is the term assignToIndex retires.
+    // Here both are paid once at ingest — the corpus persists bucketed by
+    // cell (float codec: the kNN-join family scores raw floats), the
+    // probe-side assignment persists co-bucketed — and the steady-state
+    // sweep is the cell-co-located pair join + bounded-heap top-k, with
+    // excludeSelf dropping same-id pairs (the self-join contract).
+    // Quality evidence: set-equality with in-flight knnJoin at the same
+    // dial (same deterministic centroid sample ⇒ same cells ⇒ identical
+    // candidate pairs) is pinned in AnnIndexSpec; q137's exact-dial oracle
+    // covers the family's arithmetic. This slot's job is the slope.
+    "q137_knn_join_atrest" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val idx = Table(s"graft_q137_atrest_idx_$tag")
+      val cen = Table(s"graft_q137_atrest_cen_$tag")
+      val qas = Table(s"graft_q137_atrest_qas_$tag")
+      val stamp = Table(s"graft_q137_atrest_stamp_$tag")
+      val fp = dirFingerprint(dir, "embeddings")
+      val fresh = Seq(idx, cen, qas).forall(t => s.catalog.tableExists(t.qualifiedName)) &&
+        stampFresh(s, stamp, fp)
+      if (!fresh) {
+        val c = math.max(8L, e.count() / 256L).toInt
+        Ann.buildIvfIndex(s, e, "vec_id", "embedding", idx, cen,
+          numCentroids = c, numBuckets = 32, codec = "float")
+        TableIO.overwriteBucketed(s,
+          Ann.assignToIndex(s, cen, e, "vec_id", "embedding", nprobe = 2),
+          qas, Seq("cell"), 32, Seq("cell"))
+        writeStamp(s, stamp, fp)
+      }
+      Ann.queryIvfIndexAssigned(s, idx, s.table(qas.qualifiedName), k = 3,
+          candidateJoin = "shuffle", excludeSelf = true)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -6081,6 +6213,33 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10),
         |ann AS (SELECT DISTINCT query_id, neighbor_id
         |  FROM read_parquet('$sq8AtrestPath/*.parquet'))
+        |SELECT e.query_id,
+        |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
+        |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
+
+    // recall@10 of the INCREMENTALLY GROWN at-rest sq8 index (build on
+    // half, append the rest against the frozen fit/centroids, query the
+    // grown layout at the exact probe dial) — q193's oracle SQL verbatim
+    // over this slot's materialization path: the exact-dial answer set is
+    // defined by the same decoded-space arithmetic, so the recall reading
+    // measures exactly what the frozen-fit growth costs
+    "q194_sq8_append_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+        |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id DESC) AS rn
+        |  FROM sims) WHERE rn <= 10),
+        |ann AS (SELECT DISTINCT query_id, neighbor_id
+        |  FROM read_parquet('$sq8AppendPath/*.parquet'))
         |SELECT e.query_id,
         |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 3) AS recall_at_10
         |FROM exact e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id

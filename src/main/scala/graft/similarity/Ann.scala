@@ -586,11 +586,18 @@ object Ann {
     * `codec = "float"` stores `(id, vec, cell)`. `codec = "sq8"` stores
     * `(id, codes, cell)` — int8-range codes as `array<smallint>`, 4× less
     * at-rest/scan width per dimension than float32 — plus the per-dimension
-    * fit `(dim, lo, hi, step)` in `fitTable`, which later query batches
-    * reuse ([[graft.similarity.Sq8]]'s decoded-space scoring contract: raw
-    * codes are never scored). The dims contract is the PQ-family rule:
-    * corpus rows whose width differs from the fitted width are EXCLUDED
-    * from fit and index rather than silently lo-padded.
+    * fit `(dim, lo, hi, cnt, step)` in `fitTable`, which later query
+    * batches reuse ([[graft.similarity.Sq8]]'s decoded-space scoring
+    * contract: raw codes are never scored). The dims contract at BUILD
+    * time: a mixed-width (or empty-vector) corpus is REJECTED with a typed
+    * error — the fit is not yet frozen here, so admitting ragged rows
+    * would stretch the grid for everyone; filter to one width before
+    * building. (This differs from [[appendToIvfIndex]] and [[ivfTopK]],
+    * where the fitted width is already fixed and off-width rows are
+    * excluded against it.) The width check rides the fit aggregation's own
+    * scan ([[Sq8.fitWithCounts]] — equal per-dim counts ⟺ one width), so
+    * the build pays no separate dimensionality pass (round 16, VERDICT r15
+    * task 6).
     */
   def buildIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -613,17 +620,22 @@ object Ann {
       centroidTable)
     val assigned =
       if (codec == "sq8") {
-        val cd = corpus.where(col(corpusVec).isNotNull)
-          .select(size(col(corpusVec))).distinct().collect()
-        require(cd.length == 1,
-          s"corpus must carry exactly one vector dimensionality, saw ${cd.length}")
-        val dim   = cd.head.getInt(0)
-        val clean = corpus.where(col(corpusVec).isNotNull && size(col(corpusVec)) === dim)
-        val f     = Sq8.fit(clean, corpusVec)
+        val clean = corpus.where(col(corpusVec).isNotNull)
+        val f     = Sq8.fitWithCounts(clean, corpusVec)
         graft.ops.TableIO.overwrite(spark, f, fitTable.get)
+        // the width check reads the PERSISTED fit (a dims-bounded table) —
+        // no separate corpus pass: one width ⟺ every dim has the same cnt,
+        // and an empty vector surfaces as a null-dim row (fitWithCounts)
+        val persisted = spark.table(fitTable.get.qualifiedName)
+        val cnts = persisted.select(col("dim").isNull.as("empty"), col("cnt")).distinct().collect()
+        require(!cnts.exists(_.getBoolean(0)),
+          "corpus contains empty vectors — filter size(vec) > 0 before building")
+        require(cnts.map(_.getLong(1)).distinct.length == 1,
+          "corpus must carry exactly one vector dimensionality " +
+            "(mixed widths are rejected at build time — filter to one width first)")
         // collect the PERSISTED fit (not the in-plan aggregate) so the codes
         // written here and every later decode read the identical constants
-        val (los, steps, fdim) = Sq8.collectFit(spark.table(fitTable.get.qualifiedName))
+        val (los, steps, fdim) = Sq8.collectFit(persisted)
         clean.select(
           col(corpusId).as("id"),
           Sq8.codesExpr(col(corpusVec), los, steps, fdim).cast("array<smallint>").as("codes"),
@@ -639,6 +651,50 @@ object Ann {
       Seq("cell"), numBuckets, Seq("cell"))
   }
 
+  /** Centroids of a persisted index, cell-ordered — the config-bounded
+    * (C × dim floats) driver collect every index query/append pays once.
+    */
+  private def loadIndexCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      centroidTable: graft.model.Table): Array[Array[Float]] = {
+    val cents = spark.table(centroidTable.qualifiedName)
+      .orderBy(col("cell"))
+      .select(col("centroid"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, s"IVF: empty centroid table ${centroidTable.qualifiedName}")
+    cents
+  }
+
+  /** Assign a frame's vectors to their `nprobe` nearest cells of a
+    * PERSISTED index — the query-ingest step of the at-rest recipe
+    * (round 16, VERDICT r15 task 3). Returns `(query_id, __qvec, cell)`,
+    * one row per probe, ready for [[queryIvfIndexAssigned]]; persist it
+    * (bucketed by `cell` with the index's own bucket count, so the
+    * steady-state pair join is exchange-free on BOTH sides) and the sweep
+    * that answers the batch never touches centroids at all — the last
+    * super-linear residual of the at-rest path (query-side O(|Q|·√C)
+    * assignment, |Q| ∝ N in the corpus-sweep twins) moves to ingest.
+    *
+    * Assignment rides the same flat/two-level dial as everywhere else
+    * ([[cellAssign]]): O(√C) per row at production C.
+    */
+  def assignToIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      centroidTable: graft.model.Table,
+      frame: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int = 16,
+  ): DataFrame = {
+    val cents = loadIndexCentroids(spark, centroidTable)
+    frame.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"),
+      explode(cellAssign(col(vecCol), cents, nprobe)).as("cell"),
+    )
+  }
+
   /** Query a persisted IVF index. The probed-cell set (≤ min(|queries| ×
     * nprobe, C) distinct ids) becomes an `IN` filter on the bucket column,
     * so the scan PRUNES non-probed buckets at the source
@@ -649,7 +705,9 @@ object Ann {
     * Query-side cell assignment rides the same flat/two-level dial as the
     * corpus side ([[cellAssign]]): a corpus-proportional query batch (the
     * at-rest corpus-sweep twin) against constant-cell-size C would
-    * otherwise pay a flat O(|Q|·C) = super-linear probe.
+    * otherwise pay a flat O(|Q|·C) = super-linear probe. To retire even
+    * the O(|Q|·√C) term, pre-assign the batch at its own ingest
+    * ([[assignToIndex]]) and answer with [[queryIvfIndexAssigned]].
     *
     * `candidateJoin` is [[ivfTopK]]'s round-14 dial, same semantics:
     * "broadcast" (default) force-broadcasts the query side — right for
@@ -662,6 +720,10 @@ object Ann {
     * against the persisted fit (pass the same `fitTable` given at build
     * time) — identical arithmetic to [[ivfTopK]]'s sq8 path, so the two
     * agree set-for-set at the same dial (pinned in AnnIndexSpec).
+    *
+    * `excludeSelf` drops same-id (query, corpus) pairs before the top-k —
+    * with `queries` = the indexed corpus itself this is the AT-REST kNN
+    * self-join ([[knnJoin]]'s layout twin, round 16).
     *
     * `nprobe >= numCentroids` degrades gracefully to an exact scan-all
     * (recall 1.0) — still shuffle-free under the broadcast dial.
@@ -677,37 +739,65 @@ object Ann {
       nprobe: Int = 16,
       candidateJoin: String = "broadcast",
       fitTable: Option[graft.model.Table] = None,
+      excludeSelf: Boolean = false,
+  ): DataFrame =
+    queryIvfIndexAssigned(spark, indexTable,
+      assignToIndex(spark, centroidTable, queries, queryId, queryVec, nprobe),
+      k, candidateJoin, fitTable, excludeSelf)
+
+  /** [[queryIvfIndex]] over an ALREADY-ASSIGNED query frame `(query_id,
+    * __qvec, cell)` — [[assignToIndex]]'s output, typically read back from
+    * a table persisted at query ingest. The steady state is then pure
+    * probe-scan: collect the probed-cell set from the assigned frame (one
+    * cheap columnar action, which for the sq8 codec also carries the
+    * width-vs-fit contract check — no separate dimensionality pass), prune
+    * the index scan to those buckets, pair by cell, bounded-heap top-k.
+    * No centroid load, no per-row assignment.
+    *
+    * Default `candidateJoin` here is "shuffle": a PRE-ASSIGNED batch is by
+    * design the corpus-proportional case (bounded ad-hoc batches just call
+    * [[queryIvfIndex]]), and forcing a data-proportional broadcast is the
+    * round-14 trap. When both the index and the assigned table are
+    * bucketed by `cell` with the same bucket count, the pair join reads
+    * co-located buckets with no exchange on either side.
+    */
+  def queryIvfIndexAssigned(
+      spark: org.apache.spark.sql.SparkSession,
+      indexTable: graft.model.Table,
+      assigned: DataFrame,
+      k: Int = 10,
+      candidateJoin: String = "shuffle",
+      fitTable: Option[graft.model.Table] = None,
+      excludeSelf: Boolean = false,
   ): DataFrame = {
-    import spark.implicits._
     require(candidateJoin == "broadcast" || candidateJoin == "shuffle",
       s"candidateJoin must be broadcast or shuffle, got $candidateJoin")
-    val cents: Array[Array[Float]] = spark.table(centroidTable.qualifiedName)
-      .orderBy(col("cell"))
-      .select(col("centroid"))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(cents.nonEmpty, s"IVF: empty centroid table ${centroidTable.qualifiedName}")
-    val queryCells = queries.select(
-      col(queryId).as("query_id"),
-      col(queryVec).as("__qvec"),
-      explode(cellAssign(col(queryVec), cents, nprobe)).as("cell"),
-    )
-    val probed = queryCells.select(col("cell")).distinct().as[Int].collect()
-    val index  = spark.table(indexTable.qualifiedName)
+    Seq("query_id", "__qvec", "cell").foreach(c =>
+      require(assigned.columns.contains(c),
+        s"assigned frame must carry (query_id, __qvec, cell) — missing $c (use assignToIndex)"))
+    // ONE action over the assigned frame collects the probed-cell set
+    // (bounded by C) AND the distinct query widths (bounded, for the sq8
+    // width-vs-fit require below) — folding what used to be a separate
+    // full-frame distinct pass into the collect the pruning needs anyway
+    // (round 16, VERDICT r15 task 6)
+    val stats = assigned.agg(
+      collect_set(col("cell")).as("cells"),
+      collect_set(size(col("__qvec"))).as("widths")).collect()(0)
+    val probed = stats.getSeq[Int](0)
+    val widths = stats.getSeq[Int](1)
+    require(probed.nonEmpty, "assigned query frame is empty — nothing to probe")
+    val index = spark.table(indexTable.qualifiedName)
       .where(col("cell").isin(probed.map(Int.box): _*))
-    def pair(q: DataFrame): DataFrame =
-      if (candidateJoin == "shuffle") index.join(q, Seq("cell"))
-      else index.join(broadcast(q), Seq("cell"))
+    val selfFilter = (df: DataFrame) =>
+      if (excludeSelf) df.where(col("query_id") =!= col("id")) else df
     val scored =
       if (index.columns.contains("codes")) {
         require(fitTable.nonEmpty,
           s"index ${indexTable.qualifiedName} stores sq8 codes — pass the fitTable it was built with")
         val (los, steps, dim) = Sq8.collectFit(spark.table(fitTable.get.qualifiedName))
-        val qd = queries.where(col(queryVec).isNotNull)
-          .select(size(col(queryVec))).distinct().collect()
-        require(qd.length == 1 && qd.head.getInt(0) == dim,
+        require(widths.length == 1 && widths.head == dim,
           s"query frame width must match the fitted $dim dimensions")
-        val qcoded = queryCells.select(col("query_id"), col("cell"),
+        val qcoded = assigned.select(col("query_id"), col("cell"),
           Sq8.roundtripExpr(col("__qvec"), los, steps, dim).as("__qdvec"))
         // decode BEFORE the pair join (the ivfTopK shape): per corpus row
         // once, not per candidate pair — a probed cell's row pairs with
@@ -715,13 +805,72 @@ object Ann {
         // the transform by the pair fan-out
         val decoded = index.select(col("id"), col("cell"),
           Sq8.decodeExpr(col("codes"), los, steps, dim).as("__dvec"))
-        (if (candidateJoin == "shuffle") decoded.join(qcoded, Seq("cell"))
-         else decoded.join(broadcast(qcoded), Seq("cell")))
+        selfFilter(
+          if (candidateJoin == "shuffle") decoded.join(qcoded, Seq("cell"))
+          else decoded.join(broadcast(qcoded), Seq("cell")))
           .select(col("query_id"), col("id").as("__nid"),
             cosine(col("__qdvec"), col("__dvec")).as("__sim"))
       } else
-        pair(queryCells).select(col("query_id"), col("id").as("__nid"),
-          cosine(col("__qvec"), col("vec")).as("__sim"))
+        selfFilter(
+          if (candidateJoin == "shuffle") index.join(assigned, Seq("cell"))
+          else index.join(broadcast(assigned), Seq("cell")))
+          .select(col("query_id"), col("id").as("__nid"),
+            cosine(col("__qvec"), col("vec")).as("__sim"))
     topKOf(scored, k)
+  }
+
+  /** Incrementally grow a persisted IVF index (round 16 — VERDICT r15
+    * task 2, the [[Pq.streamingIndexSink]] pattern for the IVF family):
+    * encode/assign `newRows` against the PERSISTED centroids and fit — no
+    * re-clustering, no re-fit, so new codes stay comparable with every row
+    * ever ingested — and bucket-append to the layout. At 100 TB a
+    * full-overwrite-only index loses most of the assign-at-ingest win to
+    * every corpus delta; this makes the delta cost O(|delta|·√C).
+    *
+    * `numBuckets` must match the spec [[buildIvfIndex]] created — Spark
+    * rejects mismatched bucketed appends, so drift fails loudly.
+    *
+    * Dims contract (the frozen-fit rule, matching [[ivfTopK]]'s corpus
+    * side): for an sq8 index the fit is already fixed, so appended rows
+    * whose width differs from the fitted width are EXCLUDED — they cannot
+    * join the grid without lo-padding (fabricated mass). Quality under
+    * growth is a GATE, not an assumption: re-measure the recall floor
+    * after appending (the q129/q194 pattern — GateFloorSpec holds the
+    * floor+teeth pair, SparkEntry q194 the oracle-checked reading).
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newRows: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      indexTable: graft.model.Table,
+      centroidTable: graft.model.Table,
+      numBuckets: Int,
+      fitTable: Option[graft.model.Table] = None,
+  ): Unit = {
+    require(spark.catalog.tableExists(indexTable.qualifiedName),
+      s"appendToIvfIndex: ${indexTable.qualifiedName} must exist (Ann.buildIvfIndex first)")
+    val cents = loadIndexCentroids(spark, centroidTable)
+    val assigned =
+      if (spark.table(indexTable.qualifiedName).columns.contains("codes")) {
+        require(fitTable.nonEmpty,
+          s"index ${indexTable.qualifiedName} stores sq8 codes — pass the fitTable it was built with")
+        val (los, steps, dim) = Sq8.collectFit(spark.table(fitTable.get.qualifiedName))
+        newRows
+          .where(col(corpusVec).isNotNull && size(col(corpusVec)) === dim)
+          .select(
+            col(corpusId).as("id"),
+            Sq8.codesExpr(col(corpusVec), los, steps, dim).cast("array<smallint>").as("codes"),
+            element_at(cellAssign(col(corpusVec), cents, 1), 1).as("cell"),
+          )
+      } else
+        newRows.select(
+          col(corpusId).as("id"),
+          col(corpusVec).as("vec"),
+          element_at(cellAssign(col(corpusVec), cents, 1), 1).as("cell"),
+        )
+    graft.ops.TableIO.appendBucketed(spark, assigned, indexTable,
+      Seq("cell"), numBuckets, Seq("cell"))
+    spark.catalog.refreshTable(indexTable.qualifiedName)
   }
 }

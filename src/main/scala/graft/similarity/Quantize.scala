@@ -37,6 +37,25 @@ object Sq8 {
       .agg(min(col("__x").cast("double")).as("lo"), max(col("__x").cast("double")).as("hi"))
       .withColumn("step", (col("hi") - col("lo")) / lit(255.0))
 
+  /** [[fit]] plus a per-dimension row count — the single-pass form of the
+    * dims contract check (round 16, VERDICT r15 task 6): every corpus row
+    * of width w contributes one value to each of dims 1..w, so the corpus
+    * carries exactly one vector width iff every dim's `cnt` is equal
+    * (a narrower row inflates only the low dims; widths can never alias
+    * because each extra width strictly changes the count of some dim).
+    * `posexplode_outer` keeps zero-length vectors visible as a null-dim
+    * row instead of silently vanishing from the aggregate, so an empty
+    * array fails the width require the same way a ragged one does.
+    * Callers that persist the fit drop nothing — `cnt` rides along
+    * harmlessly ([[collectFit]] selects (dim, lo, step) by name).
+    */
+  private[similarity] def fitWithCounts(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode_outer(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy((col("__p") + 1).cast("long").as("dim"))
+      .agg(min(col("__x").cast("double")).as("lo"), max(col("__x").cast("double")).as("hi"),
+        count(lit(1)).as("cnt"))
+      .withColumn("step", (col("hi") - col("lo")) / lit(255.0))
+
   /** Outlier-robust fit: per-dimension [quantile(pLow), quantile(pHigh)]
     * instead of min/max — a single wild value in one dimension otherwise
     * stretches that dim's `step` arbitrarily and collapses the useful code

@@ -111,6 +111,143 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pre-assigned query path: a persisted assignment table answers identically to on-the-fly assignment") {
+    // round 16 (VERDICT r15 task 3): assignToIndex → persist bucketed by
+    // cell → queryIvfIndexAssigned must give the same answer as the
+    // assign-per-call path, through the full write/read round trip
+    val (idx, cen) = buildIndex("preassign")
+    val queries    = corpus.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding"))
+    val qas        = Table("graft_test_ivf_qas_preassign")
+    graft.ops.TableIO.overwriteBucketed(spark,
+      Ann.assignToIndex(spark, cen, queries, "qid", "embedding", nprobe = 3),
+      qas, Seq("cell"), 8, Seq("cell"))
+    val viaTable = Ann.queryIvfIndexAssigned(spark, idx, spark.table(qas.qualifiedName), k = 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Ann.queryIvfIndex(spark, idx, cen, queries, "qid", "embedding", k = 5, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaTable == direct)
+    assert(viaTable.nonEmpty)
+  }
+
+  test("at-rest knnJoin (pre-assigned corpus, excludeSelf) equals in-flight knnJoin at the same dial") {
+    // the q137 twin's quality pin (round 16 — VERDICT r15 task 1): the
+    // deterministic centroid sample makes the at-rest layout's cells
+    // IDENTICAL to knnJoin's per-call assignment, so at the same
+    // (C, nprobe) dial the candidate pairs — and hence the top-k — match
+    // set-for-set, cosines included
+    val (idx, cen) = buildIndex("knnar")
+    val qas = Table("graft_test_ivf_qas_knnar")
+    graft.ops.TableIO.overwriteBucketed(spark,
+      Ann.assignToIndex(spark, cen, corpus, "vec_id", "embedding", nprobe = 3),
+      qas, Seq("cell"), 8, Seq("cell"))
+    def atRest() = Ann.queryIvfIndexAssigned(spark, idx, spark.table(qas.qualifiedName),
+      k = 3, candidateJoin = "shuffle", excludeSelf = true)
+    val ar = atRest()
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val inFlight = Ann.knnJoin(corpus, corpus, "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, numCentroids = 8, nprobe = 3, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ar == inFlight,
+      s"only-atrest=${(ar -- inFlight).take(5)} only-inflight=${(inFlight -- ar).take(5)}")
+    assert(ar.nonEmpty)
+    // the self-join twin must never force a data-proportional broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = atRest().queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoop"),
+        s"at-rest knnJoin twin still plans a broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("appendToIvfIndex grows an sq8 index comparably: exact-dial query equals fixed-fit in-flight search") {
+    // build on the even half (fit + centroids freeze there), append the
+    // odd half against the persisted fit — the grown index at the exact
+    // probe dial must equal ivfTopK over the FULL corpus with that same
+    // fit (at nprobe = C every pair meets once, so cells don't matter and
+    // the only arithmetic is the shared decoded-space scoring)
+    val idx = Table("graft_test_ivf_idx_append")
+    val cen = Table("graft_test_ivf_cen_append")
+    val fit = Table("graft_test_ivf_fit_append")
+    val evens = corpus.filter(col("vec_id") % 2 === 0)
+    val odds  = corpus.filter(col("vec_id") % 2 =!= 0)
+    Ann.buildIvfIndex(spark, evens, "vec_id", "embedding", idx, cen,
+      numCentroids = 8, numBuckets = 8, codec = "sq8", fitTable = Some(fit))
+    Ann.appendToIvfIndex(spark, odds, "vec_id", "embedding", idx, cen,
+      numBuckets = 8, fitTable = Some(fit))
+    assert(spark.table(idx.qualifiedName).count() == 100L)
+    val queries = corpus.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+    val grown = Ann.queryIvfIndex(spark, idx, cen, queries, "qid", "embedding",
+        k = 5, nprobe = 8, fitTable = Some(fit))
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val inFlight = Ann.ivfTopK(corpus, queries, "vec_id", "embedding", "qid", "embedding",
+        k = 5, numCentroids = 8, nprobe = 8, codec = "sq8",
+        codecFit = Some(spark.table(fit.qualifiedName)))
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(grown == inFlight,
+      s"only-grown=${(grown -- inFlight).take(5)} only-inflight=${(inFlight -- grown).take(5)}")
+    assert(grown.nonEmpty)
+
+    // frozen-fit dims contract: a ragged append row is EXCLUDED, never
+    // lo-padded into the grid
+    val ragged = Seq((999L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    Ann.appendToIvfIndex(spark, ragged, "vec_id", "embedding", idx, cen,
+      numBuckets = 8, fitTable = Some(fit))
+    assert(spark.table(idx.qualifiedName).where(col("id") === 999L).count() == 0L)
+
+    // guards: append before build fails; sq8 append without its fit fails
+    val exMissing = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, odds, "vec_id", "embedding",
+        Table("graft_test_ivf_idx_nope"), cen, numBuckets = 8, fitTable = Some(fit))
+    }
+    assert(exMissing.getMessage.contains("must exist"))
+    val exFit = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, odds, "vec_id", "embedding", idx, cen, numBuckets = 8)
+    }
+    assert(exFit.getMessage.contains("fitTable"))
+  }
+
+  test("appendToIvfIndex grows a float index: exact-dial query equals brute force over the full corpus") {
+    val idx = Table("graft_test_ivf_idx_appendf")
+    val cen = Table("graft_test_ivf_cen_appendf")
+    val evens = corpus.filter(col("vec_id") % 2 === 0)
+    val odds  = corpus.filter(col("vec_id") % 2 =!= 0)
+    Ann.buildIvfIndex(spark, evens, "vec_id", "embedding", idx, cen,
+      numCentroids = 8, numBuckets = 8)
+    Ann.appendToIvfIndex(spark, odds, "vec_id", "embedding", idx, cen, numBuckets = 8)
+    val queries = corpus.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+    val grown = Ann.queryIvfIndex(spark, idx, cen, queries, "qid", "embedding", k = 5, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "qid", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(grown == exact)
+  }
+
+  test("sq8 build rejects mixed-width and empty-vector corpora (dims contract at build time)") {
+    val mixed = corpus.unionByName(Seq((998L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val exMixed = intercept[IllegalArgumentException] {
+      Ann.buildIvfIndex(spark, mixed, "vec_id", "embedding",
+        Table("graft_test_ivf_idx_mixed"), Table("graft_test_ivf_cen_mixed"),
+        numCentroids = 8, numBuckets = 8, codec = "sq8",
+        fitTable = Some(Table("graft_test_ivf_fit_mixed")))
+    }
+    assert(exMixed.getMessage.contains("exactly one vector dimensionality"))
+    val withEmpty = corpus.unionByName(Seq((997L, Seq.empty[Float])).toDF("vec_id", "embedding"))
+    val exEmpty = intercept[IllegalArgumentException] {
+      Ann.buildIvfIndex(spark, withEmpty, "vec_id", "embedding",
+        Table("graft_test_ivf_idx_empty"), Table("graft_test_ivf_cen_empty"),
+        numCentroids = 8, numBuckets = 8, codec = "sq8",
+        fitTable = Some(Table("graft_test_ivf_fit_empty")))
+    }
+    assert(exEmpty.getMessage.contains("empty vectors"))
+  }
+
   test("two-level assignment (C >= threshold) keeps knnJoin recall on clustered data") {
     // C = 64 crosses Ann.TwoLevelThreshold, so assignment runs through the
     // O(√C) group hierarchy — the constant-cell-size production path. On

@@ -240,6 +240,47 @@ class GateFloorSpec extends SparkSpec {
       s"nprobe=1 at-rest recall $recall did not fall below the floor — the floor has no teeth")
   }
 
+  test("q194 incrementally-grown at-rest index holds the q183-family recall floor") {
+    val per = gate("q194_sq8_append_recall")
+      .select(col("recall_at_10").cast("double")).collect().map(_.getDouble(0))
+    assert(per.length == 50, s"expected 50 query rows, got ${per.length}")
+    val mean = per.sum / per.length
+    info(f"q194 recall@10: mean $mean%.3f, min ${per.min}%.2f")
+    // the grown index freezes fit+centroids on the even half; appended rows
+    // clip to that grid — the gate proves the growth path holds the same
+    // floors as the full-rebuild gates (q183/q193 parity)
+    // round-16 reading: mean 0.972, min 0.80 (vs q193's 0.988/0.90 — the
+    // half-corpus fit costs ~1.6 recall points on this fixture); floors
+    // sit with margin below the reading
+    assert(mean >= 0.95,
+      s"mean grown-index recall $mean fell below the 0.95 floor (round-16 reading 0.972) " +
+        "— appendToIvfIndex's frozen-fit encoding regressed")
+    assert(per.min >= 0.7,
+      s"worst-query grown-index recall ${per.min} fell below the 0.7 floor (round-16 min 0.80)")
+  }
+
+  test("q194 floor has teeth: a starved probe on the grown index falls below it") {
+    import graft.model.Table
+    import graft.similarity.Ann
+    // the gate itself just ran and left the GROWN index in the warehouse; a
+    // 1-of-8 probe against the same layout must breach the floor
+    gate("q194_sq8_append_recall").count()
+    val e       = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding"))
+    val ann = Ann.queryIvfIndex(spark, Table("graft_q194_append_idx"),
+        Table("graft_q194_append_cen"), queries, "qid", "embedding", k = 10, nprobe = 1,
+        fitTable = Some(Table("graft_q194_append_fit")))
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1L))
+    val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", "qid", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val recall = exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).cast("double") / (50.0 * 10.0))
+      .collect()(0).getDouble(0)
+    info(f"q194 degraded (nprobe=1) recall@10: $recall%.3f")
+    assert(recall < 0.95,
+      s"nprobe=1 grown-index recall $recall did not fall below the floor — the floor has no teeth")
+  }
+
   test("q190 trim approx/exact agreement holds its floor") {
     val rows = gate("q190_trim_prod_agree").collect()
     assert(rows.nonEmpty)

