@@ -92,12 +92,22 @@ object Dedup {
       maxBucketSize: Int = 1000,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val sets = df.select(
+    verifyPairs(shingleSets(df, idCol, textCol, shingleK),
+      numHashes, bands, threshold, maxBucketSize)
+  }
+
+  /** The (id, shingle-hash set) projection every MinHash dial starts from.
+    * The CC-family operators cache it for the duration of their (eager)
+    * component computation — the verify tail re-joins it twice by id, so
+    * an uncached pipeline computes the shingle pass three times inside one
+    * execution (round 16, guide §1.2).
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame =
+    df.select(
       col(idCol).as("id"),
       NativeFunctions.shingleHashes(col(textCol), shingleK).as("sh"),
     )
-    verifyPairs(sets, numHashes, bands, threshold, maxBucketSize)
-  }
 
   /** n-gram Jaccard near-dup: identical LSH pipeline but over character
     * n-gram sets — robust to word-boundary noise (whitespace mangling, OCR).
@@ -171,6 +181,40 @@ object Dedup {
     * null-safe equality `<=>` so an oversized NULL bucket drops exactly
     * like the window drops it), pinned by the oracle suite either way.
     */
+  /** Ordered within-bucket candidate-pair enumeration over a cap-bounded
+    * blocking relation — the step every blocking family shares after
+    * [[dropOversized]]. `member` must be a struct whose FIRST field is the
+    * id. Output rows carry the two member structs as (__a, __b) with
+    * __a.id < __b.id; the caller applies its verify filter and dedup.
+    *
+    * Two row-identical strategies, switchable like `GRAFT_CAP_IMPL`
+    * (round 16 — measured A/B on this host before picking the default):
+    *  - "inrow": collect each bucket's members (bounded by the cap) on
+    *    the cap window's own hash partitioning — no new exchange — and
+    *    stream ordered pairs out of two Generate steps. ONE execution of
+    *    the upstream blocking pipeline.
+    *  - "join": the classic self-join on the bucket keys. The upstream
+    *    pipeline (shingle/minhash/banding, or the codec+hash pass for
+    *    perceptual families) executes once per join side and its explode
+    *    exchanges once per side.
+    */
+  private def enumeratePairs(capped: DataFrame, keys: Seq[String], member: Column): DataFrame =
+    sys.env.getOrElse("GRAFT_PAIR_IMPL", "inrow") match {
+      case "join" =>
+        val a = capped.select(keys.map(col) :+ member.as("__a"): _*)
+        val b = capped.select(keys.map(col) :+ member.as("__b"): _*)
+        a.join(b, keys).where(col("__a.id") < col("__b.id"))
+          .select(col("__a"), col("__b"))
+      case _ =>
+        capped.groupBy(keys.map(col): _*)
+          .agg(sort_array(collect_list(member)).as("__m"))
+          .where(size(col("__m")) >= 2)
+          .select(col("__m"), posexplode(col("__m")).as(Seq("__i", "__a")))
+          .select(col("__a"),
+            explode(slice(col("__m"), col("__i") + lit(2), size(col("__m")))).as("__b"))
+          .where(col("__a.id") < col("__b.id"))
+    }
+
   private def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame =
     sys.env.getOrElse("GRAFT_CAP_IMPL", "window") match {
       case "antijoin" =>
@@ -216,12 +260,14 @@ object Dedup {
   ): DataFrame = {
     val capped = dropOversized(bandedSized(sets, numHashes, bands),
       maxBucketSize, "band", "bucket")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("n").as("na"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("n").as("nb"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b") &&
-        least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * threshold)
-      .select(col("id_a"), col("id_b"))
+    // pair enumeration via [[enumeratePairs]] (round 16, guide §2.4), with
+    // the PPJoin length filter evaluated on the pair row BEFORE the dedup
+    // shuffle — set sizes ride the band explode as one int either way.
+    val candidates = enumeratePairs(capped, Seq("band", "bucket"),
+        struct(col("id"), col("n")))
+      .where(least(col("__a.n"), col("__b.n")) >=
+        greatest(col("__a.n"), col("__b.n")) * threshold)
+      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -333,42 +379,88 @@ object Dedup {
 
   /** Connected components over candidate pairs by iterative min-label
     * propagation: label(v) ← min(label(v), min label of neighbours) until
-    * fixpoint (or `maxIter`). Converges in O(component diameter) rounds —
+    * fixpoint (or `maxIter` join rounds past the aggregate-only first
+    * round). Converges in O(component diameter) rounds —
     * near-dup clusters are shallow (boilerplate stars, edit chains), so
     * single digits in practice; `localCheckpoint` truncates the growing
     * lineage each round. Input columns: (id_a, id_b); output: (id, label)
     * with label = the component's min id.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // cache the DIRECTED pairs before mirroring: the union's two branches
-    // would otherwise each recompute the full upstream plan (the LSH
-    // pipeline) when the edge cache materializes. Ids keep their native
-    // type — min-label propagation only needs an ordering, so string ids
-    // work as well as numeric ones.
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // ONE pass over the (possibly expensive) upstream pair plan: each pair
+    // explodes into both directed edges inline, and the result is
+    // hash-partitioned by dst ONCE and cached, so every round's join reuses
+    // the cached layout with no per-round edge exchange (round 16 — guide
+    // §2.4: the previous shape cached the pairs TWICE, fwd plus the
+    // mirrored union, and re-shuffled the edge side every round). Ids keep
+    // their native type — min-label propagation only needs an ordering, so
+    // string ids work as well as numeric ones.
+    val edges = pairs.select(inline(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))))
+      .repartition(col("dst"))
       .cache()
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // INIT = round 1 for free (round 16): at round 1 every neighbour's
+    // label IS its id, which the edge rows already carry — so the first
+    // propagation is a plain aggregate over the cached edges (no join),
+    // and the loop below starts from min(id, neighbour ids). One fewer
+    // join round for every component; the fixpoint is unchanged. LAZY
+    // checkpoint: round 1's convergence count materializes it.
+    var labels = edges.groupBy(col("dst"))
+      .agg(least(col("dst"), min(col("src"))).as("label"))
+      .select(col("dst").as("id"), col("label"))
+      .localCheckpoint(false)
     var changed = 1L
     var i       = 0
     while (changed > 0 && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id")).agg(min("label").as("nmin"))
+      // ONE join + ONE aggregate per round (round 16 — the previous shape
+      // joined twice: neighbour-min, then labels back in for the change
+      // count): newLabel(v) = min over {v's own label} ∪ {neighbour
+      // labels}, and the own row (exactly one per vertex) rides the same
+      // aggregate, so the old label — and with it the convergence count —
+      // falls out with no second join.
+      val contrib = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("cid"), col("label").as("lbl"), lit(false).as("own"))
+        .unionByName(labels.select(col("id").as("cid"), col("label").as("lbl"),
+          lit(true).as("own")))
       // LAZY checkpoint + count-as-materializer: the convergence count is
       // the first action on the checkpointed plan, so one job per round
       // both truncates the lineage and measures progress (an eager
       // localCheckpoint would pay a second, pure-materialization job).
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("newLabel"))
+      val updated = contrib.groupBy(col("cid"))
+        .agg(min(col("lbl")).as("newLabel"),
+          min(when(col("own"), col("lbl"))).as("label"))
+        .select(col("cid").as("id"), col("label"), col("newLabel"))
         .localCheckpoint(false)
       changed = updated.filter(col("newLabel") < col("label")).count()
       labels = updated.select(col("id"), col("newLabel").as("label"))
       i += 1
     }
     edges.unpersist()
-    fwd.unpersist()
+    labels
+  }
+
+  /** Shared head of the CC-family operators: LSH pairs at the caller's
+    * dial → connected components, with the shingle-set projection CACHED
+    * across its three in-plan uses (banding + the two verify re-joins) and
+    * dropped as soon as the labels have materialized —
+    * [[connectedComponents]] is eager (the convergence loop runs actions),
+    * and nothing these operators return still references the sets, so the
+    * cache lives exactly as long as the pair computation (round 16, guide
+    * §1.2: one shingle pass instead of three, zero lifetime risk).
+    */
+  private def componentLabels(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      bands: Int,
+      maxIter: Int,
+  ): DataFrame = {
+    val sets   = shingleSets(df, idCol, textCol).cache()
+    val labels = connectedComponents(
+      verifyPairs(sets, 128, bands, threshold, 1000), maxIter)
+    sets.unpersist()
     labels
   }
 
@@ -388,8 +480,7 @@ object Dedup {
       maxIter: Int = 20,
       bands: Int = 32,
   ): DataFrame = {
-    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
-    val labels = connectedComponents(pairs, maxIter)
+    val labels = componentLabels(df, idCol, textCol, threshold, bands, maxIter)
     df.select(col(idCol).as("id")).join(labels, Seq("id"), "left")
       .select(coalesce(col("label"), col("id")).as("comp"))
       .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
@@ -499,8 +590,7 @@ object Dedup {
       maxIter: Int = 20,
       bands: Int = 32,
   ): DataFrame = {
-    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
-    val labels = connectedComponents(pairs, maxIter)
+    val labels = componentLabels(df, idCol, textCol, threshold, bands, maxIter)
     val withComp = df.select(col(idCol).as("id")).join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("comp"))
     val sizes = withComp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
@@ -521,8 +611,7 @@ object Dedup {
       maxIter: Int = 20,
       bands: Int = 32,
   ): DataFrame = {
-    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
-    val losers = connectedComponents(pairs, maxIter)
+    val losers = componentLabels(df, idCol, textCol, threshold, bands, maxIter)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
@@ -552,8 +641,7 @@ object Dedup {
       maxIter: Int = 20,
       bands: Int = 32,
   ): DataFrame = {
-    val pairs  = nearDupPairsMinHash(df, idCol, textCol, threshold, bands = bands)
-    val labels = connectedComponents(pairs, maxIter)
+    val labels = componentLabels(df, idCol, textCol, threshold, bands, maxIter)
       .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
     val inComponents = df.join(labels, df(idCol) === col("__cc_id"))
     val w = Window.partitionBy(col("__cc_label"))
@@ -755,10 +843,10 @@ object Dedup {
       else NativeFunctions.winnowFingerprints(col("__text"), minLen, winnowWindow)
     val fps = base.select(col("id"), explode(keys).as("wh"))
     val capped = dropOversized(fps, maxBucketSize, "wh")
-    val cands = capped.select(col("wh"), col("id").as("id_a"))
-      .join(capped.select(col("wh"), col("id").as("id_b")), Seq("wh"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // pair enumeration via [[enumeratePairs]] (round 16) — one execution
+    // of the fingerprint + cap pipeline on the inrow strategy
+    val cands = enumeratePairs(capped, Seq("wh"), struct(col("id")))
+      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     if (winnowWindow == 1) cands
     else {
@@ -921,17 +1009,20 @@ object Dedup {
     val chunks  = maxHamming + 1
     val blocked = hash64Chunks(df, idCol, hashCol, chunks)
     val capped = dropOversized(blocked, maxBucketSize, "chunk", "val")
-    val a = capped.select(col("chunk"), col("val"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = capped.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
     // verify BEFORE dedup: popcount(xor) is one instruction, so filtering
-    // the raw chunk-join (50× the true pairs here) ahead of the
-    // dropDuplicates shuffle cuts that shuffle to the survivors only.
-    a.join(b, Seq("chunk", "val"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("hamming", call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))))
+    // the enumerated pairs ahead of the dropDuplicates shuffle cuts that
+    // shuffle to the survivors only. Pair enumeration via
+    // [[enumeratePairs]] (round 16): on the inrow strategy the hash/chunk
+    // pipeline — for perceptual families, the image/audio decode pass —
+    // executes once instead of once per join side. (Null-hash rows: the
+    // inrow strategy groups them and the null hamming filter drops their
+    // pairs; the join strategy never matches null keys — same output.)
+    enumeratePairs(capped, Seq("chunk", "val"), struct(col("id"), col("sim")))
+      .withColumn("hamming",
+        call_function("bit_count", col("__a.sim").bitwiseXOR(col("__b.sim"))))
       .where(col("hamming") <= maxHamming)
+      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Transitive dedup over ANY 64-bit hash column: [[nearDupPairsHash64]]
@@ -963,9 +1054,16 @@ object Dedup {
     // chunk bucket and survived undeduped — now its non-min members are
     // collapsed unconditionally. Ids stay in their NATIVE type (min and
     // the component labeling only need an ordering), so string ids work.
+    // CACHE the (id, hash) projection — 16ish bytes per row at any scale.
+    // Without it every consumer (rep election, the keep join, and the
+    // loser list) re-executes the FULL upstream plan, which for the
+    // perceptual families is the image/audio synth + decode + hash
+    // pipeline: three codec passes over the corpus instead of one
+    // (round 16, guide §1.2 — don't recompute what a tiny cache holds).
     val groups = df.select(col(idCol).as("__gid"), col(hashCol).as("__ghash"))
       .where(col("__ghash").isNotNull)
-    val reps = groups.groupBy(col("__ghash")).agg(min(col("__gid")).as("__rid"))
+      .cache()
+    val reps = groups.groupBy(col("__ghash")).agg(min(col("__gid")).as("__rid")).cache()
     val pairs = nearDupPairsHash64(reps, "__rid", "__ghash", maxHamming, maxBucketSize)
       .select(col("id_a"), col("id_b"))
     // component label per representative (isolated reps label themselves),

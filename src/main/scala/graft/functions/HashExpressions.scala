@@ -276,6 +276,24 @@ object HashImpl {
     acc
   }
 
+  /** Dot product over DOUBLE arrays, accumulated left-to-right from 0.0 —
+    * the exact FP op sequence of `aggregate(zip_with(a, b, (x, y) => x·y),
+    * 0.0, (acc, x) => acc + x)` on equal-length arrays, so swapping that
+    * HOF pair for this codegen'd loop is bit-identical (round 16 — the
+    * clustering pair join's inner loop; callers guard unequal lengths,
+    * where the HOF form yields null).
+    */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n   = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i   = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine similarity; 0 when either vector has zero norm. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val na = math.sqrt(dotF(a, a))
@@ -661,6 +679,13 @@ case class DotExpr(left: Expression, right: Expression) extends GraftBinaryDoubl
     copy(left = l, right = r)
 }
 
+case class DotDoubleExpr(left: Expression, right: Expression) extends GraftBinaryDouble {
+  override protected def staticName: String = "dotD"
+  override protected def evalImpl(a: ArrayData, b: ArrayData): Double = HashImpl.dotD(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDoubleExpr =
+    copy(left = l, right = r)
+}
+
 case class CosineExpr(left: Expression, right: Expression) extends GraftBinaryDouble {
   override protected def staticName: String = "cosineF"
   override protected def evalImpl(a: ArrayData, b: ArrayData): Double = HashImpl.cosineF(a, b)
@@ -708,6 +733,7 @@ object NativeFunctions {
   def srpBucket(vec: Column, bits: Int, seed: Long): Column =
     c(SrpBucketExpr(x(vec), bits, seed))
   def dot(a: Column, b: Column): Column    = c(DotExpr(x(a), x(b)))
+  def dotD(a: Column, b: Column): Column   = c(DotDoubleExpr(x(a), x(b)))
   def cosine(a: Column, b: Column): Column = c(CosineExpr(x(a), x(b)))
   def sqDist(a: Column, b: Column): Column = c(SqDistExpr(x(a), x(b)))
   def mmrSelect(ids: Column, sims: Column, vecs: Column, k: Int, lambda: Double): Column =

@@ -71,15 +71,31 @@ object ImageCodec {
     finally iis.close()
   }
 
-  /** Full pixel decode. None if undecodable. */
+  /** Full pixel decode. None if undecodable.
+    *
+    * Fast path (round 16, guide §1.2 per-task work): plain 8-bit grayscale
+    * non-interlaced PNGs — the overwhelmingly common payload in this
+    * pipeline's fixtures and any gray-thumbnail corpus — decode through
+    * [[FastGrayPng]] (one Inflater + unfilter pass, ~10x cheaper than the
+    * ImageIO reader machinery). Pixels are identical by the PNG spec
+    * (lossless, deterministic); everything else falls back to ImageIO.
+    */
   def decode(bytes: Array[Byte]): Option[BufferedImage] = {
     if (bytes == null || bytes.isEmpty) return None
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+    FastGrayPng.decode(bytes) match {
+      case some @ Some(_) => some
+      case None =>
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+    }
   }
 
-  /** Encode with any installed writer ("png", "jpeg", "bmp", "gif"). */
+  /** Encode with any installed writer ("png", "jpeg", "bmp", "gif").
+    * Gray PNGs take the [[FastGrayPng]] fast path (see [[encodePng]]).
+    */
   def encode(img: BufferedImage, format: String): Array[Byte] = {
+    if (format.equalsIgnoreCase("png") && img.getType == BufferedImage.TYPE_BYTE_GRAY)
+      return FastGrayPng.encode(img)
     val bos = new ByteArrayOutputStream()
     // JPEG writers reject images with alpha; flatten to RGB first
     val src =
@@ -99,7 +115,17 @@ object ImageCodec {
     bos.toByteArray
   }
 
-  def encodePng(img: BufferedImage): Array[Byte] = encode(img, "png")
+  /** PNG encode. Single-band byte-gray images take the [[FastGrayPng]]
+    * writer (round 16 — same IDAT filter-0 + deflate stream for a fraction
+    * of the ImageIO writer's cost); everything else goes through ImageIO.
+    * Either way the output is a spec-valid grayscale/truecolor PNG whose
+    * DECODED pixels are the image's samples — nothing downstream (dHash,
+    * meta decode, resize, the DuckDB oracles) depends on the compressed
+    * byte stream itself.
+    */
+  def encodePng(img: BufferedImage): Array[Byte] =
+    if (img.getType == BufferedImage.TYPE_BYTE_GRAY) FastGrayPng.encode(img)
+    else encode(img, "png")
 
   /** Real resample: decode → bilinear scale to (w, h) → re-encode. The
     * output image type follows the source's COLOR band structure (gray and
@@ -217,23 +243,29 @@ object ImageCodec {
     * unrelated images agree on ~32/64 bits. Returns None for undecodable
     * payloads.
     */
-  def dHash64(bytes: Array[Byte]): Option[Long] =
-    decode(bytes).map { img =>
-      val g = grayBox(img, 9, 8)
-      var hash = 0L
-      var bit  = 0
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (g(y * 9 + x) < g(y * 9 + x + 1)) hash |= (1L << bit)
-          bit += 1
-          x += 1
-        }
-        y += 1
+  def dHash64(bytes: Array[Byte]): Option[Long] = decode(bytes).map(dHash64Image)
+
+  /** dHash of an already-decoded image — for callers that hold pixels
+    * (e.g. sampled GIF frames): hashing the frame directly equals hashing
+    * any lossless re-encode of it, without paying the encode/decode round
+    * trip (round 16, guide §1.2 — don't compute what you throw away).
+    */
+  def dHash64Image(img: BufferedImage): Long = {
+    val g = grayBox(img, 9, 8)
+    var hash = 0L
+    var bit  = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) < g(y * 9 + x + 1)) hash |= (1L << bit)
+        bit += 1
+        x += 1
       }
-      hash
+      y += 1
     }
+    hash
+  }
 
   /** Add `delta` to every sample of every band, clamped to [0, 255], and
     * re-encode (losslessly, PNG). A real photometric perturbation used by
@@ -282,7 +314,19 @@ object ImageCodec {
     * their image payloads from row data with it so the DuckDB oracle can
     * predict the decoded dimensions); NOT part of the codec surface.
     */
-  def renderGrayPng(seed: Long, w: Int, h: Int, lo: Int = 30, hi: Int = 200): Array[Byte] = {
+  def renderGrayPng(seed: Long, w: Int, h: Int, lo: Int = 30, hi: Int = 200): Array[Byte] =
+    encodePng(renderGrayImage(seed, w, h, lo, hi))
+
+  /** [[renderGrayPng]]'s raster, pre-encode — for fixture generators that
+    * immediately need PIXELS again (GIF frame synthesis), which previously
+    * paid a PNG encode + decode round trip per frame just to get a
+    * BufferedImage back (round 16, guide §1.2). Optional `delta` applies
+    * [[brighten]]'s clamped shift at render time: brighten(decode(encode(
+    * render))) ≡ render-with-delta sample for sample, so the fused form
+    * encodes byte-identical payloads in one pass instead of three.
+    */
+  def renderGrayImage(seed: Long, w: Int, h: Int, lo: Int = 30, hi: Int = 200,
+      delta: Int = 0): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val r   = img.getRaster
     var y = 0
@@ -293,11 +337,12 @@ object ImageCodec {
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
         z = z ^ (z >>> 31)
-        r.setSample(x, y, 0, lo + (((z >>> 11) % (hi - lo + 1)).toInt + (hi - lo + 1)) % (hi - lo + 1))
+        val v = lo + (((z >>> 11) % (hi - lo + 1)).toInt + (hi - lo + 1)) % (hi - lo + 1)
+        r.setSample(x, y, 0, if (delta == 0) v else math.min(255, math.max(0, v + delta)))
         x += 1
       }
       y += 1
     }
-    encodePng(img)
+    img
   }
 }

@@ -152,9 +152,13 @@ object Multimodal {
     val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
     tagged.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { row =>
-        val base = ImageCodec.renderGrayPng(row.getLong(n), row.getInt(n + 1), row.getInt(n + 2))
-        val d    = row.getInt(n + 3)
-        val out  = if (d == 0) base else ImageCodec.brighten(base, d).get
+        // render-with-delta + one encode (round 16, guide §1.2): the old
+        // shape encoded the base PNG, decoded it back, shifted, and
+        // encoded again — brighten(decode(encode(render))) is sample-for-
+        // sample equal to rendering with the clamped delta applied, so the
+        // payload bytes are identical at a third of the codec work.
+        val out = ImageCodec.encodePng(ImageCodec.renderGrayImage(
+          row.getLong(n), row.getInt(n + 1), row.getInt(n + 2), delta = row.getInt(n + 3)))
         Row.fromSeq(row.toSeq.take(n) :+ out)
       })
     }(Encoders.row(outSchema))
@@ -363,9 +367,11 @@ object Multimodal {
       it.grouped(batchSize).flatMap(_.map { row =>
         val s  = row.getLong(n)
         val nf = row.getInt(n + 1)
-        val fs = (0 until nf).map { i =>
-          ImageCodec.decode(ImageCodec.renderGrayPng(s + i, width, height)).get
-        }
+        // render frames directly as rasters (round 16, guide §1.2): the
+        // old shape PNG-encoded each frame and decoded it straight back
+        // just to obtain a BufferedImage for the GIF writer — same pixels,
+        // same GIF stream, two codec passes fewer per frame.
+        val fs = (0 until nf).map(i => ImageCodec.renderGrayImage(s + i, width, height))
         Row.fromSeq(row.toSeq.take(n) :+ ImageCodec.encodeAnimatedGif(fs))
       })
     }(Encoders.row(outSchema))
@@ -478,11 +484,30 @@ object Multimodal {
       minShared: Int = 2,
       maxBucketSize: Int = 10000,
   ): DataFrame = {
-    val sampled = sampleGifFrames(df.select(col(idCol), col(gifCol)), gifCol,
-      "__frames", sampleFrames)
-    val hashed = imageDHash(
-      sampled.select(col(idCol), explode(col("__frames")).as("__frame")), "__frame", "fh")
-      .select(col(idCol), col("fh")).where(col("fh").isNotNull)
+    // fused sample-and-hash (round 16, guide §1.2): composing
+    // [[sampleGifFrames]] + [[imageDHash]] PNG-encodes every sampled frame
+    // only for the hasher to decode it again — a pure lossless round trip
+    // whose hash equals hashing the decoded frame directly. One
+    // mapPartitions pass decodes each GIF once, picks the same evenly-
+    // spaced frames, and emits (id, dHash) rows; payload bytes never leave
+    // the scan task. Non-GIF payloads contribute no frames, exactly as the
+    // old null-filtered composition.
+    val in = df.select(col(idCol), col(gifCol))
+    val hashSchema = StructType(Seq(in.schema.head,
+      StructField("fh", LongType, nullable = false)))
+    val hashed = in.mapPartitions { it =>
+      it.flatMap { row =>
+        ImageCodec.decodeGifFrames(row.getAs[Array[Byte]](1)) match {
+          case Some(all) =>
+            val n = all.length
+            val picks =
+              if (n <= sampleFrames) all.indices
+              else (0 until sampleFrames).map(f => f * n / sampleFrames)
+            picks.map(i => Row(row.get(0), ImageCodec.dHash64Image(all(i))))
+          case None => Nil
+        }
+      }
+    }(Encoders.row(hashSchema))
     val capped = hashed.withColumn("__bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))))
       .where(col("__bsz") <= maxBucketSize).drop("__bsz")

@@ -161,17 +161,40 @@ object Clustering {
       threshold: Double,
   ): DataFrame = {
     val (assigned0, model) = kmeans(df, idCol, vecCol, init, iters)
+    // CACHE the assigned projection: both pair-join sides would otherwise
+    // re-run the full k·dim scoring pass (round 16, guide §1.2). Rows are
+    // (id, vec, norm, cell) — corpus-linear, spill-safe.
     val withVec = assign(df, idCol, vecCol, model.centroids)
       .select(col("__id"), col("__vd"), col("__nv"), col("cell"))
+      .cache()
+    // Block salt (round 16, guide §2.5/§2.6): the pair join is keyed by
+    // cell, so at the fixture dial (k = 8 cells) at most k tasks carry ALL
+    // the pair work however many cores exist. Split each side's ids into S
+    // deterministic groups and join on (cell, ga, gb) — every unordered
+    // pair meets in exactly one of the S² blocks, so the pair set is
+    // IDENTICAL; parallelism becomes k·S². S adapts to the session
+    // (⌈√(shuffle.partitions / k)⌉): at production sizing (cells ≫ cores)
+    // S = 1 and the salt disappears — no replication cost at scale.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val salt  = math.max(1, math.ceil(math.sqrt(parts.toDouble / model.k)).toInt)
+    val blocks = typedlit((0 until salt).toList)
     val a = withVec.select(col("__id").as("__ida"), col("__vd").as("__vda"),
-      col("__nv").as("__nva"), col("cell"))
+      col("__nv").as("__nva"), col("cell"),
+      pmod(xxhash64(col("__id")), lit(salt)).as("__ga"),
+      explode(blocks).as("__gb"))
     val b = withVec.select(col("__id").as("__idb"), col("__vd").as("__vdb"),
-      col("__nv").as("__nvb"), col("cell"))
-    val dot = aggregate(zip_with(col("__vda"), col("__vdb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+      col("__nv").as("__nvb"), col("cell"),
+      explode(blocks).as("__ga"),
+      pmod(xxhash64(col("__id")), lit(salt)).as("__gb"))
+    // codegen'd double-dot with the identical left-to-right accumulation
+    // (HashImpl.dotD) — the HOF zip_with/aggregate pair evaluated
+    // interpreted per candidate pair; the size guard reproduces the HOF's
+    // null on ragged inputs, so the threshold cut is bit-identical.
+    val dot = when(size(col("__vda")) === size(col("__vdb")),
+      graft.functions.NativeFunctions.dotD(col("__vda"), col("__vdb")))
     val cos = when(col("__nva") === lit(0.0) || col("__nvb") === lit(0.0), lit(-2.0))
       .otherwise(dot / (sqrt(col("__nva")) * sqrt(col("__nvb"))))
-    val losers = a.join(b, Seq("cell"))
+    val losers = a.join(b, Seq("cell", "__ga", "__gb"))
       .where(col("__idb") < col("__ida") && cos > lit(threshold))
       .select(col("__ida").as("__id"))
       .distinct()
