@@ -393,17 +393,31 @@ object Ann {
       excludeSelf: Boolean = false,
   ): DataFrame = {
     val cents = sampleCentroids(right, rightId, rightVec, numCentroids)
+    // Block salt (round 16, guide §2.5/§2.6): the pairing join is keyed by
+    // cell, so with few cells (the C=8 oracle dials) at most C tasks carry
+    // all the candidate scoring. Splitting each side's ids into S
+    // deterministic groups and joining on (cell, ga, gb) pairs every
+    // (left, right) row exactly once — identical candidate set and top-k —
+    // while parallelism becomes C·S². S adapts to the session
+    // (⌈√(shuffle.partitions / C)⌉) and collapses to 1 at production cell
+    // counts (C ≫ cores), where the salt — and its S× replication — vanish.
+    val parts = left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val salt  = math.max(1, math.ceil(math.sqrt(parts.toDouble / numCentroids)).toInt)
+    val blocks = typedlit((0 until salt).toList)
     val rightCells = right.select(
       col(rightId).as("__nid"),
       col(rightVec).as("__nvec"),
       element_at(cellAssign(col(rightVec), cents, 1), 1).as("cell"),
+      explode(blocks).as("__ga"),
+      pmod(xxhash64(col(rightId)), lit(salt)).as("__gb"),
     )
     val leftCells = left.select(
       col(leftId).as("query_id"),
       col(leftVec).as("__qvec"),
       explode(cellAssign(col(leftVec), cents, nprobe)).as("cell"),
-    )
-    val paired = leftCells.join(rightCells, Seq("cell"))
+      pmod(xxhash64(col(leftId)), lit(salt)).as("__ga"),
+    ).withColumn("__gb", explode(blocks))
+    val paired = leftCells.join(rightCells, Seq("cell", "__ga", "__gb"))
     val nonSelf = if (excludeSelf) paired.where(col("query_id") =!= col("__nid")) else paired
     val scored = nonSelf
       .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
