@@ -225,9 +225,19 @@ object Dedup {
         val cond = keys.map(k => col(k) <=> col(s"__over_$k")).reduce(_ && _)
         df.join(over, cond, "left_anti")
       case _ =>
+        // `>= 2` (round 16): every consumer of this relation enumerates
+        // WITHIN-bucket pairs, and a single-member bucket can produce
+        // none — dropping singletons here is output-free and removes the
+        // overwhelming majority of rows on sparse-bucket dials (r=4
+        // production banding, winnow fingerprints), which keeps the
+        // inrow pair aggregate in hash mode (ObjectHashAggregate falls
+        // back to sort-based past its key threshold) and shrinks the
+        // join strategy's probe input identically. (The legacy antijoin
+        // cap dial above keeps its over-cap-only contract; pair outputs
+        // are identical either way since singletons pair with nothing.)
         df.withColumn("__bsz",
             count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-          .where(col("__bsz") <= cap).drop("__bsz")
+          .where(col("__bsz") <= cap && col("__bsz") >= 2).drop("__bsz")
     }
 
   /** Shared LSH tail: cap bucket sizes, self-join ids within (band, bucket),

@@ -508,9 +508,11 @@ object Multimodal {
         }
       }
     }(Encoders.row(hashSchema))
+    // >= 2: a frame hash seen once can share nothing — output-free filter
+    // that removes the singleton majority before the pair join (round 16)
     val capped = hashed.withColumn("__bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))))
-      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+      .where(col("__bsz") <= maxBucketSize && col("__bsz") >= 2).drop("__bsz")
     val a = capped.select(col(idCol).as("id_a"), col("fh"))
     val b = capped.select(col(idCol).as("id_b"), col("fh"))
     a.join(b, Seq("fh")).where(col("id_a") < col("id_b"))
