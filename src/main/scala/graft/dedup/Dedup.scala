@@ -198,8 +198,9 @@ object Dedup {
     *    perceptual families) executes once per join side and its explode
     *    exchanges once per side.
     */
-  private def enumeratePairs(capped: DataFrame, keys: Seq[String], member: Column): DataFrame =
-    sys.env.getOrElse("GRAFT_PAIR_IMPL", "inrow") match {
+  private def enumeratePairs(capped: DataFrame, keys: Seq[String], member: Column,
+      defaultImpl: String = "inrow"): DataFrame =
+    sys.env.getOrElse("GRAFT_PAIR_IMPL", defaultImpl) match {
       case "join" =>
         val a = capped.select(keys.map(col) :+ member.as("__a"): _*)
         val b = capped.select(keys.map(col) :+ member.as("__b"): _*)
@@ -215,7 +216,7 @@ object Dedup {
           .where(col("__a.id") < col("__b.id"))
     }
 
-  private def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame =
+  private def dropOversized(df: DataFrame, cap: Int, minSize: Int, keys: String*): DataFrame =
     sys.env.getOrElse("GRAFT_CAP_IMPL", "window") match {
       case "antijoin" =>
         val over = df.groupBy(keys.map(col): _*)
@@ -225,19 +226,22 @@ object Dedup {
         val cond = keys.map(k => col(k) <=> col(s"__over_$k")).reduce(_ && _)
         df.join(over, cond, "left_anti")
       case _ =>
-        // `>= 2` (round 16): every consumer of this relation enumerates
-        // WITHIN-bucket pairs, and a single-member bucket can produce
-        // none — dropping singletons here is output-free and removes the
-        // overwhelming majority of rows on sparse-bucket dials (r=4
-        // production banding, winnow fingerprints), which keeps the
-        // inrow pair aggregate in hash mode (ObjectHashAggregate falls
-        // back to sort-based past its key threshold) and shrinks the
-        // join strategy's probe input identically. (The legacy antijoin
-        // cap dial above keeps its over-cap-only contract; pair outputs
-        // are identical either way since singletons pair with nothing.)
+        // `minSize = 2` (round 16, scoped per call site in round 17 —
+        // ADVICE r16): consumers that enumerate WITHIN-relation pairs pass
+        // 2, because a single-member bucket can produce no pair — dropping
+        // singletons is output-free for THEM and removes the overwhelming
+        // majority of rows on sparse-bucket dials (r=4 production banding,
+        // winnow fingerprints), which keeps the inrow pair aggregate in
+        // hash mode (ObjectHashAggregate falls back to sort-based past its
+        // key threshold) and shrinks the join strategy's probe input
+        // identically. Consumers whose capped relation joins an EXTERNAL
+        // side (similarTextTopK: corpus bands vs uncapped query bands — a
+        // corpus doc alone in its bucket can still match a query) pass 1.
+        // (The legacy antijoin cap dial above keeps its over-cap-only
+        // contract either way.)
         df.withColumn("__bsz",
             count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-          .where(col("__bsz") <= cap && col("__bsz") >= 2).drop("__bsz")
+          .where(col("__bsz") <= cap && col("__bsz") >= minSize).drop("__bsz")
     }
 
   /** Shared LSH tail: cap bucket sizes, self-join ids within (band, bucket),
@@ -267,14 +271,15 @@ object Dedup {
       bands: Int,
       threshold: Double,
       maxBucketSize: Int,
+      pairImpl: String = "inrow",
   ): DataFrame = {
     val capped = dropOversized(bandedSized(sets, numHashes, bands),
-      maxBucketSize, "band", "bucket")
+      maxBucketSize, 2, "band", "bucket")
     // pair enumeration via [[enumeratePairs]] (round 16, guide §2.4), with
     // the PPJoin length filter evaluated on the pair row BEFORE the dedup
     // shuffle — set sizes ride the band explode as one int either way.
     val candidates = enumeratePairs(capped, Seq("band", "bucket"),
-        struct(col("id"), col("n")))
+        struct(col("id"), col("n")), pairImpl)
       .where(least(col("__a.n"), col("__b.n")) >=
         greatest(col("__a.n"), col("__b.n")) * threshold)
       .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"))
@@ -467,6 +472,11 @@ object Dedup {
       bands: Int,
       maxIter: Int,
   ): DataFrame = {
+    // fail fast on a signature-truncating band count (ADVICE r16): this
+    // call bypasses nearDupPairsMinHash's divisibility require, and
+    // bandBuckets would silently ignore the last numHashes % bands hashes
+    require(bands >= 1 && 128 % bands == 0,
+      s"bands must divide 128 (got $bands) — a non-divisor silently truncates the signature")
     val sets   = shingleSets(df, idCol, textCol).cache()
     val labels = connectedComponents(
       verifyPairs(sets, 128, bands, threshold, 1000), maxIter)
@@ -560,7 +570,10 @@ object Dedup {
       NativeFunctions.shingleHashes(col(textCol), shingleK).as("q_sh"))
     val cBands = bandedSized(
       cSets.select(col("corpus_id").as("id"), col("c_sh").as("sh")), numHashes, bands)
-    val capped = dropOversized(cBands, maxBucketSize, "band", "bucket")
+    // minSize = 1 (round 17, ADVICE r16): the capped CORPUS bands join the
+    // UNCAPPED query bands — a corpus doc alone in its (band, bucket) can
+    // still match a query row, so singleton buckets must survive here
+    val capped = dropOversized(cBands, maxBucketSize, 1, "band", "bucket")
     val qBands = bandedSized(
       qSets.select(col("query_id").as("id"), col("q_sh").as("sh")), numHashes, bands)
     // exact length filter at enumeration time (see verifyPairs): J ≥ t
@@ -852,10 +865,11 @@ object Dedup {
       if (winnowWindow == 1) NativeFunctions.windowHashes64(col("__text"), minLen)
       else NativeFunctions.winnowFingerprints(col("__text"), minLen, winnowWindow)
     val fps = base.select(col("id"), explode(keys).as("wh"))
-    val capped = dropOversized(fps, maxBucketSize, "wh")
+    val capped = dropOversized(fps, maxBucketSize, 2, "wh")
     // pair enumeration via [[enumeratePairs]] (round 16) — one execution
     // of the fingerprint + cap pipeline on the inrow strategy
-    val cands = enumeratePairs(capped, Seq("wh"), struct(col("id")))
+    val cands = enumeratePairs(capped, Seq("wh"), struct(col("id")),
+      if (winnowWindow == 1) "inrow" else "join")
       .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     if (winnowWindow == 1) cands
@@ -1018,7 +1032,7 @@ object Dedup {
   ): DataFrame = {
     val chunks  = maxHamming + 1
     val blocked = hash64Chunks(df, idCol, hashCol, chunks)
-    val capped = dropOversized(blocked, maxBucketSize, "chunk", "val")
+    val capped = dropOversized(blocked, maxBucketSize, 2, "chunk", "val")
     // verify BEFORE dedup: popcount(xor) is one instruction, so filtering
     // the enumerated pairs ahead of the dropDuplicates shuffle cuts that
     // shuffle to the survivors only. Pair enumeration via
@@ -1082,9 +1096,18 @@ object Dedup {
     val cc = connectedComponents(pairs, maxIter)
     val keep = reps.join(cc, reps("__rid") === cc("id"), "left")
       .select(col("__ghash"), coalesce(col("label"), col("__rid")).as("__keep"))
+    // EAGER loser list (round 17 — the componentLabels lifetime pattern,
+    // ADVICE r16): the returned lazy anti-join must not keep the cached
+    // (id, hash) projections pinned forever in a long-lived session, so the
+    // loser ids (tiny — non-survivors only) materialize once via
+    // localCheckpoint (ContextCleaner frees the blocks when the result is
+    // dropped, unlike CacheManager entries) and both caches unpersist here.
     val losers = groups.join(keep, Seq("__ghash"))
       .filter(col("__gid") =!= col("__keep"))
       .select(col("__gid").as("__loser"))
+      .localCheckpoint()
+    groups.unpersist()
+    reps.unpersist()
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
@@ -1119,16 +1142,37 @@ object Dedup {
       col("vec"),
       element_at(NativeFunctions.nearestCentroids(col("vec"), cents, 1), 1).as("cell"),
     )
-    val capped = dropOversized(assigned, maxClusterCompare, "cell")
-    val a = capped.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = capped.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
-    val pairs = a.join(b, Seq("cell"))
+    // CACHE the capped assignment (round 17 — Clustering.semDedup parity,
+    // VERDICT r16 item 6): both pair-join sides would otherwise re-run the
+    // O(N·C) centroid scoring + cap window once each. Lifetime is exactly
+    // the eager connectedComponents call below (the componentLabels
+    // pattern — CC's labels are checkpoint-backed, so nothing returned
+    // still references this cache).
+    val capped = dropOversized(assigned, maxClusterCompare, 2, "cell").cache()
+    // Block salt (round 17 — same algebra as Clustering.semDedup /
+    // Ann.knnJoin, guide §2.5/§2.6): the pair join is keyed by cell, so
+    // parallelism capped at the cell count however many cores exist. Each
+    // side's ids split into S deterministic groups, join on
+    // (cell, ga, gb) — every unordered pair meets in exactly one of the S²
+    // blocks (identical pair set), parallelism cells·S². S collapses to 1
+    // at production cell counts (cells ≫ cores): zero replication at scale.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val salt  = math.max(1, math.ceil(math.sqrt(parts.toDouble / numCentroids)).toInt)
+    val blocks = typedlit((0 until salt).toList)
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"),
+      coalesce(pmod(xxhash64(col("id")), lit(salt)), lit(0L)).as("__ga"),
+      explode(blocks).as("__gb"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"),
+      explode(blocks).as("__ga"),
+      coalesce(pmod(xxhash64(col("id")), lit(salt)), lit(0L)).as("__gb"))
+    val pairs = a.join(b, Seq("cell", "__ga", "__gb"))
       .where(col("id_a") < col("id_b"))
       .where(NativeFunctions.cosine(col("vec_a"), col("vec_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val losers = connectedComponents(pairs)
+    val losers = connectedComponents(pairs) // eager; labels checkpoint-backed
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
+    capped.unpersist()
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
@@ -1253,7 +1297,7 @@ object Dedup {
       posexplode(array((0 until tables).map(t =>
         NativeFunctions.srpBucket(col("vec"), bits, seed = 42L + t)): _*)),
     ).toDF("id", "tbl", "bucket")
-    val capped = dropOversized(bucketed, maxBucketSize, "tbl", "bucket")
+    val capped = dropOversized(bucketed, maxBucketSize, 2, "tbl", "bucket")
     val a = capped.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("tbl", "bucket"))

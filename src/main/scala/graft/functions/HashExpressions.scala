@@ -745,6 +745,12 @@ object NativeFunctions {
       nprobe: Int, wprobe: Int): Column =
     c(NearestCentroidsTwoLevelExpr(x(vec), reps, members, centroids, nprobe, wprobe))
   def jaccardSorted(a: Column, b: Column): Column = c(JaccardSortedExpr(x(a), x(b)))
+  /** Bounded top-k aggregate over (sim, id) rows → struct(sims, ids), sorted
+    * (sim, id)-descending — see [[TopKAgg]]. Inputs are cast to
+    * (double, bigint) exactly as the legacy tuple-Encoder udaf coerced them.
+    */
+  def topK(sim: Column, id: Column, k: Int): Column =
+    c(TopKAgg(x(sim.cast("double")), x(id.cast("bigint")), k).toAggregateExpression())
   def sigAgreement(a: Column, b: Column): Column  = c(SigAgreementExpr(x(a), x(b)))
   def textStats(text: Column): Column             = c(TextStatsExpr(x(text)))
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =

@@ -77,14 +77,17 @@ private[multimodal] object FastGrayPng {
     var i = 0
     while (i < 8) { if (bytes(i) != SIG(i)) return None; i += 1 }
     try {
-      // IHDR must be first
+      // IHDR must be first — and its CRC must verify (round 17, ADVICE
+      // r16): ImageIO rejects corrupted streams, so the fast path must not
+      // silently return garbage pixels where the fallback returned None.
       if (readInt(bytes, 8) != 13 || !chunkType(bytes, 12).equals("IHDR")) return None
+      if (!crcOk(bytes, 12, 13)) return None
       val w = readInt(bytes, 16)
       val h = readInt(bytes, 20)
       if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
       val depth = bytes(24); val color = bytes(25); val interlace = bytes(28)
       if (depth != 8 || color != 0 || interlace != 0) return None
-      // walk chunks: accept IDAT(s) + IEND only
+      // walk chunks: accept IDAT(s) + IEND only, each CRC-verified
       val idat = new java.io.ByteArrayOutputStream(bytes.length)
       var pos = 8 + 12 + 13
       var ended = false
@@ -93,6 +96,7 @@ private[multimodal] object FastGrayPng {
         val len = readInt(bytes, pos)
         val typ = chunkType(bytes, pos + 4)
         if (len < 0 || pos + 12L + len > bytes.length) return None
+        if (!crcOk(bytes, pos + 4, len)) return None
         typ match {
           case "IDAT" => idat.write(bytes, pos + 8, len)
           case "IEND" => ended = true
@@ -102,14 +106,17 @@ private[multimodal] object FastGrayPng {
       }
       val raw = new Array[Byte]((w + 1) * h)
       val inflater = new Inflater()
-      inflater.setInput(idat.toByteArray)
+      // try/finally (round 17, ADVICE r16): the early-return/throw paths
+      // previously leaked the Inflater's native memory until finalization
       var off = 0
-      while (off < raw.length && !inflater.finished()) {
-        val k = inflater.inflate(raw, off, raw.length - off)
-        if (k == 0 && inflater.needsInput()) return None // truncated stream
-        off += k
-      }
-      inflater.end()
+      try {
+        inflater.setInput(idat.toByteArray)
+        while (off < raw.length && !inflater.finished()) {
+          val k = inflater.inflate(raw, off, raw.length - off)
+          if (k == 0 && inflater.needsInput()) return None // truncated stream
+          off += k
+        }
+      } finally inflater.end()
       if (off != raw.length) return None
       // unfilter in place into the output raster
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -162,6 +169,15 @@ private[multimodal] object FastGrayPng {
   private def putInt(a: Array[Byte], off: Int, v: Int): Unit = {
     a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
     a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+
+  /** CRC32 over type+data (starting at `typOff`, data length `len`) vs the
+    * stored chunk CRC — one cheap pass, what the spec demands of readers.
+    */
+  private def crcOk(a: Array[Byte], typOff: Int, len: Int): Boolean = {
+    val crc = new CRC32()
+    crc.update(a, typOff, 4 + len)
+    crc.getValue.toInt == readInt(a, typOff + 4 + len)
   }
 
   private def readInt(a: Array[Byte], off: Int): Int =

@@ -101,7 +101,6 @@ object TermStats {
       k1: Double = 1.2,
       b: Double = 0.75,
   ): DataFrame = {
-    import org.apache.spark.sql.{Encoders => E}
     require(k >= 1, "k must be >= 1")
     val toksCol = graft.functions.TextFunctions.tokens(lower(col(textCol)))
     val dl = docs.select(col(idCol).as("__did"), size(toksCol).as("dl"))
@@ -134,11 +133,9 @@ object TermStats {
       // engine-dependent (1-ulp wiggle); ranking the rounded value plus the
       // id tie-break keeps the top-k deterministic across engines
       .agg(round(sum(col("__contrib")), 6).as("__score"))
-    val topk = udaf(new graft.similarity.TopKAggregator(k),
-      E.tuple(E.scalaDouble, E.scalaLong))
     scored
       .groupBy(col("query_id"))
-      .agg(topk(col("__score"), col("__did").cast("long")).as("top"))
+      .agg(graft.functions.NativeFunctions.topK(col("__score"), col("__did"), k).as("top"))
       .select(col("query_id"),
         posexplode(arrays_zip(col("top.sims").as("score"), col("top.ids").as("doc_id"))))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),

@@ -219,12 +219,19 @@ object Ann {
 
   /** groupBy(query_id) bounded-heap top-k over (`__sim`, `__nid`) rows →
     * (query_id, rank, neighbor_id, cosine).
+    *
+    * Round 17: the aggregate is [[graft.functions.TopKAgg]], a
+    * TypedImperativeAggregate over raw InternalRows — the previous typed
+    * `udaf(TopKAggregator)` paid an Encoder round trip per candidate row
+    * (Serialize/DeserializeToObject around the aggregate in every ANN
+    * plan). Ordering, tie-break, and output schema are bit-identical
+    * (see TopKAgg's scaladoc); [[TopKAggregator]] remains as the
+    * executable spec it was written to be.
     */
   private[similarity] def topKOf(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new TopKAggregator(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
     scored
       .groupBy(col("query_id"))
-      .agg(topk(col("__sim"), col("__nid")).as("top"))
+      .agg(graft.functions.NativeFunctions.topK(col("__sim"), col("__nid"), k).as("top"))
       .select(col("query_id"),
         posexplode(arrays_zip(col("top.sims").as("cosine"), col("top.ids").as("neighbor_id"))))
       .select(
@@ -409,13 +416,17 @@ object Ann {
       col(rightVec).as("__nvec"),
       element_at(cellAssign(col(rightVec), cents, 1), 1).as("cell"),
       explode(blocks).as("__ga"),
-      pmod(xxhash64(col(rightId)), lit(salt)).as("__gb"),
+      // coalesce (round 17, ADVICE r16): defensive null-id anchoring — a
+      // null id must land in a deterministic block on both sides rather
+      // than fall out of the equi-join when salt > 1 (Spark's xxhash64
+      // hashes a null input to its seed, so this is belt-and-braces)
+      coalesce(pmod(xxhash64(col(rightId)), lit(salt)), lit(0L)).as("__gb"),
     )
     val leftCells = left.select(
       col(leftId).as("query_id"),
       col(leftVec).as("__qvec"),
       explode(cellAssign(col(leftVec), cents, nprobe)).as("cell"),
-      pmod(xxhash64(col(leftId)), lit(salt)).as("__ga"),
+      coalesce(pmod(xxhash64(col(leftId)), lit(salt)), lit(0L)).as("__ga"),
     ).withColumn("__gb", explode(blocks))
     val paired = leftCells.join(rightCells, Seq("cell", "__ga", "__gb"))
     val nonSelf = if (excludeSelf) paired.where(col("query_id") =!= col("__nid")) else paired

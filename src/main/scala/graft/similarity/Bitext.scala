@@ -172,8 +172,18 @@ object Bitext {
       strategy: String = "intersection",
       marginThreshold: Double = 0.0,
   ): DataFrame = {
-    val fwd = minePairs(xCorpus, yCorpus, xCorpus, xId, xVec, yId, yVec, k)
-    val bwd = minePairs(yCorpus, xCorpus, yCorpus, yId, yVec, xId, xVec, k)
+    // SHARED kNN passes (round 17, guide §2.4 — don't compute it twice):
+    // the two directions previously ran FOUR kNN passes (x→Y, candY→X,
+    // y→X, candX→Y). A row's neighborhood — and hence its degree fold —
+    // depends only on the row and the opposite corpus, never on which
+    // queries ride along, so the full x→Y and y→X tables carry BOTH
+    // directions: forward picks/degrees read (nnXY, nnYX), backward reads
+    // them swapped, and the candidate-restricted passes were exactly
+    // row-subsets of these (bit-identical margins; the q192 oracle pins it).
+    val nnXY = Ann.bruteForceTopK(yCorpus, xCorpus, yId, yVec, xId, xVec, k)
+    val nnYX = Ann.bruteForceTopK(xCorpus, yCorpus, xId, xVec, yId, yVec, k)
+    val fwd  = pickBest(marginFromNN(nnXY, nnYX, k))
+    val bwd  = pickBest(marginFromNN(nnYX, nnXY, k))
     combineDirections(fwd, bwd, strategy, marginThreshold)
   }
 
@@ -196,8 +206,16 @@ object Bitext {
       strategy: String = "intersection",
       marginThreshold: Double = 0.0,
   ): DataFrame = {
-    val fwd = minePairsIvf(xCorpus, yCorpus, xId, xVec, yId, yVec, k, numCentroids, nprobe)
-    val bwd = minePairsIvf(yCorpus, xCorpus, yId, yVec, xId, xVec, k, numCentroids, nprobe)
+    // same shared-pass shape as [[minePairsBidirectional]] (round 17): two
+    // full knnJoin passes instead of four (the candidate-restricted passes
+    // were row-subsets — knnJoin's per-query candidates depend only on the
+    // query row and the opposite corpus)
+    val nnXY = Ann.knnJoin(xCorpus.select(col(xId), col(xVec)), yCorpus,
+      xId, xVec, yId, yVec, k, numCentroids, nprobe)
+    val nnYX = Ann.knnJoin(yCorpus.select(col(yId), col(yVec)), xCorpus,
+      yId, yVec, xId, xVec, k, numCentroids, nprobe)
+    val fwd = pickBest(marginFromNN(nnXY, nnYX, k))
+    val bwd = pickBest(marginFromNN(nnYX, nnXY, k))
     combineDirections(fwd, bwd, strategy, marginThreshold)
   }
 

@@ -54,6 +54,27 @@ class FastGrayPngSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ImageCodec.decode(jpg).isDefined) // ImageIO fallback still works
   }
 
+  test("a CRC-corrupted gray PNG decodes to None, never garbage pixels (ADVICE r16)") {
+    val img = ImageCodec.renderGrayImage(11L, 16, 12)
+    val png = ImageCodec.encodePng(img)
+    // flip one byte inside the IDAT payload (IHDR chunk spans bytes 8..32;
+    // IDAT data starts at 41) — the stored CRC no longer matches, so the
+    // fast reader must refuse and the ImageIO fallback rejects it too
+    val corrupted = png.clone()
+    corrupted(45) = (corrupted(45) ^ 0x5A).toByte
+    assert(ImageCodec.decode(corrupted).isEmpty, "corrupted IDAT must not decode")
+    // corrupt only the stored IHDR CRC (data bytes intact): ImageIO happens
+    // to tolerate that, decoding the correct pixels — the contract is
+    // "never DIFFERENT from ImageIO", so the fast path must refuse and the
+    // fallback must yield the same samples as the pristine stream
+    val badIhdr = png.clone()
+    badIhdr(30) = (badIhdr(30) ^ 0x5A).toByte
+    val viaFallback = ImageCodec.decode(badIhdr)
+    val viaImageIO  = Option(ImageIO.read(new ByteArrayInputStream(badIhdr)))
+    assert(viaFallback.map(samples) == viaImageIO.map(samples),
+      "bad-IHDR-CRC decode must match ImageIO exactly")
+  }
+
   test("renderGrayImage with delta equals render → brighten, sample for sample") {
     val base    = ImageCodec.renderGrayPng(11L, 32, 24)
     val brightA = ImageCodec.brighten(base, 40).get

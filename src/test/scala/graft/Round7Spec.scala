@@ -212,6 +212,25 @@ class Round7Spec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (1L, 3L))) // no self-match, 9 below threshold
   }
 
+  test("similarTextTopK finds a corpus doc with no within-corpus bucket-mate (ADVICE r16)") {
+    // every corpus doc is unique — each sits ALONE in its (band, bucket) —
+    // but an external query is a near-copy of doc 5. The round-16 `>= 2`
+    // singleton cut silently dropped such corpus docs from every band; the
+    // round-17 minSize=1 scoping restores the exact-recall contract here.
+    val corpus = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9L, "totally different words nothing shared here at all"),
+    ).toDF("id", "text")
+    val queries = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ).toDF("id", "text")
+    val out = graft.dedup.Dedup.similarTextTopK(corpus, queries, "id", "text",
+        k = 1, threshold = 0.3, bands = graft.dedup.Dedup.recallExactBands(0.3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((100L, 5L)),
+      "a corpus doc alone in its buckets must still be matchable by queries")
+  }
+
   test("contaminatedIncremental flags batch docs sharing grams with the persisted store") {
     val store = graft.model.Table("graft_r7_gram_store_test")
     val eval  = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("id", "text")
