@@ -3143,8 +3143,17 @@ object SparkEntry {
       val c     = math.max(8L, e.count() / 256L).toInt
       val qText = d.filter(col("doc_id") < 5).select(col("doc_id").as("qid"), col("text"))
       val qVec  = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+      // lex feeds BOTH fusions (the materialized prod arm and the exact
+      // arm) — two actions, so the whole BM25 pipeline (tokenize + tf/df
+      // aggregation over every document) executed twice per run; the phase
+      // profile put it at ~2/3 of the slot (guide §2.4 — don't compute it
+      // twice). The ranked list is |queries|·k = 100 rows: localCheckpoint
+      // materializes it once, eagerly, with no cache-lifetime leak
+      // (ContextCleaner frees the blocks when the result is dropped).
+      // Row set and both fusions' inputs are unchanged.
       val lex = TermStats.bm25TopK(d, "doc_id", "text", qText, "qid", "text", k = 20)
         .select(col("query_id"), col("rank"), col("doc_id"))
+        .localCheckpoint()
       val semIvf = Ann.ivfTopK(e, qVec, "vec_id", "embedding", "qid", "embedding",
           k = 20, numCentroids = c, nprobe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))

@@ -53,8 +53,15 @@ object FuzzyJoin {
       .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDistance)
       // BANDED levenshtein (threshold form): O(d·len) instead of O(len²),
       // -1 when the distance exceeds d — the same rewrite
-      // plans.LevenshteinThresholdRewrite applies to user SQL
-      .withColumn("dist", expr(s"levenshtein(t_a, t_b, $maxDistance)").cast("long"))
+      // plans.LevenshteinThresholdRewrite applies to user SQL. Round 17:
+      // the graft expression additionally trims the candidates' common
+      // prefix/suffix before the DP — blocked candidates share their
+      // whole blocking key, so the per-pair DP collapses to a few cells
+      // (q159's phase profile put ~2.9 s of 3.5 s in the built-in calls);
+      // values are pinned identical to the built-in by LevThreshSpec.
+      .withColumn("dist",
+        graft.functions.NativeFunctions.levThresh(col("t_a"), col("t_b"), maxDistance)
+          .cast("long"))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }

@@ -74,6 +74,34 @@ class TopKAggregator(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf
   */
 object Ann {
 
+  /** Per-row vector norm — sqrt of the float self-dot, the exact `na`/`nb`
+    * sub-expression of [[graft.functions.HashImpl.cosineF]].
+    */
+  private[similarity] def normOfVec(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sqrt(NativeFunctions.dot(v, v))
+  private def normOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = normOfVec(v)
+
+  /** cosine(q, n) with the two self-dots HOISTED to per-row columns
+    * (round 17, guide §1.2/§2.3): every candidate-pair loop in this file
+    * evaluated `cosineF(q, n)`, whose two norm terms depend on ONE row
+    * each — at pair volume (n·nprobe per query, n² for the exact dials)
+    * that recomputes each row's norm once per PAIR. Computing
+    * `__qn`/`__nn` once per row and folding
+    * `when(qn = 0 ∨ nn = 0, 0) otherwise dot(q, n) / (qn · nn)` per pair
+    * is the identical FP op sequence (same dot accumulation order, same
+    * sqrt, same multiply/divide order, same zero-norm and null cases), so
+    * scores are bit-equal — only the per-pair flops drop ~3×.
+    */
+  private[similarity] def cosineWithNorms(qv: org.apache.spark.sql.Column, nv: org.apache.spark.sql.Column,
+      qn: org.apache.spark.sql.Column, nn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // null guard FIRST: cosineF is null-intolerant (either vector null →
+    // null), and the zero-norm test must not short-circuit past a null on
+    // the other side; the two norms are tested individually (never as a
+    // product, whose underflow could fake a zero)
+    when(qn.isNull || nn.isNull, lit(null).cast("double"))
+      .when(qn === lit(0.0) || nn === lit(0.0), lit(0.0))
+      .otherwise(NativeFunctions.dot(qv, nv) / (qn * nn))
+
   /** Exact top-k neighbors per query vector.
     *
     * @param corpus  (idCol, vecCol) rows — arbitrarily large
@@ -89,12 +117,14 @@ object Ann {
       k: Int = 10,
   ): DataFrame = {
     val scored = corpus
-      .select(col(corpusId).as("__nid"), col(corpusVec).as("__nvec"))
-      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qvec"))))
+      .select(col(corpusId).as("__nid"), col(corpusVec).as("__nvec"),
+        normOf(col(corpusVec)).as("__nn"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qvec"), normOf(col(queryVec)).as("__qn"))))
       .select(
         col("query_id"),
         col("__nid"),
-        cosine(col("__qvec"), col("__nvec")).as("__sim"),
+        cosineWithNorms(col("__qvec"), col("__nvec"), col("__qn"), col("__nn")).as("__sim"),
       )
     topKOf(scored, k)
   }
@@ -122,14 +152,15 @@ object Ann {
   ): DataFrame = {
     val scored = corpus
       .select(col(corpusId).as("__nid"), col(corpusVec).as("__nvec"),
-        col(corpusLabel).as("__nlab"))
+        col(corpusLabel).as("__nlab"), normOf(col(corpusVec)).as("__nn"))
       .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
-        col(queryVec).as("__qvec"), col(queryLabel).as("__qlab"))))
+        col(queryVec).as("__qvec"), col(queryLabel).as("__qlab"),
+        normOf(col(queryVec)).as("__qn"))))
       .where(col("__nlab") =!= col("__qlab"))
       .select(
         col("query_id"),
         col("__nid"),
-        cosine(col("__qvec"), col("__nvec")).as("__sim"),
+        cosineWithNorms(col("__qvec"), col("__nvec"), col("__qn"), col("__nn")).as("__sim"),
       )
     topKOf(scored, k)
   }
@@ -356,20 +387,27 @@ object Ann {
         val (los, steps, fdim) = Sq8.collectFit(f)
         require(fdim == dim,
           s"codecFit covers $fdim dimensions but the query frame carries $dim")
+        // norms hoisted per row via withColumn AFTER the decode projection
+        // (CollapseProject keeps a non-cheap alias referenced twice in its
+        // own Project, so the decode runs once per row, not once per term)
         val ccoded = corpusCells
           .where(col("__nvec").isNotNull && size(col("__nvec")) === dim)
           .select(col("__nid"), col("cell"),
             Sq8.roundtripExpr(col("__nvec"), los, steps, dim).as("__dvec"))
+          .withColumn("__nn", normOf(col("__dvec")))
         val qcoded = queryCells
           .select(col("query_id"), col("cell"),
             Sq8.roundtripExpr(col("__qvec"), los, steps, dim).as("__qdvec"))
+          .withColumn("__qn", normOf(col("__qdvec")))
         pairByCell(ccoded, qcoded)
           .select(col("query_id"), col("__nid"),
-            cosine(col("__qdvec"), col("__dvec")).as("__sim"))
+            cosineWithNorms(col("__qdvec"), col("__dvec"), col("__qn"), col("__nn")).as("__sim"))
       } else
-        pairByCell(corpusCells, queryCells)
+        pairByCell(
+          corpusCells.withColumn("__nn", normOf(col("__nvec"))),
+          queryCells.withColumn("__qn", normOf(col("__qvec"))))
           .select(col("query_id"), col("__nid"),
-            cosine(col("__qvec"), col("__nvec")).as("__sim"))
+            cosineWithNorms(col("__qvec"), col("__nvec"), col("__qn"), col("__nn")).as("__sim"))
     topKOf(scored, k)
   }
 
@@ -421,17 +459,22 @@ object Ann {
       // than fall out of the equi-join when salt > 1 (Spark's xxhash64
       // hashes a null input to its seed, so this is belt-and-braces)
       coalesce(pmod(xxhash64(col(rightId)), lit(salt)), lit(0L)).as("__gb"),
+      // norm hoisted per (row × S) replica — still O(n·S) evaluations vs
+      // the O(n²·nprobe/C) pair volume it retires from the cosine
+      normOf(col(rightVec)).as("__nn"),
     )
     val leftCells = left.select(
       col(leftId).as("query_id"),
       col(leftVec).as("__qvec"),
       explode(cellAssign(col(leftVec), cents, nprobe)).as("cell"),
       coalesce(pmod(xxhash64(col(leftId)), lit(salt)), lit(0L)).as("__ga"),
+      normOf(col(leftVec)).as("__qn"),
     ).withColumn("__gb", explode(blocks))
     val paired = leftCells.join(rightCells, Seq("cell", "__ga", "__gb"))
     val nonSelf = if (excludeSelf) paired.where(col("query_id") =!= col("__nid")) else paired
     val scored = nonSelf
-      .select(col("query_id"), col("__nid"), cosine(col("__qvec"), col("__nvec")).as("__sim"))
+      .select(col("query_id"), col("__nid"),
+        cosineWithNorms(col("__qvec"), col("__nvec"), col("__qn"), col("__nn")).as("__sim"))
     topKOf(scored, k)
   }
 
@@ -824,23 +867,28 @@ object Ann {
           s"query frame width must match the fitted $dim dimensions")
         val qcoded = assigned.select(col("query_id"), col("cell"),
           Sq8.roundtripExpr(col("__qvec"), los, steps, dim).as("__qdvec"))
+          .withColumn("__qn", normOf(col("__qdvec")))
         // decode BEFORE the pair join (the ivfTopK shape): per corpus row
         // once, not per candidate pair — a probed cell's row pairs with
         // every query probing it, and re-decoding per pair would multiply
         // the transform by the pair fan-out
         val decoded = index.select(col("id"), col("cell"),
           Sq8.decodeExpr(col("codes"), los, steps, dim).as("__dvec"))
+          .withColumn("__nn", normOf(col("__dvec")))
         selfFilter(
           if (candidateJoin == "shuffle") decoded.join(qcoded, Seq("cell"))
           else decoded.join(broadcast(qcoded), Seq("cell")))
           .select(col("query_id"), col("id").as("__nid"),
-            cosine(col("__qdvec"), col("__dvec")).as("__sim"))
+            cosineWithNorms(col("__qdvec"), col("__dvec"), col("__qn"), col("__nn")).as("__sim"))
       } else
         selfFilter(
-          if (candidateJoin == "shuffle") index.join(assigned, Seq("cell"))
-          else index.join(broadcast(assigned), Seq("cell")))
+          if (candidateJoin == "shuffle")
+            index.withColumn("__nn", normOf(col("vec")))
+              .join(assigned.withColumn("__qn", normOf(col("__qvec"))), Seq("cell"))
+          else index.withColumn("__nn", normOf(col("vec")))
+            .join(broadcast(assigned.withColumn("__qn", normOf(col("__qvec")))), Seq("cell")))
           .select(col("query_id"), col("id").as("__nid"),
-            cosine(col("__qvec"), col("vec")).as("__sim"))
+            cosineWithNorms(col("__qvec"), col("vec"), col("__qn"), col("__nn")).as("__sim"))
     topKOf(scored, k)
   }
 

@@ -233,14 +233,21 @@ object Sq8 {
     // decoded-space scoring (see [[dequantize]]/[[sq8Roundtrip]]) in the
     // native codegen'd cosine kernel — the same scan shape as
     // Ann.bruteForceTopK
+    // norms hoisted per row (round 17 — the Ann.cosineHoisted pattern):
+    // the |corpus| × |queries| scoring loop paid both self-dots per PAIR;
+    // withColumn after the decode projection keeps the decode per-row
+    // (CollapseProject does not inline a non-cheap alias referenced twice)
     val coded = clean.select(col(corpusId).as("__nid"),
       roundtripExpr(col(corpusVec), los, steps, dim).as("__dvec"))
+      .withColumn("__nn", Ann.normOfVec(col("__dvec")))
     val qcoded = queries.where(col(queryVec).isNotNull && size(col(queryVec)) === dim)
       .select(col(queryId).as("query_id"),
         roundtripExpr(col(queryVec), los, steps, dim).as("__qvec"))
+      .withColumn("__qn", Ann.normOfVec(col("__qvec")))
     val scored = coded.crossJoin(broadcast(qcoded))
       .select(col("query_id"), col("__nid"),
-        graft.functions.NativeFunctions.cosine(col("__qvec"), col("__dvec")).as("__sim"))
+        Ann.cosineWithNorms(col("__qvec"), col("__dvec"),
+          col("__qn"), col("__nn")).as("__sim"))
     Ann.topKOf(scored, k).withColumnRenamed("cosine", "qcos")
   }
 
